@@ -1,0 +1,70 @@
+"""Training-matrix builder — the reference's closest thing to an OLAP
+query (SURVEY §3.4): market features on the bar spine, resampled
+social/news aggregates left-joined on, zero-filled, labeled.
+
+Parity source: ``algo-data-ingestion/scripts/build_training_matrix.py:92-165``.
+
+Spark shape: one lazy plan — feature window stage over the spine,
+two small bucketed rollups broadcast-joined on, labels via lead() —
+a single shuffle for the series window plus broadcast joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.indicators import build_market_features
+from ..operators.joins import spine_join
+from ..operators.labels import with_labels
+from ..operators.resample import resample
+
+
+def build_training_matrix(
+    market: DataFrame,
+    *,
+    social: DataFrame | None = None,
+    news: DataFrame | None = None,
+    timeframe: str = "1m",
+    keys: Sequence[str] = ("symbol", "exchange", "timeframe"),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """market OHLCV (+ social/news) -> labeled feature matrix."""
+    market = market.filter(F.col("timeframe") == timeframe) if "timeframe" in market.columns else market
+    feats = build_market_features(market, keys=keys, ts_col=ts_col)
+    # keep close for labeling (J1 spine join back onto raw close)
+    spine = feats.join(
+        market.select(ts_col, *[k for k in keys if k in market.columns], "close"),
+        [ts_col, *[k for k in keys if k in market.columns]],
+        "left",
+    )
+
+    aggs = []
+    fill_zero: list[str] = []
+    if social is not None:
+        s = resample(
+            social,
+            timeframe,
+            {
+                "sentiment_mean": F.avg("sentiment_score"),
+                "social_n": F.count("id"),
+            },
+            ts_col="ts",
+            bucket_out=ts_col,
+        )
+        aggs.append(s)
+        fill_zero += ["sentiment_mean", "social_n"]
+    if news is not None:
+        n = resample(
+            news,
+            timeframe,
+            {"news_n": F.count("id")},
+            ts_col="published_at",
+            bucket_out=ts_col,
+        )
+        aggs.append(n)
+        fill_zero += ["news_n"]
+
+    out = spine_join(spine, aggs, on=[ts_col], fill_zero_cols=fill_zero)
+    return with_labels(out, "close", keys=keys, order=ts_col)

@@ -1,0 +1,81 @@
+"""As-of alignment join (SURVEY §2 J3) — the reference's
+reindex-then-ffill pattern (``orderbook_features.py:136``,
+``HistoricalDataTest.py:57``) generalized to a distributed as-of join.
+
+Implementation: union the left (probe) and right (reference) rows on
+the time axis, forward-fill the right-side payload with a
+last-ignorenulls window per key, then keep only probe rows. This is
+the shuffle-minimal Spark shape: one union + one window over the
+(keys, ts) sort — no per-group Python, no broadcast of the big side,
+and it scales with the number of series keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    keys: Sequence[str] = (),
+    value_cols: Sequence[str] | None = None,
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.on <= left.on`` within the same ``keys`` (pandas
+    ``merge_asof`` direction='backward' semantics).
+
+    ``value_cols`` default to every right column not in keys/on.
+    ``tolerance_seconds`` nulls out matches older than the tolerance.
+    """
+    keys = list(keys)
+    value_cols = list(
+        value_cols
+        if value_cols is not None
+        else [c for c in right.columns if c not in set(keys) | {on}]
+    )
+
+    probe = left.withColumn("__is_left", F.lit(1))
+    for c in value_cols:
+        if c not in probe.columns:
+            probe = probe.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    build = right.select(
+        *keys, on, *value_cols
+    ).withColumn("__is_left", F.lit(0))
+    left_extra = [c for c in probe.columns if c not in build.columns]
+    for c in left_extra:
+        build = build.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+
+    unioned = probe.unionByName(build.select(*probe.columns))
+    # right rows sort before left rows at an equal timestamp so an
+    # exact-tie match is visible to the probe row (merge_asof default)
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(F.col(on), F.col("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    payload = F.last(
+        F.when(
+            F.col("__is_left") == 0,
+            F.struct(*[F.col(c) for c in value_cols], F.col(on).alias("__asof_ts")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    filled = filled.withColumn("__payload", payload)
+    out = filled.filter(F.col("__is_left") == 1)
+    if tolerance_seconds is not None:
+        age = F.col(on).cast("double") - F.col("__payload.__asof_ts").cast("double")
+        out = out.withColumn(
+            "__payload",
+            F.when(age <= F.lit(float(tolerance_seconds)), F.col("__payload")),
+        )
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col(f"__payload.{c}"))
+    return out.drop("__is_left", "__payload", *value_cols)

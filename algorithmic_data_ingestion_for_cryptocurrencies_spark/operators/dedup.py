@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale training-data pipelines
+(BASELINE.json north-star; beyond the reference's surface, which only
+has id-set dedup — ``news_adapter.py:139,153-156``).
+
+Five tiers, each fully distributed:
+
+- :func:`exact_dedup` — hash-groupBy on content columns.
+- :func:`ngram_shingles` / :func:`jaccard_similar_pairs` — exact
+  n-gram Jaccard via shingle-inverted-index self-join (the candidate
+  generation only materializes co-shingled pairs, never the n² grid).
+- :func:`minhash_dedup_pairs` — MinHash+LSH banding: shingles ->
+  minhash signature (k permutations via seeded xxhash64) -> band
+  buckets -> bucket equi-join; candidates verified with exact
+  signature similarity. Scales as O(docs × k) + join on band keys.
+- :func:`simhash` / :func:`simhash_near_pairs` — 64-bit SimHash with
+  per-bit majority vote; near-dups = equal hash (or banded prefix).
+- :func:`embedding_near_pairs` (in :mod:`.similarity`) — cosine tier.
+
+All hashing uses ``xxhash64`` (JVM built-in, deterministic across the
+cluster); no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase, collapse whitespace, strip — shared by every dedup
+    tier so near-dup definitions agree."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    content_cols: Sequence[str],
+    *,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Keep one row (min tiebreak) per distinct content — exact dedup
+    via hash-groupBy; a single shuffle on the content hash, with
+    map-side partial aggregation."""
+    key = F.xxhash64(*[normalize_text(c) for c in content_cols]).alias("__content_key")
+    ranked = df.withColumn("__content_key", key)
+    keep = ranked.groupBy("__content_key").agg(F.min(tiebreak_col).alias(tiebreak_col))
+    return (
+        ranked.join(keep, ["__content_key", tiebreak_col], "left_semi")
+        .drop("__content_key")
+    )
+
+
+def tokenize(col: Column | str) -> Column:
+    """Whitespace word split of the normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def ngram_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct), built with higher-order
+    functions — no UDF. Documents shorter than n words yield their
+    full text as the single shingle."""
+    words = tokenize(col)
+    k = F.size(words) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Shape: explode shingles -> inverted index -> self-join on shingle
+    (generates only candidate pairs that share >= 1 shingle) -> count
+    common shingles -> |A∪B| = |A| + |B| - common. The shingle join is
+    the scale risk (hot shingles); stop-shingle filtering can cap
+    posting-list length — at 100 TB you'd drop shingles with document
+    frequency above a cutoff, trading recall for bounded skew.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature: min over shingles of xxhash64(shingle, seed_i)
+    for each of ``num_hashes`` seeds. Array column, JVM-side."""
+    shingles = ngram_shingles(col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs with estimated
+    Jaccard (signature agreement rate) >= threshold.
+
+    ``num_hashes`` must divide into ``bands``; rows ``r = k/bands``
+    set the LSH S-curve. Candidates only materialize for banded
+    collisions: the self-join is on (band_id, band_hash), never n².
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes=num_hashes, n=n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(col: Column | str, *, bits: int = 64) -> Column:
+    """SimHash fingerprint: per-bit majority vote over token hashes.
+
+    Expressed as 64 conditional sums over the exploded-token-free
+    aggregate form: we fold the token array with ``aggregate`` so the
+    whole fingerprint is one expression per row — no explode, no
+    shuffle, no UDF.
+    """
+    tokens = tokenize(col)
+    # vote vector: for each bit, sum(+1/-1) across tokens
+    votes = F.aggregate(
+        tokens,
+        F.array(*[F.lit(0)] * bits).cast("array<int>"),
+        lambda acc, tok: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: (
+                    F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) * 2 - 1
+                ).cast("int"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # assemble: sum(2^b where vote > 0); bit 63 keeps the sign bit off
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when((v > 0) & (b < 63), F.shiftleft(F.lit(1).cast("long"), b))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    prefix_bits: int = 16,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits``
+    (cheap LSH), verify Hamming distance <= ``max_hamming`` via
+    bit_count(xor). Production variant would rotate the blocking
+    prefix over several permutations for full recall."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+    ).withColumn("block", F.shiftright("sh", 64 - prefix_bits))
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
+        )
+    )

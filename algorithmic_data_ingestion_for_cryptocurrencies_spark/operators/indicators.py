@@ -1,0 +1,334 @@
+"""Technical-indicator operators (SURVEY §2.5 W9-W22) as DataFrame
+transforms.
+
+Parity source: ``/root/reference/algo-data-ingestion/app/features/
+processors/ta_indicators.py`` and ``app/features/factory/
+market_factory.py``. Each transform appends columns; all math is
+built-in column expressions over per-series windows (one shuffle per
+distinct (partition, order) spec — Spark computes every frame variant
+of the same spec in a single WindowExec), except EMA which uses the
+closed-form from :mod:`.ewm`.
+
+Signature convention: ``fn(df, *, keys, order, cols...) -> DataFrame``
+where ``keys`` are the series identity columns (e.g. symbol, exchange,
+timeframe) and ``order`` the time column(s).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.time_norm import dt_from_ts
+from ..schemas import FEATURE_VERSION, MARKET_FEATURE_SCHEMA, coerce_schema
+from .ewm import with_ewm
+from .rolling import (
+    cum,
+    cum_sum,
+    lag_diff,
+    log_return,
+    pct_change,
+    rolling_mean,
+    rolling_std,
+    rolling_sum,
+    rolling_min,
+    rolling_max,
+    series_window,
+    trailing,
+)
+
+
+def _series(keys: Sequence[str], order) :
+    return series_window(keys, order)
+
+
+def with_sma(df: DataFrame, col: str, n: int, *, keys, order, out: str | None = None) -> DataFrame:
+    """SMA — ``ta_indicators.py:121-125``."""
+    w = _series(keys, order)
+    return df.withColumn(out or f"sma_{n}", rolling_mean(col, w, n))
+
+
+def with_ema(df: DataFrame, col: str, span: int, *, keys, order, out: str | None = None) -> DataFrame:
+    """EMA (ewm span, adjust=False) — ``ta_indicators.py:127-131``."""
+    return with_ewm(df, col, out or f"ema_{span}", keys=keys, order=order, span=span)
+
+
+def with_returns(df: DataFrame, col: str, *, keys, order,
+                 ret_out: str = "ret_1", logret_out: str = "logret_1") -> DataFrame:
+    """1-period pct + log returns — ``market_factory.py:106-107``."""
+    w = _series(keys, order)
+    return (
+        df.withColumn(ret_out, pct_change(col, w, 1))
+          .withColumn(logret_out, log_return(col, w, 1))
+    )
+
+
+def with_rsi_sma(df: DataFrame, col: str, n: int = 14, *, keys, order,
+                 out: str | None = None) -> DataFrame:
+    """RSI, SMA variant — ``market_factory.py:54-62``.
+
+    up/down are 0.0 (not NULL) on the first row because ``np.where`` on
+    a NaN delta picks the else-branch; rs divides by NULLIF(down,0)
+    exactly like the reference's ``replace(0, nan)``.
+    """
+    w = _series(keys, order)
+    delta = lag_diff(col, w, 1)
+    # stage ±moves: window exprs can't nest inside the rolling mean
+    df = df.withColumn("__up", F.when(delta > 0, delta).otherwise(F.lit(0.0)))
+    df = df.withColumn("__down", F.when(delta < 0, -delta).otherwise(F.lit(0.0)))
+    roll_up = rolling_mean("__up", w, n)
+    roll_down = rolling_mean("__down", w, n)
+    rs = roll_up / F.nullif(roll_down, F.lit(0.0))
+    return df.withColumn(
+        out or f"rsi_{n}", F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs))
+    ).drop("__up", "__down")
+
+
+def with_rsi_wilder(df: DataFrame, col: str, n: int = 14, *, keys, order,
+                    out: str | None = None) -> DataFrame:
+    """RSI, Wilder/EWM variant — ``ta_indicators.py:59-77``
+    (``ewm(alpha=1/n, adjust=False)`` of clipped gains/losses; the
+    clip keeps the first delta NULL, matching pandas NaN-skip)."""
+    w = _series(keys, order)
+    delta = lag_diff(col, w, 1)
+    df = df.withColumn("__gain", F.when(delta > 0, delta).otherwise(
+        F.when(delta.isNotNull(), F.lit(0.0))))
+    df = df.withColumn("__loss", F.when(delta < 0, -delta).otherwise(
+        F.when(delta.isNotNull(), F.lit(0.0))))
+    df = with_ewm(df, "__gain", "__avg_gain", keys=keys, order=order, alpha=1.0 / n)
+    df = with_ewm(df, "__loss", "__avg_loss", keys=keys, order=order, alpha=1.0 / n)
+    rs = F.col("__avg_gain") / F.col("__avg_loss")
+    return (
+        df.withColumn(out or f"rsi_{n}", F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)))
+          .drop("__gain", "__loss", "__avg_gain", "__avg_loss")
+    )
+
+
+def with_macd(df: DataFrame, col: str, *, keys, order,
+              fast: int = 12, slow: int = 26, signal: int = 9,
+              macd_out: str = "macd", signal_out: str | None = None,
+              hist_out: str | None = "histogram",
+              keep_emas: bool = False) -> DataFrame:
+    """MACD line / signal / histogram — ``ta_indicators.py:79-89``."""
+    df = with_ewm(df, col, "__ema_fast", keys=keys, order=order, span=fast)
+    df = with_ewm(df, col, "__ema_slow", keys=keys, order=order, span=slow)
+    df = df.withColumn(macd_out, F.col("__ema_fast") - F.col("__ema_slow"))
+    df = with_ewm(df, macd_out, signal_out or f"macd_signal_{signal}",
+                  keys=keys, order=order, span=signal)
+    if hist_out:
+        df = df.withColumn(
+            hist_out, F.col(macd_out) - F.col(signal_out or f"macd_signal_{signal}")
+        )
+    if keep_emas:
+        df = df.withColumnRenamed("__ema_fast", f"ema_{fast}").withColumnRenamed(
+            "__ema_slow", f"ema_{slow}")
+    else:
+        df = df.drop("__ema_fast", "__ema_slow")
+    return df
+
+
+def with_bollinger(df: DataFrame, col: str, n: int = 20, num_std: float = 2.0, *,
+                   keys, order, prefix: str = "bb") -> DataFrame:
+    """Bollinger middle/upper/lower — ``ta_indicators.py:91-100``."""
+    w = _series(keys, order)
+    mid = rolling_mean(col, w, n)
+    sd = rolling_std(col, w, n)
+    return (
+        df.withColumn(f"{prefix}_middle", mid)
+          .withColumn(f"{prefix}_upper", mid + F.lit(num_std) * sd)
+          .withColumn(f"{prefix}_lower", mid - F.lit(num_std) * sd)
+    )
+
+
+def with_vwap(df: DataFrame, n: int, *, keys, order,
+              price_col: str = "close", volume_col: str = "volume",
+              out: str | None = None) -> DataFrame:
+    """Rolling VWAP — ``ta_indicators.py:102-117``."""
+    w = _series(keys, order)
+    pv = F.col(price_col) * F.col(volume_col)
+    return df.withColumn(
+        out or f"vwap_{n}",
+        rolling_sum(pv, w, n) / rolling_sum(F.col(volume_col), w, n),
+    )
+
+
+def true_range(w, high: str = "high", low: str = "low", close: str = "close") -> Column:
+    """TR = max(h-l, |h-prev_c|, |l-prev_c|); greatest() skips NULLs so
+    the first row degrades to h-l exactly like pandas' skipna max —
+    ``ta_indicators.py:133-145``."""
+    prev_close = F.lag(F.col(close), 1).over(w)
+    return F.greatest(
+        F.col(high) - F.col(low),
+        F.abs(F.col(high) - prev_close),
+        F.abs(F.col(low) - prev_close),
+    )
+
+
+def with_atr(df: DataFrame, n: int = 14, *, keys, order,
+             high: str = "high", low: str = "low", close: str = "close",
+             out: str | None = None) -> DataFrame:
+    """ATR = rolling mean of TR — ``ta_indicators.py:133-145``."""
+    w = _series(keys, order)
+    df = df.withColumn("__tr", true_range(w, high, low, close))
+    df = df.withColumn(out or f"atr_{n}", rolling_mean("__tr", w, n))
+    return df.drop("__tr")
+
+
+def with_obv(df: DataFrame, *, keys, order,
+             price_col: str = "close", volume_col: str = "volume",
+             out: str = "obv") -> DataFrame:
+    """OBV = cumsum(sign(Δclose)·volume), first sign 0 —
+    ``ta_indicators.py:147-154``, ``market_factory.py:64-67``."""
+    w = _series(keys, order)
+    delta = lag_diff(price_col, w, 1)
+    direction = F.when(delta.isNull(), F.lit(0.0)).otherwise(F.signum(delta))
+    df = df.withColumn("__signed_vol", direction * F.coalesce(F.col(volume_col), F.lit(0.0)))
+    return df.withColumn(out, cum_sum("__signed_vol", w)).drop("__signed_vol")
+
+
+def with_cci(df: DataFrame, n: int = 20, constant: float = 0.015, *, keys, order,
+             high: str = "high", low: str = "low", close: str = "close",
+             out: str | None = None) -> DataFrame:
+    """CCI — ``ta_indicators.py:5-26,156-164``.
+
+    Needs the rolling *mean absolute deviation around the current
+    row's MA*, which no single window aggregate expresses; we collect
+    the frame's typical prices (n values/row) and reduce them with a
+    higher-order function — still JVM-side, no Python.
+    """
+    w = _series(keys, order)
+    frame = trailing(w, n)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / F.lit(3.0)
+    df = df.withColumn("__tp", tp)
+    df = df.withColumn("__tp_ma", F.avg("__tp").over(frame))
+    df = df.withColumn("__tp_cnt", F.count("__tp").over(frame))
+    df = df.withColumn("__tp_list", F.collect_list("__tp").over(frame))
+    md = (
+        F.aggregate(
+            F.transform(F.col("__tp_list"), lambda x: F.abs(x - F.col("__tp_ma"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(n))
+    )
+    cci = F.when(
+        F.col("__tp_cnt") >= n,
+        F.when(md != 0, (F.col("__tp") - F.col("__tp_ma")) / (F.lit(constant) * md))
+         .otherwise(F.lit(0.0)),
+    )
+    return df.withColumn(out or f"cci_{n}", cci).drop(
+        "__tp", "__tp_ma", "__tp_cnt", "__tp_list")
+
+
+def with_stochastic(df: DataFrame, k_window: int = 14, d_window: int = 3, *,
+                    keys, order, high: str = "high", low: str = "low",
+                    close: str = "close",
+                    k_out: str = "percent_k", d_out: str = "percent_d") -> DataFrame:
+    """Stochastic %K/%D — ``ta_indicators.py:166-174``."""
+    w = _series(keys, order)
+    low_min = rolling_min(low, w, k_window)
+    high_max = rolling_max(high, w, k_window)
+    df = df.withColumn(
+        k_out,
+        F.lit(100.0) * (F.col(close) - low_min) / F.nullif(high_max - low_min, F.lit(0.0)),
+    )
+    return df.withColumn(d_out, rolling_mean(k_out, w, d_window))
+
+
+def with_adx(df: DataFrame, n: int = 14, *, keys, order,
+             high: str = "high", low: str = "low", close: str = "close",
+             out: str | None = None) -> DataFrame:
+    """ADX — ``ta_indicators.py:176-193`` (three stacked rolling means;
+    ±DM are 0.0 on the first row per np.where-on-NaN semantics)."""
+    w = _series(keys, order)
+    up = lag_diff(high, w, 1)
+    down = -lag_diff(low, w, 1)
+    df = df.withColumn("__plus_dm", F.when((up > down) & (up > 0), up).otherwise(F.lit(0.0)))
+    df = df.withColumn("__minus_dm", F.when((down > up) & (down > 0), down).otherwise(F.lit(0.0)))
+    df = df.withColumn("__tr", true_range(w, high, low, close))
+    df = df.withColumn("__atr", rolling_mean("__tr", w, n))
+    df = df.withColumn("__plus_di", F.lit(100.0) * rolling_mean("__plus_dm", w, n) / F.col("__atr"))
+    df = df.withColumn("__minus_di", F.lit(100.0) * rolling_mean("__minus_dm", w, n) / F.col("__atr"))
+    dx = F.lit(100.0) * F.abs(F.col("__plus_di") - F.col("__minus_di")) / F.nullif(
+        F.col("__plus_di") + F.col("__minus_di"), F.lit(0.0))
+    df = df.withColumn("__dx", dx)
+    df = df.withColumn(out or f"adx_{n}", rolling_mean("__dx", w, n))
+    return df.drop("__tr", "__atr", "__plus_di", "__minus_di", "__dx")
+
+
+def with_mfi(df: DataFrame, n: int = 14, *, keys, order,
+             high: str = "high", low: str = "low", close: str = "close",
+             volume: str = "volume", out: str | None = None) -> DataFrame:
+    """Money Flow Index — ``ta_indicators.py:195-206``."""
+    w = _series(keys, order)
+    tp = (F.col(high) + F.col(low) + F.col(close)) / F.lit(3.0)
+    df = df.withColumn("__tp", tp)
+    prev_tp = F.lag(F.col("__tp"), 1).over(w)
+    mf = F.col("__tp") * F.col(volume)
+    df = df.withColumn("__pos", F.when(F.col("__tp") > prev_tp, mf).otherwise(F.lit(0.0)))
+    df = df.withColumn("__neg", F.when(F.col("__tp") < prev_tp, mf).otherwise(F.lit(0.0)))
+    pos_mf = rolling_sum("__pos", w, n)
+    neg_mf = rolling_sum("__neg", w, n)
+    mfi = F.lit(100.0) * pos_mf / F.nullif(pos_mf + neg_mf, F.lit(0.0))
+    return df.withColumn(out or f"mfi_{n}", mfi).drop("__tp", "__pos", "__neg")
+
+
+def with_roc(df: DataFrame, col: str, n: int = 12, *, keys, order,
+             out: str | None = None) -> DataFrame:
+    """Rate of change = 100·diff(n)/shift(n) — ``ta_indicators.py:208-212``."""
+    w = _series(keys, order)
+    prev = F.lag(F.col(col), n).over(w)
+    return df.withColumn(
+        out or f"roc_{n}", F.lit(100.0) * (F.col(col) - prev) / F.nullif(prev, F.lit(0.0))
+    )
+
+
+def with_hl_spread(df: DataFrame, *, high: str = "high", low: str = "low",
+                   close: str = "close", out: str = "hl_spread") -> DataFrame:
+    """(high - low) / close with 0-close -> NULL — ``market_factory.py:119``."""
+    return df.withColumn(
+        out, (F.col(high) - F.col(low)) / F.nullif(F.col(close), F.lit(0))
+    )
+
+
+DEFAULT_SERIES_KEYS = ("symbol", "exchange", "timeframe")
+
+
+def build_market_features(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = DEFAULT_SERIES_KEYS,
+    ts_col: str = "timestamp",
+    dropna_final: bool = True,
+) -> DataFrame:
+    """Flagship feature stage — parity with
+    ``market_factory.build_market_features`` (``market_factory.py:73-156``):
+    ret_1, logret_1, rvol_5/20, ema_12/26, macd, macd_signal_9, rsi_14,
+    hl_spread, oi_obv, plus dt + feature_version, rows with all-NULL
+    features dropped.
+
+    One logical plan: Catalyst fuses all rolling expressions sharing
+    the (keys, ts) window into a single sort+window stage.
+    """
+    w = series_window(keys, ts_col)
+    df = with_returns(df, "close", keys=keys, order=ts_col)
+    df = df.withColumn("rvol_5", rolling_std("logret_1", w, 5))
+    df = df.withColumn("rvol_20", rolling_std("logret_1", w, 20))
+    df = with_macd(df, "close", keys=keys, order=ts_col,
+                   fast=12, slow=26, signal=9,
+                   macd_out="macd", signal_out="macd_signal_9",
+                   hist_out=None, keep_emas=True)
+    df = with_rsi_sma(df, "close", 14, keys=keys, order=ts_col, out="rsi_14")
+    df = with_hl_spread(df)
+    df = with_obv(df, keys=keys, order=ts_col, out="oi_obv")
+    df = df.withColumn("dt", dt_from_ts(ts_col))
+    df = df.withColumn("feature_version", F.lit(FEATURE_VERSION))
+    out = coerce_schema(df, MARKET_FEATURE_SCHEMA, keep_extra=False)
+    if dropna_final:
+        feature_cols = [
+            "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+            "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv",
+        ]
+        out = out.filter(F.coalesce(*[F.col(c) for c in feature_cols]).isNotNull())
+    return out

@@ -1,0 +1,103 @@
+"""Order-book microstructure operators (SURVEY §2 A1-A4, W24, O3).
+
+Parity source: ``/root/reference/algo-data-ingestion/app/features/
+processors/orderbook_features.py``. Input is the long-format snapshot
+table ``[ts, price, amount, side('bid'|'ask'), ...]``.
+
+All operators are a single groupBy/pivot or ranked-window stage —
+one shuffle keyed by the snapshot timestamp (plus side for depth),
+which partitions evenly at scale because ts cardinality grows with
+data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .rolling import ffill, series_window
+
+
+def imbalance_series(df: DataFrame, *, ts_col: str = "ts",
+                     side_col: str = "side", amount_col: str = "amount") -> DataFrame:
+    """Per-ts (bid_vol - ask_vol) / (bid_vol + ask_vol), 0.0 when the
+    book is empty — ``orderbook_features.py:94-118`` (pivot + kernel).
+
+    Spark shape: conditional sums in one aggregate (no pivot needed),
+    map-side partial aggregation before the shuffle.
+    """
+    bid = F.sum(F.when(F.col(side_col) == "bid", F.col(amount_col)).otherwise(F.lit(0.0)))
+    ask = F.sum(F.when(F.col(side_col) == "ask", F.col(amount_col)).otherwise(F.lit(0.0)))
+    agg = df.groupBy(ts_col).agg(bid.alias("bid_vol"), ask.alias("ask_vol"))
+    total = F.col("bid_vol") + F.col("ask_vol")
+    return agg.withColumn(
+        "imbalance",
+        F.when(total != 0, (F.col("bid_vol") - F.col("ask_vol")) / total).otherwise(F.lit(0.0)),
+    )
+
+
+def spread_series(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
+                  price_col: str = "price") -> DataFrame:
+    """Per-ts best-ask minus best-bid, ask forward-filled onto bid
+    timestamps, missing spread -> 0 — ``orderbook_features.py:121-137``
+    (groupby max/min + reindex-ffill + fillna(0))."""
+    best = df.groupBy(ts_col).agg(
+        F.max(F.when(F.col(side_col) == "bid", F.col(price_col))).alias("best_bid"),
+        F.min(F.when(F.col(side_col) == "ask", F.col(price_col))).alias("best_ask"),
+    )
+    w = series_window((), ts_col)
+    best = best.withColumn("best_ask_ff", ffill("best_ask", w))
+    out = best.filter(F.col("best_bid").isNotNull()).withColumn(
+        "spread", F.coalesce(F.col("best_ask_ff") - F.col("best_bid"), F.lit(0.0))
+    )
+    return out.select(ts_col, "best_bid", F.col("best_ask_ff").alias("best_ask"), "spread")
+
+
+def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
+                 side_col: str = "side", price_col: str = "price",
+                 amount_col: str = "amount") -> DataFrame:
+    """Top-N levels per (ts, side) pivoted to ``bid_depth_i`` /
+    ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
+
+    Spark shape: rank within (ts, side) by price (bids desc, asks asc)
+    + filter <= n + pivot on the computed level label — one window
+    stage + one pivot aggregate, no per-group Python.
+    """
+    rank_order = F.when(
+        F.col(side_col) == "bid", -F.col(price_col)
+    ).otherwise(F.col(price_col))
+    w = Window.partitionBy(ts_col, side_col).orderBy(rank_order)
+    level = F.row_number().over(w)
+    ranked = df.withColumn("__level", level).filter(F.col("__level") <= n_levels)
+    labels = [f"{side}_depth_{i}" for side in ("bid", "ask") for i in range(1, n_levels + 1)]
+    ranked = ranked.withColumn(
+        "__label", F.concat_ws("_", F.col(side_col), F.lit("depth"), F.col("__level"))
+    )
+    return (
+        ranked.groupBy(ts_col)
+        .pivot("__label", labels)
+        .agg(F.first(amount_col))
+    )
+
+
+def batch_orderbook(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
+                    price_col: str = "price", amount_col: str = "amount") -> DataFrame:
+    """Fused imbalance + spread per ts — ``orderbook_features.py:163-185``.
+
+    Deviation note: the reference pairs prices with pivot aggfunc
+    'first' (input-order dependent); we use best bid (max) / best ask
+    (min), the economically meaningful and deterministic choice.
+    Fusion is free: both aggregates share one groupBy stage.
+    """
+    agg = df.groupBy(ts_col).agg(
+        F.sum(F.when(F.col(side_col) == "bid", F.col(amount_col)).otherwise(F.lit(0.0))).alias("bid_vol"),
+        F.sum(F.when(F.col(side_col) == "ask", F.col(amount_col)).otherwise(F.lit(0.0))).alias("ask_vol"),
+        F.max(F.when(F.col(side_col) == "bid", F.col(price_col))).alias("best_bid"),
+        F.min(F.when(F.col(side_col) == "ask", F.col(price_col))).alias("best_ask"),
+    )
+    total = F.col("bid_vol") + F.col("ask_vol")
+    return agg.select(
+        ts_col,
+        F.when(total != 0, (F.col("bid_vol") - F.col("ask_vol")) / total)
+         .otherwise(F.lit(0.0)).alias("imbalance"),
+        (F.col("best_ask") - F.col("best_bid")).alias("spread"),
+    )

@@ -1,0 +1,212 @@
+"""Rolling / cumulative window operators with pandas-parity warmup.
+
+The reference computes every time-series feature with pandas
+``rolling(n)`` ops, which yield NaN until ``n`` observations exist
+(asserted by its tests, e.g. ``algo-data-ingestion/tests/features/
+processors/test_ta_indicators_benchmark.py:37-122``). Spark window
+frames compute over *partial* frames, so every trailing-frame operator
+here is wrapped in a ``count >= min_periods`` mask for parity
+(SURVEY §2.5 "NaN-warmup semantics").
+
+All operators are Column-expression compositions over
+``Window.partitionBy(series_keys).orderBy(ts)`` — pure JVM, no Python
+on the hot path, and safe at scale because partitions are per series
+key, never global. Scale note: a window over a single series key is
+processed by one task; series in this domain (per symbol × exchange ×
+timeframe) are bounded, and the shuffle is one exchange keyed by the
+series columns which AQE can coalesce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.window import WindowSpec
+
+ColumnLike = Column | str
+
+
+def _c(col: ColumnLike) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def series_window(keys: Sequence[str], order: str | Sequence[str]) -> WindowSpec:
+    """Per-series ordered window: the universal spec for §2.5 operators.
+
+    Parity: the reference sorts each single-series frame by time before
+    feature math (``market_factory.py:98``); here the sort is declared
+    per partition key so Catalyst plans one shuffle + sort.
+    """
+    order_cols = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*[_c(k) for k in keys]).orderBy(*[_c(o) for o in order_cols])
+
+
+def cum(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def trailing(w: WindowSpec, n: int) -> WindowSpec:
+    return w.rowsBetween(-(n - 1), Window.currentRow)
+
+
+def rolling_agg(
+    agg,
+    col: ColumnLike,
+    w: WindowSpec,
+    n: int,
+    min_periods: int | None = None,
+) -> Column:
+    """Generic trailing-window aggregate with pandas warmup mask:
+    NULL until ``min_periods`` (default ``n``) non-null observations
+    are inside the frame (pandas ``rolling(n).agg`` semantics)."""
+    c = _c(col)
+    frame = trailing(w, n)
+    mp = n if min_periods is None else min_periods
+    return F.when(F.count(c).over(frame) >= mp, agg(c).over(frame))
+
+
+# --- trailing-frame ops (W4-W8) ---------------------------------------------
+
+def rolling_mean(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    """SMA — ``ta_indicators.py:121-125``."""
+    return rolling_agg(F.avg, col, w, n)
+
+
+def rolling_std(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    """pandas ``rolling(n).std()`` (ddof=1) — ``market_factory.py:109-110``."""
+    return rolling_agg(F.stddev_samp, col, w, n)
+
+
+def rolling_sum(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    return rolling_agg(F.sum, col, w, n)
+
+
+def rolling_min(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    return rolling_agg(F.min, col, w, n)
+
+
+def rolling_max(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    return rolling_agg(F.max, col, w, n)
+
+
+def rolling_quantile(col: ColumnLike, w: WindowSpec, n: int, q: float) -> Column:
+    """Exact linear-interpolation percentile (pandas default) —
+    ``onchain_features.py:54-59,81-86``. Uses Spark's exact
+    ``percentile`` (not approx) for oracle parity (SURVEY §4 note 3)."""
+    return rolling_agg(lambda c: F.percentile(c, F.lit(q)), col, w, n)
+
+
+def rolling_median(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    return rolling_quantile(col, w, n, 0.5)
+
+
+# --- lag/lead family (W1-W3, W23) --------------------------------------------
+
+def lag_diff(col: ColumnLike, w: WindowSpec, n: int = 1) -> Column:
+    """pandas ``diff(n)`` — ``ta_indicators.py:70``, ``onchain_features.py:4-9``."""
+    c = _c(col)
+    return c - F.lag(c, n).over(w)
+
+
+def pct_change(col: ColumnLike, w: WindowSpec, n: int = 1) -> Column:
+    """pandas ``pct_change(n)``; division by zero yields NULL (pandas
+    yields inf — deviation documented; sanitize parity keeps NULL)."""
+    c = _c(col)
+    prev = F.lag(c, n).over(w)
+    return (c - prev) / F.nullif(prev, F.lit(0))
+
+
+def log_return(col: ColumnLike, w: WindowSpec, n: int = 1) -> Column:
+    """``log(close.replace(0, NaN)).diff()`` — ``market_factory.py:107``."""
+    c = _c(col)
+    lg = F.log(F.nullif(c, F.lit(0)))
+    return lg - F.lag(lg, n).over(w)
+
+
+def lead(col: ColumnLike, w: WindowSpec, n: int = 1) -> Column:
+    return F.lead(_c(col), n).over(w)
+
+
+# --- cumulative ops (W15-W16, W26) -------------------------------------------
+
+def cum_sum(col: ColumnLike, w: WindowSpec) -> Column:
+    return F.sum(_c(col)).over(cum(w))
+
+
+def cum_max(col: ColumnLike, w: WindowSpec) -> Column:
+    return F.max(_c(col)).over(cum(w))
+
+
+def cum_min(col: ColumnLike, w: WindowSpec) -> Column:
+    return F.min(_c(col)).over(cum(w))
+
+
+def drawdown(col: ColumnLike, w: WindowSpec) -> Column:
+    """``(s - cummax) / cummax`` — ``onchain_features.py:36-43``."""
+    c = _c(col)
+    peak = cum_max(c, w)
+    return (c - peak) / F.nullif(peak, F.lit(0))
+
+
+def ffill(col: ColumnLike, w: WindowSpec) -> Column:
+    """Forward-fill = last non-null so far — reference signal ffill
+    (``HistoricalDataTest.py:102``) and as-of alignment (J3)."""
+    return F.last(_c(col), ignorenulls=True).over(cum(w))
+
+
+# --- derived series ops (W22, P6, A6) ----------------------------------------
+
+def with_rolling_volatility(
+    df: DataFrame,
+    col: str,
+    n: int,
+    periods_per_year: float,
+    *,
+    keys: Sequence[str],
+    order: str | Sequence[str],
+    out: str = "volatility",
+) -> DataFrame:
+    """Annualized rolling std of pct-change —
+    ``onchain_features.py:62-70`` (``sqrt(365*86400/interval)`` scale).
+
+    Staged as two selects because Spark forbids a window expression
+    inside another window aggregate.
+    """
+    w = series_window(keys, order)
+    df = df.withColumn("__ret", pct_change(col, w, 1))
+    df = df.withColumn(
+        out, rolling_agg(F.stddev_samp, "__ret", w, n) * F.lit(float(periods_per_year) ** 0.5)
+    )
+    return df.drop("__ret")
+
+
+def whale_flag(col: ColumnLike, threshold: float) -> Column:
+    """``(abs(value) > threshold).astype(int)`` — ``onchain_features.py:46-51``."""
+    return (F.abs(_c(col)) > F.lit(threshold)).cast("int")
+
+
+def with_global_zscore(
+    df: DataFrame,
+    col: str,
+    out: str = "zscore",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Global (or per-key) z-score — ``onchain_features.py:73-78``.
+
+    Implemented as aggregate + broadcast join rather than an
+    unpartitioned window: a global window would serialize the whole
+    table through one task at 100 TB; a two-pass agg+broadcast is a
+    map-side-only second pass.
+    """
+    if keys:
+        stats = df.groupBy(*keys).agg(
+            F.avg(col).alias("__mu"), F.stddev_samp(col).alias("__sd")
+        )
+        joined = df.join(F.broadcast(stats), list(keys), "left")
+    else:
+        stats = df.agg(F.avg(col).alias("__mu"), F.stddev_samp(col).alias("__sd"))
+        joined = df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        out, (F.col(col) - F.col("__mu")) / F.nullif(F.col("__sd"), F.lit(0))
+    ).drop("__mu", "__sd")

@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (``array<float>``) —
+north-star operator family (BASELINE.json): brute-force cosine top-k
+as the exact baseline, plus a random-hyperplane-LSH bucketed variant
+as the scale path.
+
+All vector math uses higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, codegen'd, no Python per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+
+
+def norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    )
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return dot(a, b) / F.nullif(
+        norm(a) * norm(b), F.lit(0.0)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector: one scan,
+    one narrow projection, then a global top-k (``orderBy.limit`` —
+    Spark executes it as per-partition top-k + driver merge of k·p
+    rows, no full sort materialization)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force k-NN join: broadcast the (small) query set against
+    the corpus, rank per query. Exact; O(|Q|·|C|) scored pairs but
+    never materializes beyond the ranked window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = F.broadcast(q).crossJoin(c).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine("__qvec", "__cvec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (xorshift-free:
+    a simple LCG keeps this dependency-free and reproducible)."""
+    state = seed or 1
+    planes = []
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            v.append((state / float(1 << 64)) * 2.0 - 1.0)
+        mag = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / mag for x in v])
+    return planes
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    out: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit string of the
+    vector against ``n_planes`` fixed hyperplanes. Vectors with high
+    cosine land in the same bucket with probability
+    ``(1 - θ/π)^n_planes``."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1))
+        .otherwise(F.lit(0))
+        for p in planes
+    ]
+    bucket = F.concat(*[b.cast("string") for b in bits])
+    return df.withColumn(out, bucket)
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN: LSH-bucket both sides, equi-join on bucket
+    (this is the scale path — the join only scores same-bucket pairs),
+    then exact cosine rerank within candidates. Recall is tuned by
+    ``n_planes`` (fewer planes -> bigger buckets -> higher recall)."""
+    qb = with_lsh_bucket(queries, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    cb = with_lsh_bucket(corpus, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
+    q = qb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("lsh_bucket"),
+    )
+    c = cb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("lsh_bucket"),
+    )
+    scored = (
+        q.join(c, "lsh_bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine("__qvec", "__cvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+    Exact all-pairs by default (fine for bounded corpora / within
+    groups); ``use_lsh`` switches candidate generation to bucketed."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if use_lsh:
+        if dim is None:
+            raise ValueError("dim required for LSH candidate generation")
+        al = with_lsh_bucket(
+            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+            vec_col="__va", dim=dim)
+        bl = with_lsh_bucket(
+            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
+            vec_col="__vb", dim=dim)
+        pairs = al.join(bl, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

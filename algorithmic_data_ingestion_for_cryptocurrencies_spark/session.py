@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults are sized for the local[32] test harness but every knob is the
+one you'd tune on a 1000-executor cluster too: UTC session timezone
+(all reference timestamps are tz-aware UTC — see
+``algo-data-ingestion/app/common/time_norm.py:44`` in the reference),
+AQE with partition coalescing + skew-join handling, Arrow for the few
+Pandas-UDF operators, and non-ANSI permissive arithmetic so division-
+by-zero yields NULL (pandas/NumPy-style tolerance; the reference never
+raises on bad math).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "adi-spark"
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    *,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — at
+    cluster scale you would size it to ~2-3x total executor cores or
+    simply rely on AQE coalescing, which is enabled here.
+    """
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.master(
+            os.environ.get("SPARK_MASTER", f"local[{cores}]")
+        )
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pandas-parity arithmetic: x/0 -> NULL, lossy casts -> NULL.
+        .config("spark.sql.ansi.enabled", "false")
+        # files: keep scan partitions big enough to amortize task setup
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,85 @@
+"""Partitioned Parquet data lake (SURVEY §2.1 S12-S15).
+
+Parity source: ``algo-data-ingestion/app/ingestion_service/utils.py:92-189``
+(validated, atomic, hive-partitioned writes) and
+``app/features/backfill/core.py:13-38`` (manually pruned scans).
+
+Spark-first differences, by design (SURVEY §4):
+- atomicity = task-commit protocol (no tmp+rename needed);
+- partition pruning + predicate pushdown are Catalyst built-ins —
+  ``read_lake`` just expresses filters declaratively;
+- the reference's one-``dt``-per-write invariant is relaxed: Spark
+  writes any number of hive partitions per batch natively.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from ..functions.time_norm import dt_from_ts
+from ..schemas import DOMAIN_SCHEMAS, DOMAIN_TS_COLUMN, validate_schema
+
+DEFAULT_PARTITIONS = ("exchange", "symbol", "dt")
+
+
+def write_lake(
+    df: DataFrame,
+    base_path: str,
+    *,
+    domain: str | None = None,
+    partition_by: Sequence[str] = DEFAULT_PARTITIONS,
+    mode: str = "append",
+    ts_col: str | None = None,
+    schema: StructType | None = None,
+) -> str:
+    """Schema-validated partitioned write.
+
+    - derives ``dt`` from the domain timestamp when absent
+      (``utils.py:96-103``);
+    - validates against the declared domain schema before writing
+      (``utils.py:117-124``);
+    - sorts within partitions by event time so Parquet row-group
+      min/max stats give time-range skipping on read — this replaces
+      the reference's Redis ZSET time index (SURVEY §1.1).
+    """
+    schema = schema or (DOMAIN_SCHEMAS.get(domain) if domain else None)
+    ts = ts_col or (DOMAIN_TS_COLUMN.get(domain) if domain else None) or "timestamp"
+    if "dt" in (partition_by or ()) and "dt" not in df.columns and ts in df.columns:
+        df = df.withColumn("dt", dt_from_ts(ts))
+    if schema is not None:
+        validate_schema(df, schema)
+    writer = df.sortWithinPartitions(ts) if ts in df.columns else df
+    writer = writer.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(base_path)
+    return base_path
+
+
+def read_lake(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    schema: StructType | None = None,
+    dt_between: tuple[str, str] | None = None,
+    where=None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Pruned lake scan: ``dt_between`` prunes hive partitions, any
+    extra predicate pushes into the Parquet reader, ``columns`` prunes
+    the read schema — all visible in ``.explain`` as PartitionFilters /
+    PushedFilters / ReadSchema (replaces ``core.py:33-38``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(base_path)
+    if dt_between is not None:
+        df = df.filter(F.col("dt").between(*dt_between))
+    if where is not None:
+        df = df.filter(where)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -1,0 +1,30 @@
+"""Streaming dedup + tumbling aggregation (SURVEY §2 ST2/ST6).
+
+Parity source: the RSS polling loop's ``seen_ids`` set
+(``algo-data-ingestion/app/adapters/news_adapter.py:138-171``) — in
+Spark this is ``dropDuplicates`` with a watermark bounding the dedup
+state, the engine-managed version of the reference's unbounded
+in-memory set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_stream(stream_df: DataFrame, *, id_col: str = "id",
+                 ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
+    """Emit each id once; state bounded by the watermark horizon."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+
+
+def windowed_counts(stream_df: DataFrame, *, ts_col: str = "ts",
+                    every: str = "1 minute", watermark: str = "10 minutes",
+                    keys: tuple[str, ...] = ()) -> DataFrame:
+    """Tumbling event-time counts with late-data handling (ST6)."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, every).alias("win"), *keys)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("bucket"), *keys, "n")
+    )

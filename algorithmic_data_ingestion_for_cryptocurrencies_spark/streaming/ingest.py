@@ -1,0 +1,63 @@
+"""Streaming ingest pipeline (SURVEY §2 ST1/ST4, §3.1 streaming shape).
+
+The reference's websocket ``watch_*`` loops and cursor-advancing
+micro-batch fetchers (``ccxt_adapter.py:151-163``,
+``app/features/backfill/runner.py:141-186``) map to Structured
+Streaming: a source stream -> the *same* batch feature stage via
+``foreachBatch`` -> two sinks (lake append + feature store append),
+with checkpointed offsets replacing the hand-rolled cursor.
+
+File streams stand in for exchange websockets in tests; in production
+the source line changes to Kafka and nothing else moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    *,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_market_ingest(
+    stream_df: DataFrame,
+    *,
+    lake_path: str,
+    checkpoint: str,
+    feature_store=None,
+    keys=("symbol", "exchange", "timeframe"),
+    ts_col: str = "timestamp",
+):
+    """Micro-batch ingest: per batch, append raw bars to the lake and
+    (optionally) rebuilt features to the store — the streaming version
+    of the §3.1 ingest flow. foreachBatch gives exactly-once-per-sink
+    given the checkpointed batch id."""
+    from ..operators.indicators import build_market_features
+    from ..sources.lake import write_lake
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_lake(batch_df, lake_path, domain="market", ts_col=ts_col)
+        if feature_store is not None:
+            feats = build_market_features(batch_df, keys=keys, ts_col=ts_col)
+            feature_store.write(feats, domain="market", ts_col=ts_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
