@@ -22,31 +22,41 @@ def asof_join(
     right: DataFrame,
     *,
     on: str,
-    keys: Sequence[str] = (),
+    keys: Sequence[str],
     value_cols: Sequence[str] | None = None,
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    allow_global: bool = False,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right.on <= left.on`` within the same ``keys`` (pandas
     ``merge_asof`` direction='backward' semantics).
 
-    ``value_cols`` default to every right column not in keys/on.
-    ``tolerance_seconds`` nulls out matches older than the tolerance.
+    ``value_cols`` default to every right column not in keys/on; they
+    are staged under internal names, so a left column with the same
+    name survives (output gets ``<col><suffix>``). ``keys`` must be
+    non-empty — an empty partition spec serializes the whole table
+    through one task; pass ``allow_global=True`` only for genuinely
+    tiny frames.
     """
     keys = list(keys)
+    if not keys and not allow_global:
+        raise ValueError(
+            "asof_join with empty keys is a single-task global window; "
+            "pass series keys, or allow_global=True for tiny inputs"
+        )
     value_cols = list(
         value_cols
         if value_cols is not None
         else [c for c in right.columns if c not in set(keys) | {on}]
     )
+    staged = {c: f"__asof_v_{c}" for c in value_cols}
 
     probe = left.withColumn("__is_left", F.lit(1))
     for c in value_cols:
-        if c not in probe.columns:
-            probe = probe.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+        probe = probe.withColumn(staged[c], F.lit(None).cast(right.schema[c].dataType))
     build = right.select(
-        *keys, on, *value_cols
+        *keys, on, *[F.col(c).alias(staged[c]) for c in value_cols]
     ).withColumn("__is_left", F.lit(0))
     left_extra = [c for c in probe.columns if c not in build.columns]
     for c in left_extra:
@@ -60,15 +70,17 @@ def asof_join(
         .orderBy(F.col(on), F.col("__is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
     payload = F.last(
         F.when(
             F.col("__is_left") == 0,
-            F.struct(*[F.col(c) for c in value_cols], F.col(on).alias("__asof_ts")),
+            F.struct(
+                *[F.col(staged[c]).alias(c) for c in value_cols],
+                F.col(on).alias("__asof_ts"),
+            ),
         ),
         ignorenulls=True,
     ).over(w)
-    filled = filled.withColumn("__payload", payload)
+    filled = unioned.withColumn("__payload", payload)
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         age = F.col(on).cast("double") - F.col("__payload.__asof_ts").cast("double")
@@ -78,4 +90,4 @@ def asof_join(
         )
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}", F.col(f"__payload.{c}"))
-    return out.drop("__is_left", "__payload", *value_cols)
+    return out.drop("__is_left", "__payload", *staged.values())

@@ -40,15 +40,19 @@ def exact_dedup(
     *,
     tiebreak_col: str,
 ) -> DataFrame:
-    """Keep one row (min tiebreak) per distinct content — exact dedup
-    via hash-groupBy; a single shuffle on the content hash, with
-    map-side partial aggregation."""
-    key = F.xxhash64(*[normalize_text(c) for c in content_cols]).alias("__content_key")
-    ranked = df.withColumn("__content_key", key)
-    keep = ranked.groupBy("__content_key").agg(F.min(tiebreak_col).alias(tiebreak_col))
+    """Keep exactly one row (min tiebreak, ties broken by row_number)
+    per distinct content — a single shuffle on the content hash.
+    ``row_number`` (not a min-semi-join) guarantees one survivor even
+    when rows tie on the tiebreak column."""
+    from pyspark.sql import Window
+
+    key = F.xxhash64(*[normalize_text(c) for c in content_cols])
+    w = Window.partitionBy("__content_key").orderBy(F.col(tiebreak_col).asc_nulls_last())
     return (
-        ranked.join(keep, ["__content_key", tiebreak_col], "left_semi")
-        .drop("__content_key")
+        df.withColumn("__content_key", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__content_key", "__rn")
     )
 
 
@@ -101,8 +105,11 @@ def jaccard_similar_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    # plain shuffle joins: `sizes` is one row PER DOCUMENT, so forcing a
+    # broadcast would OOM the driver at corpus scale; AQE broadcasts it
+    # automatically when it is genuinely small.
     return (
-        common.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -116,13 +123,15 @@ def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) ->
     """MinHash signature: min over shingles of xxhash64(shingle, seed_i)
     for each of ``num_hashes`` seeds. Array column, JVM-side."""
     shingles = ngram_shingles(col, n)
+    # NB: the lambda must take exactly ONE parameter — PySpark passes
+    # (element, index) to two-parameter lambdas in F.transform, which
+    # would clobber a default-bound seed (round-1 defect: all k hashes
+    # collapsed to xxhash64(shingle, position)).
+    def seeded(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, i=i: F.xxhash64(s, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
     )
 
 
@@ -209,32 +218,32 @@ def simhash(col: Column | str, *, bits: int = 64) -> Column:
     shuffle, no UDF.
     """
     tokens = tokenize(col)
+
+    # F.shiftright/shiftleft require PYTHON-INT bit offsets, so the bit
+    # loop is unrolled in Python (round-1 defect: a Column from
+    # F.sequence crashed at plan build with NOT_ITERABLE).
+    def token_votes(tok: Column) -> Column:
+        h = F.xxhash64(tok)
+        return F.array(
+            *[
+                (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                for b in range(bits)
+            ]
+        )
+
     # vote vector: for each bit, sum(+1/-1) across tokens
     votes = F.aggregate(
         tokens,
         F.array(*[F.lit(0)] * bits).cast("array<int>"),
-        lambda acc, tok: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: (
-                    F.shiftright(F.xxhash64(tok), b).bitwiseAND(F.lit(1)) * 2 - 1
-                ).cast("int"),
-            ),
-            lambda a, v: a + v,
-        ),
+        lambda acc, tok: F.zip_with(acc, token_votes(tok), lambda a, v: a + v),
     )
     # assemble: sum(2^b where vote > 0); bit 63 keeps the sign bit off
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda v, b: F.when((v > 0) & (b < 63), F.shiftleft(F.lit(1).cast("long"), b))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    fp = F.lit(0).cast("long")
+    for b in range(min(bits, 63)):
+        fp = fp + F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return fp
 
 
 def simhash_near_pairs(

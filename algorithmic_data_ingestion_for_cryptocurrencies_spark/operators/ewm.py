@@ -7,35 +7,48 @@ Reference semantics: pandas ``ewm(span=n, adjust=False).mean()``
 ``ewm(alpha=1/n, adjust=False)`` for Wilder RSI
 (``ta_indicators.py:73-74``).
 
-Two implementations:
+Implementation note — why blocks. The naive closed form
 
-1. :func:`with_ewm` — **native closed form** (default). For
-   ``adjust=False``::
+    y_t = r^t * ( x_0 + a * Σ_{j=1..t} x_j * r^(-j) ),  r = 1 - a
 
-       y_t = r^t * ( x_0 + a * Σ_{j=1..t} x_j * r^(-j) ),  r = 1 - a
+overflows double once ``r^(-t)`` exceeds ~1e308 (t ≈ 4.2k rows at
+span=12 — a real defect found in round 1). :func:`with_ewm` therefore
+**renormalizes per block**: each series is split into blocks of ``K``
+rows with ``r^K ≈ 1e-9``, the closed form runs with a bounded exponent
+(≤ ``r^-K``) inside each block, and the carry from earlier blocks is a
+3-term geometric chain over per-block boundary values::
 
-   expressed as a running windowed sum, so it stays inside Tungsten
-   codegen with zero Python. Positions are counted over *non-null*
-   values, which matches pandas when NaNs only lead the series (the
-   only case the reference produces: rolling warmups). Numerical
-   range: ``r^(-j)`` grows with the series length; safe for series up
-   to ~``700/-log10(r)`` rows (≈8000 rows at span=12, ≈20k at span=26).
-   For unbounded series use :func:`with_ewm_exact`.
+    y_t = L_b(t) + r^(p+1) * (Lend_{b-1} + ρ·Lend_{b-2} + ρ²·Lend_{b-3})
 
-2. :func:`with_ewm_exact` — ``applyInPandas`` per series key running
-   pandas' own recursion; bit-identical to the reference for any
-   length, at Arrow-transfer cost. Series keys (symbol × exchange ×
-   timeframe) bound each group, so groups parallelize across the
-   cluster and no group outgrows a task.
+with ``ρ = r^K``, ``p`` = in-block position. Truncating the chain after
+3 terms drops weight ≤ ρ³ ≈ 1e-27 — far below double precision — so the
+result matches the exact recursion to machine precision at ANY length.
+
+All powers ``r^±p`` are looked up from Python-precomputed constant
+tables (split hi/lo by 16) rather than runtime ``pow``: JVM ``Math.pow``
+and C++ ``std::pow`` are not both correctly-rounded, and the DuckDB
+oracle (:func:`ewm_sql`) must reproduce bit-identical doubles. Both
+engines evaluate the same multiply/divide/sum graph on the same
+embedded constants.
+
+NaN semantics = pandas ``ignore_na=True`` positioning: positions are
+counted over non-null values, and null rows re-emit the previous EWM
+value. Identical to pandas defaults when nulls only lead the series —
+the only case the reference produces.
+
+:func:`with_ewm_exact` remains as the ``applyInPandas`` per-series
+fallback (bit-identical to pandas for any alpha, at Arrow cost).
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .rolling import series_window
+_CHUNK = 16
+_CHAIN = 3  # carry terms; truncation error ~ rho^3 <= 1e-27
 
 
 def _alpha(span: int | None, alpha: float | None, com: float | None) -> float:
@@ -46,6 +59,33 @@ def _alpha(span: int | None, alpha: float | None, com: float | None) -> float:
     if com is not None:
         return 1.0 / (1.0 + com)
     return float(alpha)
+
+
+def _block_size(r: float) -> int:
+    """K such that r^K ≈ 1e-9: bounded exponents in-block, negligible
+    3-term-chain truncation (ρ³ ≈ 1e-27) across blocks."""
+    if r <= 0.0:  # alpha == 1: EWM is identity
+        return 1
+    k = max(1, math.ceil(9.5 / max(-math.log10(r), 1e-12)))
+    if k > 8192:
+        raise ValueError(
+            f"alpha too small (r={r}): block size {k} impractical; "
+            "use with_ewm_exact for near-unity r"
+        )
+    return k
+
+
+def _pow_tables(r: float, k: int) -> tuple[list[float], list[float], float]:
+    """(hi, lo, rho): r^-p == hi[p // 16] * lo[p % 16] (one rounding),
+    rho = r^K. Python-computed constants embedded in both engines."""
+    if r <= 0.0:
+        return [1.0], [1.0] * _CHUNK, 0.0
+    rinv = 1.0 / r
+    lo = [rinv**j for j in range(_CHUNK)]
+    base = rinv**_CHUNK
+    n_hi = (k - 1) // _CHUNK + 1
+    hi = [base**i for i in range(n_hi)]
+    return hi, lo, r**k
 
 
 def with_ewm(
@@ -59,30 +99,72 @@ def with_ewm(
     alpha: float | None = None,
     com: float | None = None,
 ) -> DataFrame:
-    """Append EWM-mean column ``out`` (adjust=False), JVM-native."""
+    """Append EWM-mean column ``out`` (adjust=False), JVM-native,
+    numerically stable at any series length (block renormalization)."""
     a = _alpha(span, alpha, com)
     r = 1.0 - a
-    w = series_window(keys, order)
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    k = _block_size(r)
+    hi, lo, rho = _pow_tables(r, k)
+
+    keys = list(keys)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     c = F.col(col)
-    # position within the non-null subseries (0-based); null rows carry
-    # the previous position so they emit the previous EWM value.
-    idx = (F.count(c).over(wcum) - F.lit(1)).alias("__ewm_idx")
-    df = df.withColumn("__ewm_idx", idx)
-    term = F.when(c.isNull(), F.lit(None)).otherwise(
-        F.when(F.col("__ewm_idx") == 0, c).otherwise(
-            F.lit(a) * c * F.pow(F.lit(r), -F.col("__ewm_idx"))
+    pre = "__" + out
+    x_idx, x_b, x_p = pre + "_idx", pre + "_b", pre + "_p"
+    x_u, x_L, x_Le = pre + "_u", pre + "_L", pre + "_Le"
+
+    # position within the non-null subseries; null rows carry the
+    # previous position (and therefore re-emit the previous EWM value)
+    df = df.withColumn(x_idx, F.count(c).over(w_cum) - F.lit(1))
+    df = df.withColumn(
+        x_b,
+        F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(F.lit(0)),
+    )
+    df = df.withColumn(
+        x_p,
+        F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
+    )
+
+    hi_arr = F.array(*[F.lit(v) for v in hi])
+    lo_arr = F.array(*[F.lit(v) for v in lo])
+    rinvp = F.element_at(
+        hi_arr, (F.floor(F.col(x_p) / F.lit(_CHUNK)) + 1).cast("int")
+    ) * F.element_at(lo_arr, (F.col(x_p) % F.lit(_CHUNK) + 1).cast("int"))
+    rp = F.lit(1.0) / rinvp
+
+    u = F.when(c.isNull(), F.lit(None)).otherwise(
+        F.when(F.col(x_idx) == 0, c.cast("double")).otherwise(
+            F.lit(a) * c.cast("double") * rinvp
         )
     )
-    df = df.withColumn("__ewm_s", F.sum(term).over(wcum))
-    return df.withColumn(
-        out,
-        F.when(
-            F.col("__ewm_idx") >= 0,
-            F.pow(F.lit(r), F.col("__ewm_idx")) * F.col("__ewm_s"),
-        ),
-    ).drop("__ewm_idx", "__ewm_s")
+    df = df.withColumn(x_u, u)
+
+    w_blk = (
+        Window.partitionBy(*keys, x_b)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn(x_L, rp * F.sum(x_u).over(w_blk))
+
+    # per-block boundary value, then a 3-lag geometric carry chain
+    w_part = Window.partitionBy(*keys, x_b)
+    df = df.withColumn(x_Le, F.max_by(F.col(x_L), F.col(x_p)).over(w_part))
+    w_b = Window.partitionBy(*keys).orderBy(F.col(x_b))
+    lags = [
+        F.coalesce(F.max(x_Le).over(w_b.rangeBetween(-i, -i)), F.lit(0.0))
+        for i in range(1, _CHAIN + 1)
+    ]
+    carry = lags[0] + F.lit(rho) * lags[1] + F.lit(rho * rho) * lags[2]
+    y = F.col(x_L) + rp * F.lit(r) * carry
+    return df.withColumn(out, F.when(F.col(x_idx) >= 0, y)).drop(
+        x_idx, x_b, x_p, x_u, x_L, x_Le
+    )
 
 
 def with_ewm_exact(
@@ -97,7 +179,7 @@ def with_ewm_exact(
     com: float | None = None,
 ) -> DataFrame:
     """Append EWM-mean column ``out`` via pandas recursion per series
-    key group (``applyInPandas``) — exact for unbounded series."""
+    key group (``applyInPandas``) — bit-identical to pandas."""
     from pyspark.sql import types as T
 
     a = _alpha(span, alpha, com)
@@ -114,14 +196,77 @@ def with_ewm_exact(
     return df.groupBy(*keys).applyInPandas(compute, schema=out_schema)
 
 
-def ewm_sql(value_expr: str, a: float, partition: str, order: str) -> str:
-    """ANSI-SQL rendering of the same closed form (used for DuckDB
-    oracle queries; kept here so Spark + oracle share one formula)."""
-    r = 1.0 - a
-    return f"""
-        pow({r}, idx) * sum(
-            CASE WHEN idx = 0 THEN {value_expr}
-                 ELSE {a} * {value_expr} * pow({r}, -idx) END
-        ) OVER (PARTITION BY {partition} ORDER BY {order}
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def ewm_sql(
+    inner: str,
+    value_expr: str,
+    out: str,
+    *,
+    keys: Sequence[str],
+    order: Sequence[str],
+    keep: Sequence[str],
+    span: int | None = None,
+    alpha: float | None = None,
+    com: float | None = None,
+) -> str:
+    """DuckDB rendering of the SAME block-renormalized formula as
+    :func:`with_ewm` (same embedded power tables, same multiply/sum
+    graph → bit-identical doubles).
+
+    ``inner`` is a SQL relation (subquery or table name), ``keep`` the
+    columns to project alongside ``out``.
     """
+    a = _alpha(span, alpha, com)
+    r = 1.0 - a
+    k = _block_size(r)
+    hi, lo, rho = _pow_tables(r, k)
+
+    part = ", ".join(keys) if keys else "1"
+    ordr = ", ".join(order)
+    keep_cols = ", ".join(keep)
+    hi_sql, lo_sql = _sql_list(hi), _sql_list(lo)
+
+    return f"""
+SELECT {keep_cols},
+       CASE WHEN __idx >= 0
+            THEN __L + (1.0 / __rinvp) * {r!r} * (
+                 COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
+                          RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0)
+               + {rho!r} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
+                          RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0)
+               + {rho * rho!r} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
+                          RANGE BETWEEN 3 PRECEDING AND 3 PRECEDING), 0.0))
+            ELSE NULL END AS {out}
+FROM (
+  SELECT *, MAX_BY(__L, __p) OVER (PARTITION BY {part}, __b) AS __Le
+  FROM (
+    SELECT *, (1.0 / __rinvp) * SUM(__u) OVER (PARTITION BY {part}, __b ORDER BY {ordr}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __L
+    FROM (
+      SELECT *,
+             CASE WHEN __x IS NULL THEN NULL
+                  WHEN __idx = 0 THEN __x
+                  ELSE {a!r} * __x * __rinvp END AS __u
+      FROM (
+        SELECT *,
+               {hi_sql}[(__p // {_CHUNK}) + 1] * {lo_sql}[(__p % {_CHUNK}) + 1] AS __rinvp
+        FROM (
+          SELECT *,
+                 CASE WHEN __idx >= 0 THEN __idx // {k} ELSE 0 END AS __b,
+                 CASE WHEN __idx >= 0 THEN __idx % {k} ELSE 0 END AS __p
+          FROM (
+            SELECT *,
+                   CAST({value_expr} AS DOUBLE) AS __x,
+                   COUNT({value_expr}) OVER (PARTITION BY {part} ORDER BY {ordr}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS __idx
+            FROM ({inner})
+          )
+        )
+      )
+    )
+  )
+)
+"""

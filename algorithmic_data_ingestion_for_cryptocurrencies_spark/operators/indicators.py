@@ -99,9 +99,15 @@ def with_rsi_wilder(df: DataFrame, col: str, n: int = 14, *, keys, order,
     df = with_ewm(df, "__gain", "__avg_gain", keys=keys, order=order, alpha=1.0 / n)
     df = with_ewm(df, "__loss", "__avg_loss", keys=keys, order=order, alpha=1.0 / n)
     rs = F.col("__avg_gain") / F.col("__avg_loss")
-    return (
-        df.withColumn(out or f"rsi_{n}", F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)))
-          .drop("__gain", "__loss", "__avg_gain", "__avg_loss")
+    # pandas parity for avg_loss==0: gain/0 = inf -> RSI 100 (all-gain
+    # history); 0/0 = NaN -> NULL. Non-ANSI Spark x/0 is NULL, so the
+    # inf branch must be explicit.
+    rsi = F.when(
+        F.col("__avg_loss") == 0,
+        F.when(F.col("__avg_gain") > 0, F.lit(100.0)),
+    ).otherwise(F.lit(100.0) - (F.lit(100.0) / (F.lit(1.0) + rs)))
+    return df.withColumn(out or f"rsi_{n}", rsi).drop(
+        "__gain", "__loss", "__avg_gain", "__avg_loss"
     )
 
 

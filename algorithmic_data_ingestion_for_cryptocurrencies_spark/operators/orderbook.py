@@ -36,20 +36,28 @@ def imbalance_series(df: DataFrame, *, ts_col: str = "ts",
 
 
 def spread_series(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
-                  price_col: str = "price") -> DataFrame:
+                  price_col: str = "price", keys=()) -> DataFrame:
     """Per-ts best-ask minus best-bid, ask forward-filled onto bid
     timestamps, missing spread -> 0 — ``orderbook_features.py:121-137``
-    (groupby max/min + reindex-ffill + fillna(0))."""
-    best = df.groupBy(ts_col).agg(
+    (groupby max/min + reindex-ffill + fillna(0)).
+
+    ``keys`` (symbol, exchange, ...) partition the forward-fill window;
+    without them the ffill serializes through one task, so pass them
+    for anything beyond a single-series frame.
+    """
+    keys = list(keys)
+    best = df.groupBy(*keys, ts_col).agg(
         F.max(F.when(F.col(side_col) == "bid", F.col(price_col))).alias("best_bid"),
         F.min(F.when(F.col(side_col) == "ask", F.col(price_col))).alias("best_ask"),
     )
-    w = series_window((), ts_col)
+    w = series_window(keys, ts_col)
     best = best.withColumn("best_ask_ff", ffill("best_ask", w))
     out = best.filter(F.col("best_bid").isNotNull()).withColumn(
         "spread", F.coalesce(F.col("best_ask_ff") - F.col("best_bid"), F.lit(0.0))
     )
-    return out.select(ts_col, "best_bid", F.col("best_ask_ff").alias("best_ask"), "spread")
+    return out.select(
+        *keys, ts_col, "best_bid", F.col("best_ask_ff").alias("best_ask"), "spread"
+    )
 
 
 def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",

@@ -86,9 +86,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language stopword-hit ratio."""
     words = word_tokens(col)
+
+    # single-parameter closure factory: PySpark passes (element, index)
+    # to two-parameter lambdas in F.filter, which would clobber a
+    # default-bound marker tuple (round-1 crash).
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(words, lambda t, m=markers: t.isin(*m)))
+        hits = F.size(F.filter(words, marker_filter(markers)))
         out[lang] = hits / F.nullif(F.size(words).cast("double"), F.lit(0.0))
     return out
 

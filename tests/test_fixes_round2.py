@@ -1,0 +1,166 @@
+"""Regression tests for the round-1 defects (VERDICT.md "What's
+wrong" #1-#7): EWM long-series stability, MinHash seed independence,
+SimHash plan build, lang-id plan build, exact-dedup tie handling,
+as-of join column collision. Every previously-untested module gets at
+least a behavior-level test here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup, text
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.asof import asof_join
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.ewm import (
+    with_ewm,
+    with_ewm_exact,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+    with_rsi_wilder,
+)
+
+
+@pytest.fixture(scope="module")
+def long_series_pdf():
+    rng = np.random.default_rng(7)
+    n = 20_000  # >> 4.2k, where the round-1 closed form went Inf/NaN
+    return pd.DataFrame(
+        {"k": "a", "i": np.arange(n), "x": 100 + np.cumsum(rng.normal(0, 1, n))}
+    )
+
+
+@pytest.mark.parametrize("span,alpha", [(12, None), (26, None), (None, 1 / 14.0)])
+def test_ewm_long_series_matches_pandas(spark, long_series_pdf, span, alpha):
+    sdf = spark.createDataFrame(long_series_pdf)
+    res = (
+        with_ewm(sdf, "x", "y", keys=["k"], order="i", span=span, alpha=alpha)
+        .orderBy("i")
+        .toPandas()
+    )
+    exp = long_series_pdf["x"].ewm(
+        **({"span": span} if span else {"alpha": alpha}), adjust=False
+    ).mean()
+    assert res["y"].notna().all()
+    rel = np.abs(res["y"].to_numpy() - exp.to_numpy()) / np.abs(exp.to_numpy())
+    assert rel.max() < 1e-9
+
+
+def test_ewm_leading_nulls(spark, long_series_pdf):
+    pdf = long_series_pdf.head(500).copy()
+    pdf.loc[:4, "x"] = None
+    res = with_ewm(spark.createDataFrame(pdf), "x", "y", keys=["k"], order="i", span=12)
+    out = res.orderBy("i").toPandas()
+    assert out["y"][:5].isna().all()
+    exp = pdf["x"].ewm(span=12, adjust=False).mean()
+    m = ~exp.isna()
+    rel = np.abs(out["y"][m].to_numpy() - exp[m].to_numpy()) / np.abs(exp[m].to_numpy())
+    assert rel.max() < 1e-9
+
+
+def test_ewm_exact_agrees(spark, long_series_pdf):
+    pdf = long_series_pdf.head(2000)
+    sdf = spark.createDataFrame(pdf)
+    a = with_ewm(sdf, "x", "y", keys=["k"], order="i", span=12).orderBy("i").toPandas()
+    b = with_ewm_exact(sdf, "x", "y", keys=["k"], order="i", span=12).orderBy("i").toPandas()
+    assert np.allclose(a["y"], b["y"], rtol=1e-9)
+
+
+def test_rsi_wilder_all_gain_is_100(spark):
+    pdf = pd.DataFrame({"k": "a", "i": range(50), "close": np.arange(50, dtype=float) + 1})
+    out = (
+        with_rsi_wilder(spark.createDataFrame(pdf), "close", 14, keys=["k"], order="i")
+        .orderBy("i")
+        .toPandas()
+    )
+    # monotone-up series: avg_loss == 0 -> RSI 100 (pandas inf semantics)
+    assert (out["rsi_14"][1:] == 100.0).all()
+    assert np.isnan(out["rsi_14"][0])
+
+
+@pytest.fixture(scope="module")
+def docs_sdf(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog again and again today",
+                    "the quick brown fox jumps over the lazy dog again and again tomorrow",
+                    "completely different content about spark dataframes and windows",
+                ],
+            }
+        )
+    )
+
+
+def test_minhash_signature_hashes_are_independent(docs_sdf):
+    rows = docs_sdf.select(
+        dedup.minhash_signature("text", num_hashes=32).alias("s")
+    ).collect()
+    for r in rows:
+        assert len(set(r["s"])) >= 30  # round-1 bug: 1 distinct of k
+
+
+def test_minhash_est_jaccard_tracks_exact(docs_sdf):
+    est = dedup.minhash_dedup_pairs(
+        docs_sdf, id_col="doc_id", text_col="text", num_hashes=64, bands=16, threshold=0.3
+    ).collect()
+    exact = dedup.jaccard_similar_pairs(
+        docs_sdf, id_col="doc_id", text_col="text", threshold=0.3
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in est] == [(1, 2)]
+    assert [(r["id_a"], r["id_b"]) for r in exact] == [(1, 2)]
+    assert abs(est[0]["est_jaccard"] - exact[0]["jaccard"]) < 0.25
+
+
+def test_simhash_builds_and_discriminates(docs_sdf):
+    rows = dedup.simhash_near_pairs(
+        docs_sdf, id_col="doc_id", text_col="text", max_hamming=10
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    fp = docs_sdf.select(dedup.simhash("text").alias("f")).collect()
+    assert all(r["f"] >= 0 for r in fp)  # sign bit kept clear
+
+
+def test_lang_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the cat and the dog is in a house of it",
+                "el perro y el gato en la casa de los padres",
+                "der hund und die katze ist nicht ein zu haus",
+                "xyz qqq zzz",
+            ],
+        }
+    )
+    out = text.with_lang_id(spark.createDataFrame(pdf)).orderBy("doc_id").collect()
+    assert [r["lang_pred"] for r in out] == ["en", "es", "de", "und"]
+
+
+def test_exact_dedup_keeps_one_on_ties(spark):
+    pdf = pd.DataFrame({"id": [1, 1, 2], "text": ["Same  Text", "same text", "other"]})
+    out = dedup.exact_dedup(spark.createDataFrame(pdf), ["text"], tiebreak_col="id")
+    assert out.count() == 2
+
+
+def test_asof_join_preserves_colliding_left_column(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 3, "t": [1, 5, 9], "v": [10.0, 20.0, 30.0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 2, "t": [2, 6], "v": [100.0, 200.0]})
+    )
+    out = asof_join(left, right, on="t", keys=["k"]).orderBy("t").toPandas()
+    assert list(out["v"]) == [10.0, 20.0, 30.0]  # left col intact
+    assert out["v_asof"].tolist()[0] is None or np.isnan(out["v_asof"][0])
+    assert out["v_asof"].tolist()[1:] == [100.0, 200.0]
+
+
+def test_asof_join_rejects_empty_keys(spark):
+    df = spark.range(3).withColumn("t", F.col("id"))
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="t", keys=[])
