@@ -1,38 +1,51 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship feature pipeline on sf0.001;
+``queries()`` / ``oracle_sql()`` expose one entry per implemented
+operator family from SURVEY.md §2 (registry lives in
+``algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries`` — each Spark callable is defined
+side-by-side with its DuckDB oracle; hash-based operators register
+without SQL → rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import (  # noqa: E402
+    REGISTRY,
+    market_series_frame,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (  # noqa: E402
+    build_market_features,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full market-feature
+    stage (ret/logret, rvol, EMA/MACD/RSI, hl_spread, OBV) over the
+    per-supplier price series."""
+    m = market_series_frame(spark, "/root/testdata/sf0.001").withColumnRenamed(
+        "ts", "timestamp"
+    )
+    return build_market_features(
+        m,
+        keys=["suppkey"],
+        ts_col="timestamp",
+        order_cols=["timestamp", "okey", "lnum"],
+        dropna_final=True,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -196,8 +196,17 @@ def with_ewm_exact(
     return df.groupBy(*keys).applyInPandas(compute, schema=out_schema)
 
 
+def _d(v: float) -> str:
+    """A float constant guaranteed to parse as a bit-exact DOUBLE in
+    DuckDB: plain decimal-point literals parse as DECIMAL (which both
+    overflows in products and rounds differently when an array literal
+    unifies element types); scientific notation with 17 significant
+    digits parses directly as DOUBLE and round-trips exactly."""
+    return format(v, ".17e")
+
+
 def _sql_list(vals: list[float]) -> str:
-    return "[" + ", ".join(repr(v) for v in vals) + "]"
+    return "[" + ", ".join(_d(v) for v in vals) + "]"
 
 
 def ewm_sql(
@@ -232,24 +241,34 @@ def ewm_sql(
     return f"""
 SELECT {keep_cols},
        CASE WHEN __idx >= 0
-            THEN __L + (1.0 / __rinvp) * {r!r} * (
+            THEN __L + (1.0 / __rinvp) * {_d(r)} * (
                  COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
                           RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING), 0.0)
-               + {rho!r} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
+               + {_d(rho)} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
                           RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0)
-               + {rho * rho!r} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
+               + {_d(rho * rho)} * COALESCE(MAX(__Le) OVER (PARTITION BY {part} ORDER BY __b
                           RANGE BETWEEN 3 PRECEDING AND 3 PRECEDING), 0.0))
             ELSE NULL END AS {out}
 FROM (
   SELECT *, MAX_BY(__L, __p) OVER (PARTITION BY {part}, __b) AS __Le
   FROM (
-    SELECT *, (1.0 / __rinvp) * SUM(__u) OVER (PARTITION BY {part}, __b ORDER BY {ordr}
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __L
+    -- the prefix sum MUST be a sequential left-to-right fold: DuckDB's
+    -- cumulative windowed SUM uses blocked accumulation whose rounding
+    -- differs from Spark's running-window accumulator by ~1 ulp, which
+    -- flips values at rounding boundaries. list_reduce fixes the order.
+    SELECT *, (1.0 / __rinvp) *
+              CASE WHEN LEN(__luf) > 0
+                   THEN LIST_REDUCE(__luf, (acc, v) -> acc + v) END AS __L
     FROM (
+      SELECT *, LIST_FILTER(__lu, v -> v IS NOT NULL) AS __luf
+      FROM (
+        SELECT *, LIST(__u) OVER (PARTITION BY {part}, __b ORDER BY {ordr}
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __lu
+        FROM (
       SELECT *,
              CASE WHEN __x IS NULL THEN NULL
                   WHEN __idx = 0 THEN __x
-                  ELSE {a!r} * __x * __rinvp END AS __u
+                  ELSE {_d(a)} * __x * __rinvp END AS __u
       FROM (
         SELECT *,
                {hi_sql}[(__p // {_CHUNK}) + 1] * {lo_sql}[(__p % {_CHUNK}) + 1] AS __rinvp
@@ -265,6 +284,8 @@ FROM (
             FROM ({inner})
           )
         )
+      )
+    )
       )
     )
   )

@@ -306,6 +306,7 @@ def build_market_features(
     *,
     keys: Sequence[str] = DEFAULT_SERIES_KEYS,
     ts_col: str = "timestamp",
+    order_cols: Sequence[str] | None = None,
     dropna_final: bool = True,
 ) -> DataFrame:
     """Flagship feature stage — parity with
@@ -316,18 +317,21 @@ def build_market_features(
 
     One logical plan: Catalyst fuses all rolling expressions sharing
     the (keys, ts) window into a single sort+window stage.
+    ``order_cols`` (default ``[ts_col]``) lets callers add tiebreak
+    columns for deterministic window order when timestamps can tie.
     """
-    w = series_window(keys, ts_col)
-    df = with_returns(df, "close", keys=keys, order=ts_col)
+    order = list(order_cols) if order_cols is not None else [ts_col]
+    w = series_window(keys, order)
+    df = with_returns(df, "close", keys=keys, order=order)
     df = df.withColumn("rvol_5", rolling_std("logret_1", w, 5))
     df = df.withColumn("rvol_20", rolling_std("logret_1", w, 20))
-    df = with_macd(df, "close", keys=keys, order=ts_col,
+    df = with_macd(df, "close", keys=keys, order=order,
                    fast=12, slow=26, signal=9,
                    macd_out="macd", signal_out="macd_signal_9",
                    hist_out=None, keep_emas=True)
-    df = with_rsi_sma(df, "close", 14, keys=keys, order=ts_col, out="rsi_14")
+    df = with_rsi_sma(df, "close", 14, keys=keys, order=order, out="rsi_14")
     df = with_hl_spread(df)
-    df = with_obv(df, keys=keys, order=ts_col, out="oi_obv")
+    df = with_obv(df, keys=keys, order=order, out="oi_obv")
     df = df.withColumn("dt", dt_from_ts(ts_col))
     df = df.withColumn("feature_version", F.lit(FEATURE_VERSION))
     out = coerce_schema(df, MARKET_FEATURE_SCHEMA, keep_extra=False)

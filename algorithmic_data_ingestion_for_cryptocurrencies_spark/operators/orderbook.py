@@ -18,16 +18,18 @@ from .rolling import ffill, series_window
 
 
 def imbalance_series(df: DataFrame, *, ts_col: str = "ts",
-                     side_col: str = "side", amount_col: str = "amount") -> DataFrame:
-    """Per-ts (bid_vol - ask_vol) / (bid_vol + ask_vol), 0.0 when the
-    book is empty — ``orderbook_features.py:94-118`` (pivot + kernel).
+                     side_col: str = "side", amount_col: str = "amount",
+                     keys=()) -> DataFrame:
+    """Per-(keys, ts) (bid_vol - ask_vol) / (bid_vol + ask_vol), 0.0
+    when the book is empty — ``orderbook_features.py:94-118`` (pivot +
+    kernel).
 
     Spark shape: conditional sums in one aggregate (no pivot needed),
     map-side partial aggregation before the shuffle.
     """
     bid = F.sum(F.when(F.col(side_col) == "bid", F.col(amount_col)).otherwise(F.lit(0.0)))
     ask = F.sum(F.when(F.col(side_col) == "ask", F.col(amount_col)).otherwise(F.lit(0.0)))
-    agg = df.groupBy(ts_col).agg(bid.alias("bid_vol"), ask.alias("ask_vol"))
+    agg = df.groupBy(*list(keys), ts_col).agg(bid.alias("bid_vol"), ask.alias("ask_vol"))
     total = F.col("bid_vol") + F.col("ask_vol")
     return agg.withColumn(
         "imbalance",
@@ -62,18 +64,23 @@ def spread_series(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
 
 def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
                  side_col: str = "side", price_col: str = "price",
-                 amount_col: str = "amount") -> DataFrame:
-    """Top-N levels per (ts, side) pivoted to ``bid_depth_i`` /
+                 amount_col: str = "amount", keys=(),
+                 tiebreak_cols=()) -> DataFrame:
+    """Top-N levels per (keys, ts, side) pivoted to ``bid_depth_i`` /
     ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
 
-    Spark shape: rank within (ts, side) by price (bids desc, asks asc)
-    + filter <= n + pivot on the computed level label — one window
-    stage + one pivot aggregate, no per-group Python.
+    Spark shape: rank within (keys, ts, side) by price (bids desc,
+    asks asc) + filter <= n + pivot on the computed level label — one
+    window stage + one pivot aggregate, no per-group Python.
+    ``tiebreak_cols`` make the ranking deterministic when price ties.
     """
+    keys = list(keys)
     rank_order = F.when(
         F.col(side_col) == "bid", -F.col(price_col)
     ).otherwise(F.col(price_col))
-    w = Window.partitionBy(ts_col, side_col).orderBy(rank_order)
+    w = Window.partitionBy(*keys, ts_col, side_col).orderBy(
+        rank_order, *[F.col(c) for c in tiebreak_cols]
+    )
     level = F.row_number().over(w)
     ranked = df.withColumn("__level", level).filter(F.col("__level") <= n_levels)
     labels = [f"{side}_depth_{i}" for side in ("bid", "ask") for i in range(1, n_levels + 1)]
@@ -81,22 +88,23 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         "__label", F.concat_ws("_", F.col(side_col), F.lit("depth"), F.col("__level"))
     )
     return (
-        ranked.groupBy(ts_col)
+        ranked.groupBy(*keys, ts_col)
         .pivot("__label", labels)
-        .agg(F.first(amount_col))
+        .agg(F.max(amount_col))
     )
 
 
 def batch_orderbook(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
-                    price_col: str = "price", amount_col: str = "amount") -> DataFrame:
-    """Fused imbalance + spread per ts — ``orderbook_features.py:163-185``.
+                    price_col: str = "price", amount_col: str = "amount",
+                    keys=()) -> DataFrame:
+    """Fused imbalance + spread per (keys, ts) — ``orderbook_features.py:163-185``.
 
     Deviation note: the reference pairs prices with pivot aggfunc
     'first' (input-order dependent); we use best bid (max) / best ask
     (min), the economically meaningful and deterministic choice.
     Fusion is free: both aggregates share one groupBy stage.
     """
-    agg = df.groupBy(ts_col).agg(
+    agg = df.groupBy(*list(keys), ts_col).agg(
         F.sum(F.when(F.col(side_col) == "bid", F.col(amount_col)).otherwise(F.lit(0.0))).alias("bid_vol"),
         F.sum(F.when(F.col(side_col) == "ask", F.col(amount_col)).otherwise(F.lit(0.0))).alias("ask_vol"),
         F.max(F.when(F.col(side_col) == "bid", F.col(price_col))).alias("best_bid"),
@@ -104,6 +112,7 @@ def batch_orderbook(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side"
     )
     total = F.col("bid_vol") + F.col("ask_vol")
     return agg.select(
+        *list(keys),
         ts_col,
         F.when(total != 0, (F.col("bid_vol") - F.col("ask_vol")) / total)
          .otherwise(F.lit(0.0)).alias("imbalance"),

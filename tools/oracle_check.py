@@ -1,0 +1,126 @@
+"""Local replica of the driver's correctness gate: run each
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over
+the same sf dir, compare row count, column set, and values
+(exact-after-sort, with max-abs-diff reporting for floats).
+
+Usage:
+    python tools/oracle_check.py              # all queries at sf0.01
+    python tools/oracle_check.py w09_ema ...  # subset
+    SF_DIR=/root/testdata/sf0.001 python tools/oracle_check.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            dt = df[c]
+            if getattr(dt.dtype, "tz", None) is not None:
+                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = dt.astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("float64")  # unify int widths / nullables
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
+    if set(sdf.columns) != set(odf.columns):
+        return False, f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return False, f"row count: spark={len(sdf)} oracle={len(odf)}"
+    a, b = _norm(sdf), _norm(odf)
+    msgs = []
+    ok = True
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            x, y = a[c].to_numpy(), b[c].to_numpy()
+            both_nan = np.isnan(x) & np.isnan(y)
+            neq = ~both_nan & ~(x == y)
+            if neq.any():
+                with np.errstate(invalid="ignore"):
+                    d = np.abs(x - y)
+                nan_mismatch = int((np.isnan(x) != np.isnan(y)).sum())
+                ok = False
+                msgs.append(
+                    f"{c}: {int(neq.sum())} diffs, max={np.nanmax(d[neq]):.3e}, nan_mismatch={nan_mismatch}"
+                )
+        else:
+            neq = ~(a[c].astype(str) == b[c].astype(str))
+            if neq.any():
+                ok = False
+                msgs.append(f"{c}: {int(neq.sum())} non-float diffs e.g. {a[c][neq].iloc[0]!r} vs {b[c][neq].iloc[0]!r}")
+    return ok, "; ".join(msgs) if msgs else "exact"
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    names = sys.argv[1:]
+
+    import __spark_entry__ as E
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    sqls = E.oracle_sql()
+    todo = names or list(qs)
+    n_pass = n_fail = n_rows_only = 0
+    for name in todo:
+        if name not in qs:
+            print(f"?? {name}: unknown query")
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if name not in sqls:
+            print(f"rows {name}: {len(sdf)} rows (rows-only, {time.time()-t0:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.sql(sqls[name]).df()
+        except Exception:
+            print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        ok, msg = compare(name, sdf, odf)
+        tag = "PASS" if ok else "FAIL"
+        print(f"{tag} {name}: {len(sdf)} rows, {msg} ({time.time()-t0:.1f}s)")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
