@@ -127,7 +127,26 @@ def q(name: str, sql: str | None, *, cols: Sequence[str] | None = None,
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a testdata table, normalizing TIMESTAMP_NTZ columns (parquet
+    written without UTC adjustment) to session-UTC timestamps so window
+    frames, epoch casts, and unions behave uniformly downstream."""
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for f_ in df.schema.fields:
+        if isinstance(f_.dataType, T.TimestampNTZType):
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores nanosecond timestamps, which the Spark
+    parquet reader rejects; read them as raw longs and rebuild a
+    microsecond timestamp with integer division (truncation toward
+    zero on positive epochs == DuckDB's ns→µs read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 # --------------------------------------------------------------------------
@@ -789,3 +808,435 @@ def flagship(spark, sf_dir):
     df = with_obv(df, keys=["suppkey"], order=ORDER, out="oi_obv")
     df = df.filter(F.coalesce(*[F.col(c) for c in _BMF_FEATURES]).isNotNull())
     return df.select(*IDS, *_BMF_FEATURES)
+
+
+# --------------------------------------------------------------------------
+# Order-book-shaped projection of lineitem (A1-A4, W24, O3, J5, E1).
+# --------------------------------------------------------------------------
+
+BOOK_SQL = (
+    "SELECT l_suppkey % 10 AS symbol, l_shipdate AS ts, l_orderkey AS okey, "
+    "l_linenumber AS lnum, l_extendedprice AS price, l_quantity AS amount, "
+    "CASE WHEN l_linenumber % 2 = 0 THEN 'bid' ELSE 'ask' END AS side "
+    "FROM lineitem"
+)
+
+
+def _book(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_suppkey") % 10).alias("symbol"),
+        F.col("l_shipdate").alias("ts"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("amount"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("bid"))
+        .otherwise(F.lit("ask"))
+        .alias("side"),
+    )
+
+
+@q(
+    "a1_imbalance",
+    f"""SELECT symbol, ts, bid_vol, ask_vol,
+        CASE WHEN bid_vol + ask_vol != 0
+             THEN (bid_vol - ask_vol) / (bid_vol + ask_vol) ELSE 0.0 END AS imbalance
+        FROM (SELECT symbol, ts,
+                     SUM(CASE WHEN side = 'bid' THEN amount ELSE 0.0 END) AS bid_vol,
+                     SUM(CASE WHEN side = 'ask' THEN amount ELSE 0.0 END) AS ask_vol
+              FROM ({BOOK_SQL}) GROUP BY symbol, ts)""",
+    cols=["symbol", "ts", "bid_vol", "ask_vol", "imbalance"],
+    fcols=["bid_vol", "ask_vol", "imbalance"],
+)
+def a1(spark, sf_dir):
+    return imbalance_series(_book(spark, sf_dir), keys=["symbol"])
+
+
+@q(
+    "a2_spread",
+    f"""SELECT symbol, ts, best_bid, best_ask, spread FROM (
+        SELECT symbol, ts, best_bid,
+               __ask_ff AS best_ask,
+               COALESCE(__ask_ff - best_bid, 0.0) AS spread
+        FROM (
+          SELECT symbol, ts, best_bid,
+                 LAST_VALUE(best_ask IGNORE NULLS) OVER (
+                   PARTITION BY symbol ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __ask_ff
+          FROM (SELECT symbol, ts,
+                       MAX(CASE WHEN side = 'bid' THEN price END) AS best_bid,
+                       MIN(CASE WHEN side = 'ask' THEN price END) AS best_ask
+                FROM ({BOOK_SQL}) GROUP BY symbol, ts)
+        ) WHERE best_bid IS NOT NULL)""",
+    cols=["symbol", "ts", "best_bid", "best_ask", "spread"],
+    fcols=["best_bid", "best_ask", "spread"],
+)
+def a2(spark, sf_dir):
+    return spread_series(_book(spark, sf_dir), keys=["symbol"])
+
+
+@q(
+    "a4_depth",
+    f"""SELECT symbol, ts,
+        MAX(CASE WHEN side = 'bid' AND __lvl = 1 THEN amount END) AS bid_depth_1,
+        MAX(CASE WHEN side = 'bid' AND __lvl = 2 THEN amount END) AS bid_depth_2,
+        MAX(CASE WHEN side = 'bid' AND __lvl = 3 THEN amount END) AS bid_depth_3,
+        MAX(CASE WHEN side = 'ask' AND __lvl = 1 THEN amount END) AS ask_depth_1,
+        MAX(CASE WHEN side = 'ask' AND __lvl = 2 THEN amount END) AS ask_depth_2,
+        MAX(CASE WHEN side = 'ask' AND __lvl = 3 THEN amount END) AS ask_depth_3
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY symbol, ts, side
+                ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END, okey, lnum
+              ) AS __lvl FROM ({BOOK_SQL}))
+        WHERE __lvl <= 3
+        GROUP BY symbol, ts""",
+    cols=["symbol", "ts", "bid_depth_1", "bid_depth_2", "bid_depth_3",
+          "ask_depth_1", "ask_depth_2", "ask_depth_3"],
+    fcols=["bid_depth_1", "bid_depth_2", "bid_depth_3",
+           "ask_depth_1", "ask_depth_2", "ask_depth_3"],
+)
+def a4(spark, sf_dir):
+    return depth_series(
+        _book(spark, sf_dir), 3, keys=["symbol"], tiebreak_cols=["okey", "lnum"]
+    )
+
+
+@q(
+    "w24_batch_orderbook",
+    f"""SELECT symbol, ts,
+        CASE WHEN bid_vol + ask_vol != 0
+             THEN (bid_vol - ask_vol) / (bid_vol + ask_vol) ELSE 0.0 END AS imbalance,
+        best_ask - best_bid AS spread
+        FROM (SELECT symbol, ts,
+                     SUM(CASE WHEN side = 'bid' THEN amount ELSE 0.0 END) AS bid_vol,
+                     SUM(CASE WHEN side = 'ask' THEN amount ELSE 0.0 END) AS ask_vol,
+                     MAX(CASE WHEN side = 'bid' THEN price END) AS best_bid,
+                     MIN(CASE WHEN side = 'ask' THEN price END) AS best_ask
+              FROM ({BOOK_SQL}) GROUP BY symbol, ts)""",
+    cols=["symbol", "ts", "imbalance", "spread"],
+    fcols=["imbalance", "spread"],
+)
+def w24(spark, sf_dir):
+    return batch_orderbook(_book(spark, sf_dir), keys=["symbol"])
+
+
+# --------------------------------------------------------------------------
+# Resample / global aggregates (A5, A6, ST6).
+# --------------------------------------------------------------------------
+
+_EV_EPOCH = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
+
+
+@q(
+    "a5_resample",
+    f"""SELECT event_type, bucket,
+        AVG(value) AS value_mean, COUNT(event_id) AS n_events,
+        MAX(value) AS value_max
+        FROM (SELECT *, TO_TIMESTAMP({_EV_EPOCH} - {_EV_EPOCH} % 3600) AS bucket
+              FROM events)
+        GROUP BY event_type, bucket""",
+    cols=["event_type", "bucket", "value_mean", "n_events", "value_max"],
+    fcols=["value_mean", "value_max"],
+)
+def a5(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return resample(
+        ev,
+        "1h",
+        {
+            "value_mean": F.avg("value"),
+            "n_events": F.count("event_id"),
+            "value_max": F.max("value"),
+        },
+        ts_col="ts",
+        keys=["event_type"],
+    )
+
+
+@q(
+    "a5b_resample_last",
+    f"""SELECT user_id, bucket, MAX_BY(value, ts) AS value
+        FROM (SELECT *, TO_TIMESTAMP({_EV_EPOCH} - {_EV_EPOCH} % 86400) AS bucket
+              FROM events)
+        GROUP BY user_id, bucket""",
+    cols=["user_id", "bucket", "value"],
+    fcols=["value"],
+)
+def a5b(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return resample_last(ev, "1d", ["value"], ts_col="ts", keys=["user_id"])
+
+
+@q(
+    "a6_global_zscore",
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+       (l_extendedprice - (SELECT AVG(l_extendedprice) FROM lineitem))
+         / NULLIF((SELECT STDDEV_SAMP(l_extendedprice) FROM lineitem), 0) AS zscore
+       FROM lineitem""",
+    cols=["okey", "lnum", "zscore"],
+    fcols=["zscore"],
+)
+def a6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = with_global_zscore(li, "price", out="zscore")
+    return out.select("okey", "lnum", "zscore")
+
+
+# --------------------------------------------------------------------------
+# Joins (J1, J2, J4) and set ops (E1, E3) and reads (O4, P-family).
+# --------------------------------------------------------------------------
+
+@q(
+    "j1_equi_join",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+    cols=["o_orderkey", "o_totalprice", "c_name", "c_mktsegment"],
+    fcols=["o_totalprice"],
+)
+def j1(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left"
+    ).select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@q(
+    "j2_spine_join",
+    """SELECT o.o_orderkey, o.o_orderdate,
+       COALESCE(l.total_qty, 0) AS total_qty,
+       COALESCE(l.n_lines, 0) AS n_lines
+       FROM orders o LEFT JOIN (
+         SELECT l_orderkey, SUM(l_quantity) AS total_qty, COUNT(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey
+       ) l ON o.o_orderkey = l.l_orderkey""",
+    cols=["o_orderkey", "o_orderdate", "total_qty", "n_lines"],
+    fcols=["total_qty"],
+)
+def j2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").alias("total_qty"), F.count("*").alias("n_lines")
+    )
+    out = spine_join(o, [agg], on=["o_orderkey"], fill_zero_cols=["total_qty", "n_lines"])
+    return out.select("o_orderkey", "o_orderdate", "total_qty", "n_lines")
+
+
+_WEEKLY_SQL = (
+    f"SELECT suppkey, TO_TIMESTAMP(__e - __e % 604800) AS ts, MAX(close) AS weekly_max "
+    f"FROM (SELECT suppkey, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS __e, close "
+    f"      FROM ({MARKET_SQL})) GROUP BY 1, 2"
+)
+
+
+@q(
+    "j3_asof_join",
+    f"""SELECT m.suppkey, m.ts, m.okey, m.lnum, w.weekly_max AS weekly_max_asof
+        FROM ({MARKET_SQL}) m
+        ASOF LEFT JOIN ({_WEEKLY_SQL}) w
+          ON m.suppkey = w.suppkey AND m.ts >= w.ts""",
+    cols=IDS + ["weekly_max_asof"],
+    fcols=["weekly_max_asof"],
+)
+def j3(spark, sf_dir):
+    m = _market(spark, sf_dir)
+    weekly = resample(
+        m, "1w", {"weekly_max": F.max("close")}, ts_col="ts",
+        keys=["suppkey"], bucket_out="ts",
+    )
+    out = asof_join(
+        m, weekly, on="ts", keys=["suppkey"], value_cols=["weekly_max"], suffix="_asof"
+    )
+    return out.select(*IDS, "weekly_max_asof")
+
+
+@q(
+    "j4_find_gaps",
+    """SELECT u.user_id, g.expected_ts
+       FROM (SELECT DISTINCT user_id FROM events) u
+       CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01',
+                                  TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS expected_ts) g
+       WHERE NOT EXISTS (
+         SELECT 1 FROM (SELECT DISTINCT user_id,
+                        TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                     - CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400) AS d
+                        FROM events) e
+         WHERE e.user_id = u.user_id AND e.d = g.expected_ts)""",
+    cols=["user_id", "expected_ts"],
+)
+def j4(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    keys_df = ev.select("user_id").distinct()
+    grid = expected_grid(
+        spark, "2024-01-01 00:00:00", "2024-01-30 00:00:00", "1d", keys_df=keys_df
+    )
+    from .functions.time_norm import floor_to_bar
+
+    present = ev.select(
+        "user_id", floor_to_bar("ts", 86400).alias("expected_ts")
+    )
+    return find_gaps(present, grid, on=["user_id", "expected_ts"])
+
+
+@q(
+    "e1_union_agg",
+    """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+       FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+             UNION ALL
+             SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+       GROUP BY l_returnflag""",
+    cols=["l_returnflag", "n", "sum_qty"],
+    fcols=["sum_qty"],
+)
+def e1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1998-01-01"
+    lo = li.filter(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"))
+    hi = li.filter(F.col("l_shipdate") >= F.lit(cutoff).cast("timestamp"))
+    return (
+        lo.unionByName(hi)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@q(
+    "e3_anti_join",
+    """SELECT s.s_suppkey, s.s_name FROM supplier s
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_suppkey = s.s_suppkey
+                           AND l.l_shipdate >= TIMESTAMP '2001-06-01')""",
+    cols=["s_suppkey", "s_name"],
+)
+def e3(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp")
+    )
+    return s.join(
+        li, s["s_suppkey"] == li["l_suppkey"], "left_anti"
+    ).select("s_suppkey", "s_name")
+
+
+@q(
+    "o4_range_read",
+    """SELECT event_id, ts, value FROM events
+       WHERE user_id = 7 AND ts BETWEEN TIMESTAMP '2024-01-05' AND TIMESTAMP '2024-01-20'
+       ORDER BY ts DESC LIMIT 50""",
+    cols=["event_id", "ts", "value"],
+    fcols=["value"],
+)
+def o4(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("user_id") == 7)
+            & F.col("ts").between(
+                F.lit("2024-01-05").cast("timestamp"),
+                F.lit("2024-01-20").cast("timestamp"),
+            )
+        )
+        .orderBy(F.col("ts").desc())
+        .limit(50)
+        .select("event_id", "ts", "value")
+    )
+
+
+@q(
+    "p_filter_flags",
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum,
+       CAST(ABS(l_quantity) > 30 AS INT) AS whale_flag,
+       COALESCE(l_discount, 0.0) AS discount_norm
+       FROM lineitem
+       WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-01-01'
+         AND l_returnflag IN ('R', 'A')""",
+    cols=["okey", "lnum", "whale_flag", "discount_norm"],
+    fcols=["discount_norm"],
+)
+def p_filters(spark, sf_dir):
+    from .operators.rolling import whale_flag
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-01-01").cast("timestamp"),
+        )
+        & F.col("l_returnflag").isin("R", "A")
+    )
+    return out.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        whale_flag("l_quantity", 30).alias("whale_flag"),
+        F.coalesce(F.col("l_discount"), F.lit(0.0)).alias("discount_norm"),
+    )
+
+
+@q(
+    "p10_dedup_first_by_id",
+    """SELECT user_id, event_type, ts, event_id FROM events
+       QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) = 1""",
+    cols=["user_id", "event_type", "ts", "event_id"],
+)
+def p10(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+
+
+@q(
+    "f_time_norm",
+    """SELECT event_id,
+       EPOCH_MS(CAST(__ms AS BIGINT)) AS ts_from_ms,
+       TO_TIMESTAMP(__s) AS ts_from_s,
+       STRFTIME(ts, '%Y-%m-%d') AS dt
+       FROM (SELECT event_id, ts,
+                    CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 1000 + 123 AS __ms,
+                    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS __s
+             FROM events)""",
+    cols=["event_id", "ts_from_ms", "ts_from_s", "dt"],
+)
+def f_time_norm(spark, sf_dir):
+    from .functions.time_norm import dt_from_ts, epoch_to_ts
+
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        "event_id",
+        "ts",
+        (F.col("ts").cast("long") * 1000 + 123).alias("__ms"),
+        F.col("ts").cast("long").alias("__s"),
+    )
+    return staged.select(
+        "event_id",
+        epoch_to_ts("__ms").alias("ts_from_ms"),
+        epoch_to_ts("__s").alias("ts_from_s"),
+        dt_from_ts("ts").alias("dt"),
+    )
+
+
+@q(
+    "f_json_payload",
+    """SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+       FROM events""",
+    cols=["event_id", "k_val"],
+)
+def f_json(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    ev = _events(spark, sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id", F.from_json("props", schema).getField("k").alias("k_val")
+    )

@@ -63,9 +63,15 @@ def timeframe_to_seconds(tf: str) -> int:
 
 
 def floor_to_bar(ts: Column | str, step_seconds: int) -> Column:
-    """Floor a timestamp to its bar boundary (epoch - epoch % step)."""
+    """Floor a timestamp to its bar boundary (epoch - epoch % step).
+
+    The intermediate cast to ``timestamp`` makes this work for
+    TIMESTAMP_NTZ inputs too (parquet written without UTC adjustment —
+    Spark refuses a direct NTZ→long cast); with the session timezone
+    pinned to UTC the wall-clock is preserved.
+    """
     c = F.col(ts) if isinstance(ts, str) else ts
-    epoch = c.cast("long")
+    epoch = c.cast("timestamp").cast("long")
     return F.timestamp_seconds(epoch - epoch % F.lit(step_seconds))
 
 
