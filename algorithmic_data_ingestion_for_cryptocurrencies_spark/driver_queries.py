@@ -1240,3 +1240,264 @@ def f_json(spark, sf_dir):
     return ev.select(
         "event_id", F.from_json("props", schema).getField("k").alias("k_val")
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis + dedup tiers (documents table).
+# --------------------------------------------------------------------------
+
+_NORM = "TRIM(REGEXP_REPLACE(LOWER({c}), '\\s+', ' ', 'g'))"
+_WORDS = f"STRING_SPLIT({_NORM.format(c='text')}, ' ')"
+
+
+@q(
+    "text_quality",
+    f"""SELECT doc_id, n_chars_text, n_words, avg_word_len, punct_ratio,
+        digit_ratio, upper_ratio, stopword_ratio, quality_score
+FROM (
+  SELECT doc_id,
+         LENGTH(text) AS n_chars_text,
+         __nw AS n_words,
+         CASE WHEN __nw > 0 THEN (LENGTH(__norm) - (__nw - 1)) / CAST(__nw AS DOUBLE) END AS avg_word_len,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+           / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0e0) AS punct_ratio,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+           / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0e0) AS digit_ratio,
+         (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g')))
+           / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0e0) AS upper_ratio,
+         LEN(LIST_FILTER(__w, t -> LIST_CONTAINS(['the','and','of','to','a','in','is','it'], t)))
+           / NULLIF(CAST(__nw AS DOUBLE), 0e0) AS stopword_ratio,
+         CAST(
+           LEAST(__nw / 2e1, 1e0) * 4e-1
+           + CASE WHEN (CASE WHEN __nw > 0 THEN (LENGTH(__norm) - (__nw - 1)) / CAST(__nw AS DOUBLE) END) >= 3
+                   AND (CASE WHEN __nw > 0 THEN (LENGTH(__norm) - (__nw - 1)) / CAST(__nw AS DOUBLE) END) <= 12
+                  THEN 3e-1 ELSE 0e0 END
+           + CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')))
+                       / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0e0) <= 2e-1 THEN 1.5e-1 ELSE 0e0 END
+           + CASE WHEN (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')))
+                       / NULLIF(CAST(LENGTH(text) AS DOUBLE), 0e0) <= 2e-1 THEN 1.5e-1 ELSE 0e0 END
+         AS DOUBLE) AS quality_score
+  FROM (SELECT doc_id, text, {_NORM.format(c='text')} AS __norm, {_WORDS} AS __w,
+               LEN({_WORDS}) AS __nw
+        FROM documents)
+)""",
+    cols=["doc_id", "n_chars_text", "n_words", "avg_word_len", "punct_ratio",
+          "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score"],
+    fcols=["avg_word_len", "punct_ratio", "digit_ratio", "upper_ratio",
+           "stopword_ratio", "quality_score"],
+)
+def text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.quality_features(docs, "text")
+    return out.select(
+        "doc_id", "n_chars_text", "n_words", "avg_word_len", "punct_ratio",
+        "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score",
+    )
+
+
+_LANG_RATIOS = ", ".join(
+    f"LEN(LIST_FILTER(__w, t -> LIST_CONTAINS({list(markers)!r}, t)))"
+    f" / NULLIF(CAST(LEN(__w) AS DOUBLE), 0e0) AS __r_{lang}"
+    for lang, markers in textops.LANG_MARKERS.items()
+)
+_LANG_CASE = " ".join(
+    f"WHEN __r_{lang} = __best THEN '{lang}'" for lang in textops.LANG_MARKERS
+)
+
+
+@q(
+    "text_lang_id",
+    f"""SELECT doc_id, lang,
+        CASE WHEN __best > 0 THEN (CASE {_LANG_CASE} ELSE 'und' END)
+             ELSE 'und' END AS lang_pred
+FROM (
+  SELECT *, GREATEST(__r_en, __r_es, __r_de, __r_fr) AS __best
+  FROM (SELECT doc_id, lang, {_LANG_RATIOS}
+        FROM (SELECT doc_id, lang, {_WORDS} AS __w FROM documents))
+)""",
+    cols=["doc_id", "lang", "lang_pred"],
+)
+def text_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.with_lang_id(docs, "text", out="lang_pred")
+    return out.select("doc_id", "lang", "lang_pred")
+
+
+@q(
+    "text_tokens_fingerprint",
+    f"""SELECT doc_id,
+        LEN({_WORDS}) AS n_tokens,
+        MD5({_NORM.format(c='text')}) AS fp
+        FROM documents""",
+    cols=["doc_id", "n_tokens", "fp"],
+)
+def text_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text").alias("n_tokens"),
+        textops.fingerprint("text").alias("fp"),
+    )
+
+
+@q("text_tokens_bpe", None)
+def text_tokens_bpe(spark, sf_dir):
+    # BPE-ish tokenization uses Java-regex lookarounds and the rolling
+    # hash uses xxhash64 — neither has a DuckDB twin → rows-only check.
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textops.token_count("text", bpe=True).alias("n_bpe_tokens"),
+        textops.rolling_hash_fingerprint("text").alias("roll_fp"),
+    )
+
+
+@q(
+    "dedup_exact",
+    """SELECT doc_id, __snip AS snippet
+       FROM (SELECT doc_id, SUBSTRING(text, 1, 30) AS __snip FROM documents)
+       QUALIFY ROW_NUMBER() OVER (
+         PARTITION BY TRIM(REGEXP_REPLACE(LOWER(__snip), '\\s+', ' ', 'g'))
+         ORDER BY doc_id) = 1""",
+    cols=["doc_id", "snippet"],
+)
+def dedup_exact_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "snippet", F.substring("text", 1, 30)
+    )
+    out = exact_dedup(docs, ["snippet"], tiebreak_col="doc_id")
+    return out.select("doc_id", "snippet")
+
+
+_SHINGLES_SQL = f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - 2, 1) + 1),
+                       i -> ARRAY_TO_STRING(__w[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))"""
+
+
+@q(
+    "dedup_jaccard_pairs",
+    f"""SELECT id_a, id_b, jaccard FROM (
+  SELECT c.ia AS id_a, c.ib AS id_b,
+         c.common / (sa.n + sb.n - c.common) AS jaccard
+  FROM (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) AS common
+        FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) c
+  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_SQL}) GROUP BY 1) sa ON c.ia = sa.doc_id
+  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_SQL}) GROUP BY 1) sb ON c.ib = sb.doc_id
+) WHERE jaccard >= 1.2e-1""",
+    cols=["id_a", "id_b", "jaccard"],
+    fcols=["jaccard"],
+)
+def dedup_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_similar_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.12
+    )
+
+
+@q("dedup_minhash_pairs", None)
+def dedup_minhash(spark, sf_dir):
+    # xxhash64-based signatures: no DuckDB twin → rows-only check
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, id_col="doc_id", text_col="text",
+        num_hashes=64, bands=16, n=3, threshold=0.5,
+    )
+
+
+@q("dedup_simhash_pairs", None)
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(
+        docs, id_col="doc_id", text_col="text", prefix_bits=12, max_hamming=6
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings table).
+# --------------------------------------------------------------------------
+
+def _cos_sql(a: str, b: str) -> str:
+    """Mirror of similarity.cosine: products in FLOAT (matching Spark's
+    zip_with on float arrays), accumulated sequentially in DOUBLE."""
+    def dot(x, y):
+        return (f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({x}) + 1), "
+                f"i -> CAST({x}[i] * {y}[i] AS DOUBLE)), (acc, v) -> acc + v)")
+    return (f"{dot(a, b)} / NULLIF(SQRT({dot(a, a)}) * SQRT({dot(b, b)}), 0)")
+
+
+@q(
+    "sim_cosine_topk",
+    f"""SELECT e.vec_id, {_cos_sql('e.embedding', 'q.qe')} AS cosine
+        FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cosine DESC, e.vec_id LIMIT 20""",
+    cols=["vec_id", "cosine"],
+    fcols=["cosine"],
+)
+def sim_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qvec, k=20, id_col="vec_id", vec_col="embedding")
+
+
+@q(
+    "sim_knn_join",
+    f"""SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_cos_sql('q.embedding', 'c.embedding')} DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 3) q
+  JOIN embeddings c ON q.vec_id != c.vec_id
+) WHERE rank <= 5""",
+    cols=["query_id", "neighbor_id", "cosine", "rank"],
+    fcols=["cosine"],
+)
+def sim_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return knn_join(queries, emb, k=5, id_col="vec_id", vec_col="embedding")
+
+
+@q(
+    "sim_near_pairs",
+    f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 3e-1""",
+    cols=["id_a", "id_b", "cosine"],
+    fcols=["cosine"],
+)
+def sim_near_pairs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
+    )
+
+
+@q("sim_ann_topk", None)
+def sim_ann(spark, sf_dir):
+    # hyperplane-LSH bucketing has no DuckDB twin → rows-only check
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ann_topk(
+        queries, emb, k=5, id_col="vec_id", vec_col="embedding",
+        dim=64, n_planes=6,
+    )
+
+
+@q("ml_stub_udfs", None)
+def ml_stubs(spark, sf_dir):
+    # deterministic Arrow-batched pandas-UDF stubs (sentiment struct +
+    # embedding array): model-free, no SQL equivalent → rows-only
+    from .functions.ml import embedding_udf, sentiment_udf
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    return docs.select(
+        "doc_id",
+        sentiment_udf("text").alias("sentiment"),
+        embedding_udf("text").alias("text_emb"),
+    )

@@ -123,6 +123,16 @@ def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) ->
     """MinHash signature: min over shingles of xxhash64(shingle, seed_i)
     for each of ``num_hashes`` seeds. Array column, JVM-side."""
     shingles = ngram_shingles(col, n)
+    return minhash_signature_from_shingles(shingles, num_hashes=num_hashes)
+
+
+def minhash_signature_from_shingles(shingles: Column, *, num_hashes: int = 64) -> Column:
+    """Signature over a precomputed shingle-array column. Callers that
+    need the signature more than once (or k hash functions) should
+    stage the shingle array with ``withColumn`` first — inlining the
+    shingle expression k times makes Catalyst build k copies of the
+    tokenize/slice pipeline (measured 20x slowdown at k=64)."""
+
     # NB: the lambda must take exactly ONE parameter — PySpark passes
     # (element, index) to two-parameter lambdas in F.transform, which
     # would clobber a default-bound seed (round-1 defect: all k hashes
@@ -157,7 +167,12 @@ def minhash_dedup_pairs(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes=num_hashes, n=n).alias("sig"),
+        ngram_shingles(text_col, n).alias("__shingles"),
+    ).select(
+        "id",
+        minhash_signature_from_shingles(
+            F.col("__shingles"), num_hashes=num_hashes
+        ).alias("sig"),
     )
     banded = sig.select(
         "id",
