@@ -1,0 +1,90 @@
+"""Per-round benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side result transfer). An optional DuckDB pass over the same
+oracle SQL (BENCH_ORACLE=1) gives the ≤2x comparison column from
+BASELINE.md's protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_market_features",
+    "w08_rolling_median",
+    "w09_ema",
+    "w17_cci",
+    "w20_adx",
+    "a1_imbalance",
+    "a4_depth",
+    "a5_resample",
+    "a6_global_zscore",
+    "j2_spine_join",
+    "j3_asof_join",
+    "e1_union_agg",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "sim_knn_join",
+    "sim_near_pairs",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
+
+    spark = get_spark("adi-bench")
+    # JVM/codegen warmup outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    if os.environ.get("BENCH_ORACLE"):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ["region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"]:
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        oracle: dict[str, float] = {}
+        for name in HEADLINE:
+            _fn, sql = REGISTRY[name]
+            if sql is None:
+                continue
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            oracle[name] = round(time.perf_counter() - t0, 3)
+        out["oracle_duckdb"] = oracle
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
