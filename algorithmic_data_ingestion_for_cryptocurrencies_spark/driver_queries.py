@@ -38,7 +38,11 @@ from .operators.dedup import (
     minhash_dedup_pairs,
     simhash_near_pairs,
 )
-from .operators.ewm import ewm_sql, with_ewm
+from .operators.ewm import block_size_for, ewm_sql, with_ewm
+
+# with_macd fuses the fast/slow EMAs with a SHARED block size; the
+# oracle renderings must use the same k for bit parity
+_K_MACD = max(block_size_for(span=12), block_size_for(span=26))
 from .operators.indicators import (
     with_adx,
     with_atr,
@@ -415,11 +419,11 @@ _MACD_STAGE = (
         ewm_sql(
             MARKET_SQL, "close", "__ema_fast",
             keys=[PART], order=ORDER,
-            keep=["suppkey", "ts", "okey", "lnum", "close"], span=12,
+            keep=["suppkey", "ts", "okey", "lnum", "close"], span=12, k=_K_MACD,
         ),
         "close", "__ema_slow",
         keys=[PART], order=ORDER,
-        keep=["suppkey", "ts", "okey", "lnum", "close", "__ema_fast"], span=26,
+        keep=["suppkey", "ts", "okey", "lnum", "close", "__ema_fast"], span=26, k=_K_MACD,
     )
     + ")"
 )
@@ -720,10 +724,10 @@ _BMF_KEEP = ["suppkey", "ts", "okey", "lnum", "close", "high", "low", "volume"]
 _BMF_EWM = ewm_sql(
     ewm_sql(
         MARKET_SQL, "close", "ema_12",
-        keys=[PART], order=ORDER, keep=_BMF_KEEP, span=12,
+        keys=[PART], order=ORDER, keep=_BMF_KEEP, span=12, k=_K_MACD,
     ),
     "close", "ema_26",
-    keys=[PART], order=ORDER, keep=_BMF_KEEP + ["ema_12"], span=26,
+    keys=[PART], order=ORDER, keep=_BMF_KEEP + ["ema_12"], span=26, k=_K_MACD,
 )
 
 _BMF_MACD = "SELECT *, ema_12 - ema_26 AS macd FROM (" + _BMF_EWM + ")"

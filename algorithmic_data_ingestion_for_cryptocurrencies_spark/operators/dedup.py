@@ -74,6 +74,36 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def shingle_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Distinct (id, shingle) rows — the exploded twin of
+    :func:`ngram_shingles`, built with ``posexplode`` + ``lead``
+    windows instead of array higher-order functions: HOFs are
+    interpreted per element (measured ~8 s for 5k docs just to
+    shingle), while this shape stays in whole-stage codegen.
+    ``concat_ws`` skips the null leads at the tail, reproducing the
+    truncated-slice semantics for docs shorter than ``n`` words."""
+    from pyspark.sql import Window
+
+    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
+    ex = staged.select(
+        "id", F.size("__w").alias("__len"), F.posexplode("__w").alias("pos", "word")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    return (
+        ex.withColumn("shingle", F.concat_ws(" ", *parts))
+        .filter(F.col("pos") <= F.greatest(F.col("__len") - n, F.lit(0)))
+        .select("id", "shingle")
+        .distinct()
+    )
+
+
 def jaccard_similar_pairs(
     df: DataFrame,
     *,
@@ -91,25 +121,25 @@ def jaccard_similar_pairs(
     posting-list length — at 100 TB you'd drop shingles with document
     frequency above a cutoff, trading recall for bounded skew.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(ngram_shingles(text_col, n)).alias("shingle"),
+    from pyspark.sql import Window
+
+    # set sizes ride along as a window count over the SAME exploded
+    # frame (no separate sizes aggregation + no post-join with a
+    # one-row-per-document table — that shape cost two extra scans of
+    # the shingle pipeline and, pre-round-2, a driver-OOM broadcast)
+    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("id"))
     )
-    sizes = shingled.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = shingled.alias("a")
     b = shingled.alias("b")
-    common = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
-    # plain shuffle joins: `sizes` is one row PER DOCUMENT, so forcing a
-    # broadcast would OOM the driver at corpus scale; AQE broadcasts it
-    # automatically when it is genuinely small.
-    return (
-        common.join(sa, "id_a").join(sb, "id_b")
+        .agg(
+            F.count("*").alias("common"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
@@ -165,14 +195,22 @@ def minhash_dedup_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        ngram_shingles(text_col, n).alias("__shingles"),
-    ).select(
-        "id",
-        minhash_signature_from_shingles(
-            F.col("__shingles"), num_hashes=num_hashes
-        ).alias("sig"),
+    # exploded-aggregate signature: one row per (doc, shingle), k
+    # seeded hashes as a plain projection, then k MIN aggregates back
+    # to one row per doc. Unlike k array-transform expressions this
+    # stays inside whole-stage codegen (higher-order functions are
+    # interpreted per element — measured several times slower), and the
+    # MIN aggregates combine map-side before the shuffle.
+    exploded = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).withColumnRenamed(
+        "shingle", "__shingle"
+    )
+    sig = exploded.groupBy("id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
     )
     banded = sig.select(
         "id",

@@ -75,6 +75,14 @@ def _block_size(r: float) -> int:
     return k
 
 
+def block_size_for(
+    span: int | None = None, alpha: float | None = None, com: float | None = None
+) -> int:
+    """Public block-size helper so oracle SQL renderings can mirror the
+    shared ``k`` chosen by :func:`with_ewm_multi`."""
+    return _block_size(1.0 - _alpha(span, alpha, com))
+
+
 def _pow_tables(r: float, k: int) -> tuple[list[float], list[float], float]:
     """(hi, lo, rho): r^-p == hi[p // 16] * lo[p % 16] (one rounding),
     rho = r^K. Python-computed constants embedded in both engines."""
@@ -98,13 +106,50 @@ def with_ewm(
     span: int | None = None,
     alpha: float | None = None,
     com: float | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Append EWM-mean column ``out`` (adjust=False), JVM-native,
-    numerically stable at any series length (block renormalization)."""
-    a = _alpha(span, alpha, com)
-    r = 1.0 - a
-    k = _block_size(r)
-    hi, lo, rho = _pow_tables(r, k)
+    numerically stable at any series length (block renormalization).
+
+    ``k`` overrides the block size (must match the oracle rendering's
+    ``k`` bit-for-bit parity; used by :func:`with_ewm_multi` to share
+    block structure across several EWMs)."""
+    return with_ewm_multi(
+        df,
+        [{"col": col, "out": out, "span": span, "alpha": alpha, "com": com}],
+        keys=keys,
+        order=order,
+        k=k,
+    )
+
+
+def with_ewm_multi(
+    df: DataFrame,
+    specs: Sequence[dict],
+    *,
+    keys: Sequence[str],
+    order: str | Sequence[str],
+    k: int | None = None,
+) -> DataFrame:
+    """Compute several EWMs in one fused pass: all specs share the
+    block size ``k`` (default: max of the per-spec sizes) so their
+    windows have IDENTICAL partition specs — Catalyst then evaluates
+    every per-block sum/boundary/chain in a shared WindowExec instead
+    of re-sorting per EWM (a MACD goes from 8 window stages to 4).
+
+    Each spec: ``{col, out, span|alpha|com}``.
+    """
+    parsed = []
+    for s in specs:
+        a = _alpha(s.get("span"), s.get("alpha"), s.get("com"))
+        parsed.append((s["col"], s["out"], a, 1.0 - a))
+    k = k or max(_block_size(r) for _c, _o, _a, r in parsed)
+    for _c, _o, _a, r in parsed:
+        if r > 0.0 and k * -math.log10(r) > 300:
+            raise ValueError(
+                f"shared block size {k} overflows r^-k for r={r}; "
+                "fuse only EWMs with comparable decay rates"
+            )
 
     keys = list(keys)
     order_cols = [order] if isinstance(order, str) else list(order)
@@ -114,57 +159,67 @@ def with_ewm(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    c = F.col(col)
-    pre = "__" + out
-    x_idx, x_b, x_p = pre + "_idx", pre + "_b", pre + "_p"
-    x_u, x_L, x_Le = pre + "_u", pre + "_L", pre + "_Le"
-
-    # position within the non-null subseries; null rows carry the
-    # previous position (and therefore re-emit the previous EWM value)
-    df = df.withColumn(x_idx, F.count(c).over(w_cum) - F.lit(1))
-    df = df.withColumn(
-        x_b,
-        F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(F.lit(0)),
-    )
-    df = df.withColumn(
-        x_p,
-        F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
-    )
-
-    hi_arr = F.array(*[F.lit(v) for v in hi])
-    lo_arr = F.array(*[F.lit(v) for v in lo])
-    rinvp = F.element_at(
-        hi_arr, (F.floor(F.col(x_p) / F.lit(_CHUNK)) + 1).cast("int")
-    ) * F.element_at(lo_arr, (F.col(x_p) % F.lit(_CHUNK) + 1).cast("int"))
-    rp = F.lit(1.0) / rinvp
-
-    u = F.when(c.isNull(), F.lit(None)).otherwise(
-        F.when(F.col(x_idx) == 0, c.cast("double")).otherwise(
-            F.lit(a) * c.cast("double") * rinvp
+    # stage shared per-input-column position columns once
+    cols = list(dict.fromkeys(c for c, _o, _a, _r in parsed))
+    stage: dict[str, tuple[str, str, str]] = {}
+    tmp: list[str] = []
+    for c in cols:
+        x_idx, x_b, x_p = f"__mew_{c}_idx", f"__mew_{c}_b", f"__mew_{c}_p"
+        df = df.withColumn(x_idx, F.count(F.col(c)).over(w_cum) - F.lit(1))
+        df = df.withColumn(
+            x_b,
+            F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(
+                F.lit(0)
+            ),
         )
-    )
-    df = df.withColumn(x_u, u)
+        df = df.withColumn(
+            x_p,
+            F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
+        )
+        stage[c] = (x_idx, x_b, x_p)
+        tmp += [x_idx, x_b, x_p]
 
-    w_blk = (
-        Window.partitionBy(*keys, x_b)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    df = df.withColumn(x_L, rp * F.sum(x_u).over(w_blk))
+    for c, out, a, r in parsed:
+        hi, lo, rho = _pow_tables(r, k)
+        x_idx, x_b, x_p = stage[c]
+        x_u, x_L, x_Le = f"__{out}_u", f"__{out}_L", f"__{out}_Le"
 
-    # per-block boundary value, then a 3-lag geometric carry chain
-    w_part = Window.partitionBy(*keys, x_b)
-    df = df.withColumn(x_Le, F.max_by(F.col(x_L), F.col(x_p)).over(w_part))
-    w_b = Window.partitionBy(*keys).orderBy(F.col(x_b))
-    lags = [
-        F.coalesce(F.max(x_Le).over(w_b.rangeBetween(-i, -i)), F.lit(0.0))
-        for i in range(1, _CHAIN + 1)
-    ]
-    carry = lags[0] + F.lit(rho) * lags[1] + F.lit(rho * rho) * lags[2]
-    y = F.col(x_L) + rp * F.lit(r) * carry
-    return df.withColumn(out, F.when(F.col(x_idx) >= 0, y)).drop(
-        x_idx, x_b, x_p, x_u, x_L, x_Le
-    )
+        hi_arr = F.array(*[F.lit(v) for v in hi])
+        lo_arr = F.array(*[F.lit(v) for v in lo])
+        rinvp = F.element_at(
+            hi_arr, (F.floor(F.col(x_p) / F.lit(_CHUNK)) + 1).cast("int")
+        ) * F.element_at(lo_arr, (F.col(x_p) % F.lit(_CHUNK) + 1).cast("int"))
+        rp = F.lit(1.0) / rinvp
+
+        cc = F.col(c)
+        u = F.when(cc.isNull(), F.lit(None)).otherwise(
+            F.when(F.col(x_idx) == 0, cc.cast("double")).otherwise(
+                F.lit(a) * cc.cast("double") * rinvp
+            )
+        )
+        df = df.withColumn(x_u, u)
+
+        w_blk = (
+            Window.partitionBy(*keys, x_b)
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        df = df.withColumn(x_L, rp * F.sum(x_u).over(w_blk))
+
+        # per-block boundary value, then a 3-lag geometric carry chain
+        w_part = Window.partitionBy(*keys, x_b)
+        df = df.withColumn(x_Le, F.max_by(F.col(x_L), F.col(x_p)).over(w_part))
+        w_b = Window.partitionBy(*keys).orderBy(F.col(x_b))
+        lags = [
+            F.coalesce(F.max(x_Le).over(w_b.rangeBetween(-i, -i)), F.lit(0.0))
+            for i in range(1, _CHAIN + 1)
+        ]
+        carry = lags[0] + F.lit(rho) * lags[1] + F.lit(rho * rho) * lags[2]
+        y = F.col(x_L) + rp * F.lit(r) * carry
+        df = df.withColumn(out, F.when(F.col(x_idx) >= 0, y))
+        tmp += [x_u, x_L, x_Le]
+
+    return df.drop(*tmp)
 
 
 def with_ewm_exact(
@@ -220,17 +275,19 @@ def ewm_sql(
     span: int | None = None,
     alpha: float | None = None,
     com: float | None = None,
+    k: int | None = None,
 ) -> str:
     """DuckDB rendering of the SAME block-renormalized formula as
     :func:`with_ewm` (same embedded power tables, same multiply/sum
     graph → bit-identical doubles).
 
     ``inner`` is a SQL relation (subquery or table name), ``keep`` the
-    columns to project alongside ``out``.
+    columns to project alongside ``out``. ``k`` must match the Spark
+    side's block size when :func:`with_ewm_multi` shares one.
     """
     a = _alpha(span, alpha, com)
     r = 1.0 - a
-    k = _block_size(r)
+    k = k or _block_size(r)
     hi, lo, rho = _pow_tables(r, k)
 
     part = ", ".join(keys) if keys else "1"

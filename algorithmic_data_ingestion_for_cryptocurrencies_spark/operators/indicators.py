@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.time_norm import dt_from_ts
 from ..schemas import FEATURE_VERSION, MARKET_FEATURE_SCHEMA, coerce_schema
-from .ewm import with_ewm
+from .ewm import with_ewm, with_ewm_multi
 from .rolling import (
     cum,
     cum_sum,
@@ -96,8 +96,15 @@ def with_rsi_wilder(df: DataFrame, col: str, n: int = 14, *, keys, order,
         F.when(delta.isNotNull(), F.lit(0.0))))
     df = df.withColumn("__loss", F.when(delta < 0, -delta).otherwise(
         F.when(delta.isNotNull(), F.lit(0.0))))
-    df = with_ewm(df, "__gain", "__avg_gain", keys=keys, order=order, alpha=1.0 / n)
-    df = with_ewm(df, "__loss", "__avg_loss", keys=keys, order=order, alpha=1.0 / n)
+    df = with_ewm_multi(
+        df,
+        [
+            {"col": "__gain", "out": "__avg_gain", "alpha": 1.0 / n},
+            {"col": "__loss", "out": "__avg_loss", "alpha": 1.0 / n},
+        ],
+        keys=keys,
+        order=order,
+    )
     rs = F.col("__avg_gain") / F.col("__avg_loss")
     # pandas parity for avg_loss==0: gain/0 = inf -> RSI 100 (all-gain
     # history); 0/0 = NaN -> NULL. Non-ANSI Spark x/0 is NULL, so the
@@ -116,9 +123,21 @@ def with_macd(df: DataFrame, col: str, *, keys, order,
               macd_out: str = "macd", signal_out: str | None = None,
               hist_out: str | None = "histogram",
               keep_emas: bool = False) -> DataFrame:
-    """MACD line / signal / histogram — ``ta_indicators.py:79-89``."""
-    df = with_ewm(df, col, "__ema_fast", keys=keys, order=order, span=fast)
-    df = with_ewm(df, col, "__ema_slow", keys=keys, order=order, span=slow)
+    """MACD line / signal / histogram — ``ta_indicators.py:79-89``.
+
+    Fast/slow EMAs run fused (shared block size → shared window
+    partitioning → one WindowExec pass); the signal EWM depends on the
+    MACD column so it is necessarily a second pass.
+    """
+    df = with_ewm_multi(
+        df,
+        [
+            {"col": col, "out": "__ema_fast", "span": fast},
+            {"col": col, "out": "__ema_slow", "span": slow},
+        ],
+        keys=keys,
+        order=order,
+    )
     df = df.withColumn(macd_out, F.col("__ema_fast") - F.col("__ema_slow"))
     df = with_ewm(df, macd_out, signal_out or f"macd_signal_{signal}",
                   keys=keys, order=order, span=signal)

@@ -66,19 +66,25 @@ def knn_join(
 ) -> DataFrame:
     """Brute-force k-NN join: broadcast the (small) query set against
     the corpus, rank per query. Exact; O(|Q|·|C|) scored pairs but
-    never materializes beyond the ranked window."""
+    never materializes beyond the ranked window. Norms are staged once
+    per vector (not once per pair) — same doubles, 3x less work."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
     scored = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        cosine("__qvec", "__cvec").alias("cosine"),
+        (dot("__qvec", "__cvec")
+         / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -180,23 +186,31 @@ def embedding_near_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
     Exact all-pairs by default (fine for bounded corpora / within
-    groups); ``use_lsh`` switches candidate generation to bucketed."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    groups); ``use_lsh`` switches candidate generation to bucketed.
+    Norms are staged once per vector, not once per pair."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
     if use_lsh:
         if dim is None:
             raise ValueError("dim required for LSH candidate generation")
-        al = with_lsh_bucket(
-            df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
-            vec_col="__va", dim=dim)
-        bl = with_lsh_bucket(
-            df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")),
-            vec_col="__vb", dim=dim)
+        al = with_lsh_bucket(a, vec_col="__va", dim=dim)
+        bl = with_lsh_bucket(b, vec_col="__vb", dim=dim)
         pairs = al.join(bl, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.withColumn("cosine", cosine("__va", "__vb"))
+        pairs.withColumn(
+            "cosine",
+            dot("__va", "__vb") / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
