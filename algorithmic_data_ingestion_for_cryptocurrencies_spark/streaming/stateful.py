@@ -74,8 +74,12 @@ def apply_stateful_rolling_mean(
     extra_out_cols: str = "",
 ):
     """Wire the stateful op onto a (streaming) DataFrame grouped by
-    ``keys``. Output schema: keys + ts + value + rolling col."""
-    key_schema = ", ".join(f"{k} long" for k in keys)
+    ``keys``. Output schema: keys + ts + value + rolling col. Key
+    types are taken from the input schema (round-1 version hardcoded
+    ``long`` keys, breaking string-keyed series)."""
+    key_schema = ", ".join(
+        f"{k} {stream_df.schema[k].dataType.simpleString()}" for k in keys
+    )
     out_schema = f"ts timestamp, {value_col} double{extra_out_cols}, {out_col} double, {key_schema}"
     state_schema = "ts array<string>, vals array<double>"
     return stream_df.groupBy(*keys).applyInPandasWithState(

@@ -1,0 +1,188 @@
+"""End-to-end ingest parity (SURVEY §3.1; VERDICT r1 next-step #8):
+raw adapter rows → normalize (S1/S2/S5) → lake write (S15) → feature
+stage → feature-store write (S16) → point/range reads (S17/S18), plus
+the JSON payload surface (missing item #4) and the training-matrix
+builder (#5).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.payload import (
+    flatten_struct,
+    parse_payload,
+    with_feature_payload,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+    build_market_features,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.schemas import (
+    MARKET_SCHEMA,
+    ONCHAIN_SCHEMA,
+    ORDERBOOK_SCHEMA,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.adapters import (
+    normalize_ohlcv,
+    normalize_onchain,
+    normalize_order_book,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.lake import (
+    read_lake,
+    write_lake,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.feature_store import (
+    FeatureStore,
+)
+
+
+@pytest.fixture(scope="module")
+def ohlcv_rows():
+    rng = np.random.default_rng(5)
+    base_ms = 1_700_000_000_000  # ms epoch (heuristic must pick ms)
+    close = 100 + np.cumsum(rng.normal(0, 1, 120))
+    return [
+        [
+            base_ms + i * 60_000,
+            float(close[i] - 0.1),
+            float(close[i] + 0.5),
+            float(close[i] - 0.5),
+            float(close[i]),
+            float(10 + i % 5),
+        ]
+        for i in range(120)
+    ]
+
+
+def test_normalize_ohlcv_schema_and_units(spark, ohlcv_rows):
+    df = normalize_ohlcv(
+        spark, ohlcv_rows, symbol="BTC/USDT", exchange="binance", timeframe="1m"
+    )
+    assert [f.name for f in df.schema.fields] == [f.name for f in MARKET_SCHEMA.fields]
+    first = df.orderBy("timestamp").first()
+    assert str(first["timestamp"]).startswith("2023-11-14")  # ms heuristic
+    assert first["dt"] == "2023-11-14"
+    assert df.count() == 120
+
+
+def test_normalize_order_book(spark):
+    df = normalize_order_book(
+        spark,
+        bids=[[100.0, 2.0], [99.5, 1.0]],
+        asks=[[100.5, 1.5], [101.0, 3.0]],
+        symbol="BTC/USDT",
+        exchange="binance",
+        snapshot_epoch_ms=1_700_000_000_000,
+    )
+    assert [f.name for f in df.schema.fields] == [f.name for f in ORDERBOOK_SCHEMA.fields]
+    rows = df.collect()
+    assert sorted(r["side"] for r in rows) == ["ask", "ask", "bid", "bid"]
+
+
+def test_normalize_onchain_unit_heuristic(spark):
+    # one point in seconds, one in ms — per-value unit detection
+    df = normalize_onchain(
+        spark,
+        [[1_700_000_000, 1.5], [1_700_000_060_000, 2.5]],
+        source="glassnode",
+        symbol="BTC",
+        metric="active_addresses",
+    )
+    assert [f.name for f in df.schema.fields] == [f.name for f in ONCHAIN_SCHEMA.fields]
+    ts = sorted(r["timestamp"] for r in df.collect())
+    # mixed units land 60 s apart, not 1000x apart
+    assert (ts[1] - ts[0]).total_seconds() == 60.0
+
+
+def test_ingest_roundtrip_lake_features_store(spark, ohlcv_rows):
+    market = normalize_ohlcv(
+        spark, ohlcv_rows, symbol="BTC/USDT", exchange="binance", timeframe="1m"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        lake = f"{tmp}/lake"
+        store_path = f"{tmp}/features"
+
+        write_lake(market, lake, domain="market",
+                   partition_by=("exchange", "symbol", "dt"))
+        back = read_lake(spark, lake)
+        assert back.count() == 120
+
+        feats = build_market_features(back, dropna_final=False)
+        store = FeatureStore(spark, store_path)
+        store.write(feats, domain="market")
+
+        # range read: limit + reverse (ZRANGEBYSCORE parity)
+        lo = 1_700_000_000
+        hi = lo + 120 * 60
+        got = store.range_read(
+            "market", "BTC/USDT", "1m", lo, hi, limit=10, reverse=True
+        ).collect()
+        assert len(got) == 10
+        epochs = [r["ts_epoch"] for r in got]
+        assert epochs == sorted(epochs, reverse=True)
+
+        # point read hits exactly one bar
+        one = store.read("market", "BTC/USDT", "1m", lo + 60 * 60)
+        assert one.count() == 1
+
+
+def test_feature_payload_json_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {"ret_1": [0.01, float("nan")], "rsi_14": [55.0, float("inf")]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = with_feature_payload(df, ["ret_1", "rsi_14"]).collect()
+    p0 = json.loads(out[0]["payload"])
+    assert p0 == {"ret_1": 0.01, "rsi_14": 55.0}
+    p1 = json.loads(out[1]["payload"])  # NaN/Inf sanitized to null/omitted
+    assert p1.get("ret_1") is None and p1.get("rsi_14") is None
+
+    parsed = df.select(
+        parse_payload(
+            F.lit('{"info": {"symbol": "BTCUSDT", "last": "101.5"}}'),
+            "info struct<symbol:string,last:string>",
+        ).alias("payload")
+    )
+    flat = flatten_struct(parsed, "payload")
+    row = flatten_struct(flat, "info", prefix="info").first()
+    assert row["info.symbol"] == "BTCUSDT" and row["info.last"] == "101.5"
+
+
+def test_training_matrix_with_social_news(spark, ohlcv_rows):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.datasets.training import (
+        build_training_matrix,
+    )
+
+    market = normalize_ohlcv(
+        spark, ohlcv_rows, symbol="BTC/USDT", exchange="binance", timeframe="1m"
+    )
+    base = pd.Timestamp("2023-11-14 22:13:20")
+    social = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(0, 60, 3)],
+                "id": [f"p{i}" for i in range(20)],
+                "sentiment_score": np.linspace(-1, 1, 20),
+            }
+        )
+    )
+    news = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "published_at": [base + pd.Timedelta(minutes=i) for i in range(0, 40, 2)],
+                "id": [f"n{i}" for i in range(20)],
+            }
+        )
+    )
+    out = build_training_matrix(market, social=social, news=news, timeframe="1m")
+    pdf = out.orderBy("timestamp").toPandas()
+    assert {"ret_next", "y_dir", "sentiment_mean", "social_n", "news_n"} <= set(pdf.columns)
+    # zero-filled where no social/news bucket exists
+    assert (pdf["social_n"] >= 0).all() and (pdf["news_n"] >= 0).all()
+    assert pdf["ret_next"].notna().all()  # unlabeled tail dropped
