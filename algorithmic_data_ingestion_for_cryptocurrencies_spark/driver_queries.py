@@ -1505,3 +1505,133 @@ def ml_stubs(spark, sf_dir):
         sentiment_udf("text").alias("sentiment"),
         embedding_udf("text").alias("text_emb"),
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining inventory rows: store round-trip (S15-S18), trend flag
+# (W25), any-non-null mask (P5), column-wise greatest (E2), NaN/Inf
+# sanitation + symbol cleanup (P9 / string family).
+# --------------------------------------------------------------------------
+
+@q(
+    "s_store_roundtrip",
+    """SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch, value FROM events
+       WHERE user_id = 7
+         AND CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+             BETWEEN 1704067200 AND 1706745600
+       ORDER BY ts_epoch DESC LIMIT 20""",
+    cols=["ts_epoch", "value"],
+    fcols=["value"],
+)
+def s_store_roundtrip(spark, sf_dir):
+    """S15-S18 end to end: write an events-derived feature table into
+    a partitioned store under /tmp, then serve a reverse range read
+    from it. The oracle reads the same slice straight from events."""
+    import tempfile
+
+    from .store.feature_store import FeatureStore
+
+    ev = _events(spark, sf_dir)
+    feats = ev.filter(F.col("user_id") == 7).select(
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("symbol"),
+        F.lit("1m").alias("timeframe"),
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="adi_store_")
+    store = FeatureStore(spark, base)
+    store.write(feats, domain="events", mode="overwrite")
+    got = store.range_read(
+        "events", "7", "1m", 1704067200, 1706745600, limit=20, reverse=True
+    )
+    return got.select("ts_epoch", "value")
+
+
+@q(
+    "w25_trend_flag",
+    f"""SELECT suppkey, ts, okey, lnum,
+        CAST((__sma - LAG(__sma, 1) {_over()}) > 0 AS INT) AS trend_up
+        FROM (SELECT suppkey, ts, okey, lnum, {_roll('AVG', 'close', 10)} AS __sma
+              FROM ({MARKET_SQL}))""",
+    cols=IDS + ["trend_up"],
+)
+def w25(spark, sf_dir):
+    m = _market(spark, sf_dir)
+    w = _w()
+    m = m.withColumn("__sma", rolling_mean("close", w, 10))
+    return m.select(
+        *IDS, (lag_diff("__sma", w, 1) > 0).cast("int").alias("trend_up")
+    )
+
+
+@q(
+    "p5_any_nonnull_mask",
+    f"""SELECT suppkey, ts, okey, lnum, f1, f2
+        FROM (SELECT suppkey, ts, okey, lnum,
+                     CASE WHEN lnum < 3 THEN close END AS f1,
+                     CASE WHEN lnum > 5 THEN close END AS f2
+              FROM ({MARKET_SQL}))
+        WHERE COALESCE(f1, f2) IS NOT NULL""",
+    cols=IDS + ["f1", "f2"],
+    fcols=["f1", "f2"],
+)
+def p5(spark, sf_dir):
+    m = _market(spark, sf_dir)
+    m = m.withColumn("f1", F.when(F.col("lnum") < 3, F.col("close")))
+    m = m.withColumn("f2", F.when(F.col("lnum") > 5, F.col("close")))
+    return m.filter(F.coalesce("f1", "f2").isNotNull()).select(*IDS, "f1", "f2")
+
+
+@q(
+    "e2_columnwise_extremes",
+    f"""SELECT suppkey, ts, okey, lnum,
+        GREATEST(high - low, close * 1e-2, volume * 1e-1) AS g3,
+        LEAST(high - low, close * 1e-2, volume * 1e-1) AS l3
+        FROM ({MARKET_SQL})""",
+    cols=IDS + ["g3", "l3"],
+    fcols=["g3", "l3"],
+)
+def e2(spark, sf_dir):
+    m = _market(spark, sf_dir)
+    a = F.col("high") - F.col("low")
+    b = F.col("close") * F.lit(1e-2)
+    c = F.col("volume") * F.lit(1e-1)
+    return m.select(
+        *IDS, F.greatest(a, b, c).alias("g3"), F.least(a, b, c).alias("l3")
+    )
+
+
+@q(
+    "f_sanitize",
+    f"""SELECT okey, lnum,
+        CASE WHEN ISNAN(__dirty) OR __dirty = 'Infinity'::DOUBLE
+               OR __dirty = '-Infinity'::DOUBLE THEN NULL
+             ELSE __dirty END AS value_clean,
+        UPPER(REGEXP_REPLACE(__sym, '[/:]', '-', 'g')) AS symbol_clean
+        FROM (SELECT okey, lnum,
+                     CASE WHEN lnum % 3 = 0 THEN 'NaN'::DOUBLE
+                          WHEN lnum % 3 = 1 THEN 'Infinity'::DOUBLE
+                          ELSE close END AS __dirty,
+                     'btc/usdt:' || CAST(suppkey AS VARCHAR) AS __sym
+              FROM ({MARKET_SQL}))""",
+    cols=["okey", "lnum", "value_clean", "symbol_clean"],
+    fcols=["value_clean"],
+)
+def f_sanitize(spark, sf_dir):
+    from .functions.cleaning import nan_inf_to_null, sanitize_symbol
+
+    m = _market(spark, sf_dir)
+    m = m.withColumn(
+        "__dirty",
+        F.when(F.col("lnum") % 3 == 0, F.lit(float("nan")))
+        .when(F.col("lnum") % 3 == 1, F.lit(float("inf")))
+        .otherwise(F.col("close")),
+    ).withColumn(
+        "__sym", F.concat(F.lit("btc/usdt:"), F.col("suppkey").cast("string"))
+    )
+    return m.select(
+        "okey",
+        "lnum",
+        nan_inf_to_null("__dirty").alias("value_clean"),
+        sanitize_symbol("__sym").alias("symbol_clean"),
+    )

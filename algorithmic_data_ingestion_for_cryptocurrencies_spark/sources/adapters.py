@@ -152,3 +152,43 @@ def normalize_news(spark: SparkSession, rows: Sequence[dict], *, source: str | N
         raw = raw.withColumn("id", id_from_url("url"))
     df = raw.withColumn("dt", dt_from_ts("published_at"))
     return coerce_schema(df, NEWS_SCHEMA, keep_extra=False)
+
+
+def normalize_covalent(
+    spark: SparkSession,
+    items: Sequence[dict],
+    *,
+    symbol: str,
+    snapshot_epoch_ms: int,
+) -> DataFrame:
+    """Covalent balance items → ONCHAIN_SCHEMA frame
+    (``onchain_adapter.py:96-163``): raw integer balances scaled by
+    ``10**contract_decimals``, stamped with the snapshot time."""
+    if not items:
+        return spark.createDataFrame([], schema=ONCHAIN_SCHEMA)
+    typed = [
+        (
+            str(i.get("contract_ticker_symbol") or ""),
+            str(i.get("contract_address") or ""),
+            str(i.get("contract_name") or ""),
+            float(i.get("balance") or 0.0),
+            int(i.get("contract_decimals") or 0),
+        )
+        for i in items
+    ]
+    raw = spark.createDataFrame(
+        typed,
+        schema=(
+            "metric string, contract_address string, contract_name string, "
+            "balance double, decimals int"
+        ),
+    )
+    df = (
+        raw.withColumn("value", F.col("balance") / F.pow(F.lit(10.0), F.col("decimals")))
+        .withColumn("timestamp", epoch_to_ts(F.lit(snapshot_epoch_ms)))
+        .withColumn("source", F.lit("covalent"))
+        .withColumn("symbol", F.lit(symbol))
+        .withColumn("dt", dt_from_ts("timestamp"))
+        .drop("balance", "decimals")
+    )
+    return coerce_schema(df, ONCHAIN_SCHEMA, keep_extra=False)

@@ -83,3 +83,48 @@ def read_lake(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def storage_probe(spark: SparkSession, base_path: str) -> bool:
+    """S19 storage-backend probe (``routes.py:1111-1168``): try a
+    1-row write + read-back under ``base_path``; True on success."""
+    import shutil
+    import uuid
+
+    probe = f"{base_path.rstrip('/')}/__probe_{uuid.uuid4().hex}"
+    try:
+        spark.range(1).write.mode("overwrite").parquet(probe)
+        ok = spark.read.parquet(probe).count() == 1
+    except Exception:
+        return False
+    finally:
+        shutil.rmtree(probe, ignore_errors=True)
+    return ok
+
+
+def persist_raw(
+    spark: SparkSession,
+    payload_json: str,
+    *,
+    source: str,
+    symbol: str,
+    base_path: str,
+) -> str:
+    """S20 legacy raw persist (``app/storage.py:9-18``): one JSON
+    payload → flattened single-row frame → dated parquet path. Nested
+    objects expand to ``parent.child`` columns (json_normalize
+    parity)."""
+    from ..functions.payload import flatten_struct
+
+    df = spark.read.json(spark.sparkContext.parallelize([payload_json]))
+    for f_ in df.schema.fields:
+        if f_.dataType.typeName() == "struct":
+            df = flatten_struct(df, f_.name, prefix=f_.name)
+    df = (
+        df.withColumn("__source", F.lit(source))
+        .withColumn("__symbol", F.lit(symbol))
+        .withColumn("__ingested_at", F.current_timestamp())
+    )
+    out = f"{base_path.rstrip('/')}/{source}/{symbol.replace('/', '-')}"
+    df.write.mode("append").parquet(out)
+    return out

@@ -12,10 +12,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with local tz); NTZ parquet
+    sources are cast in place (session tz is pinned to UTC)."""
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
 def dedup_stream(stream_df: DataFrame, *, id_col: str = "id",
                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
     """Emit each id once; state bounded by the watermark horizon."""
-    return stream_df.withWatermark(ts_col, watermark).dropDuplicates([id_col])
+    return (
+        _as_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates([id_col])
+    )
 
 
 def windowed_counts(stream_df: DataFrame, *, ts_col: str = "ts",
@@ -23,7 +33,8 @@ def windowed_counts(stream_df: DataFrame, *, ts_col: str = "ts",
                     keys: tuple[str, ...] = ()) -> DataFrame:
     """Tumbling event-time counts with late-data handling (ST6)."""
     return (
-        stream_df.withWatermark(ts_col, watermark)
+        _as_event_time(stream_df, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, every).alias("win"), *keys)
         .agg(F.count("*").alias("n"))
         .select(F.col("win.start").alias("bucket"), *keys, "n")

@@ -1,0 +1,72 @@
+"""Plan-shape discipline (VERDICT r1 next-step #5 'plan-shape
+asserted'): the 100 TB properties are checked by LOOKING AT THE PLAN —
+pushdown reaches the scan, small sides broadcast, no cartesian
+products or unpartitioned windows sneak into the flagship pipeline.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.plans.inspect import explain_str
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.lake import read_lake, write_lake
+
+
+@pytest.fixture(scope="module")
+def lake_path(spark, ohlcv_sdf):
+    tmp = tempfile.mkdtemp(prefix="adi_lake_")
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.time_norm import add_dt
+
+    write_lake(add_dt(ohlcv_sdf), tmp, partition_by=("symbol", "dt"), ts_col="timestamp")
+    return tmp
+
+
+def test_lake_read_pushes_partition_and_data_filters(spark, lake_path):
+    df = read_lake(
+        spark,
+        lake_path,
+        dt_between=("2024-01-01", "2024-01-02"),
+        where=F.col("close") > 100.0,
+        columns=["timestamp", "close", "dt"],
+    )
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "dt" in plan
+    assert "PushedFilters" in plan and "GreaterThan(close" in plan
+
+
+def test_flagship_plan_has_no_cartesian_or_global_window(spark, ohlcv_sdf):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+        build_market_features,
+    )
+
+    feats = build_market_features(ohlcv_sdf, dropna_final=True)
+    plan = explain_str(feats, "formatted")
+    assert "CartesianProduct" not in plan
+    # every window must be partitioned by the series keys
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "symbol" in line, f"unpartitioned window: {line}"
+
+
+def test_spine_join_broadcasts_small_aggregates(spark, ohlcv_sdf):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import spine_join
+
+    agg = ohlcv_sdf.groupBy("timestamp").agg(F.count("*").alias("n"))
+    out = spine_join(ohlcv_sdf, [agg], on=["timestamp"])
+    assert "BroadcastHashJoin" in explain_str(out, "formatted")
+
+
+def test_global_zscore_avoids_global_window(spark, ohlcv_sdf):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.rolling import (
+        with_global_zscore,
+    )
+
+    out = with_global_zscore(ohlcv_sdf, "close")
+    plan = explain_str(out, "formatted")
+    # agg + broadcast join, NOT a Window over an empty partition spec
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

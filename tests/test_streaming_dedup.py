@@ -1,0 +1,143 @@
+"""ST2/ST6 streaming coverage: watermarked dedup (the RSS seen-ids
+set) and tumbling event-time counts, driven through real file-source
+micro-batches, plus S19/S20 storage helpers and the Covalent
+normalizer (S6).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.adapters import (
+    normalize_covalent,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.lake import (
+    persist_raw,
+    storage_probe,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.dedup_stream import (
+    dedup_stream,
+    windowed_counts,
+)
+
+
+def _write_batches(spark, src, frames):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, pdf in enumerate(frames):
+        pdf = pdf.copy()
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        path = os.path.join(src, f"b{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+    return spark.read.parquet(os.path.join(src, "b0.parquet")).schema
+
+
+def test_stream_dedup_across_batches(spark):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    b0 = pd.DataFrame(
+        {"id": ["a", "b", "c"], "ts": [base + pd.Timedelta(minutes=i) for i in range(3)]}
+    )
+    # batch 1 repeats b and c (the RSS poll returning overlapping items)
+    b1 = pd.DataFrame(
+        {"id": ["b", "c", "d"], "ts": [base + pd.Timedelta(minutes=i) for i in (1, 2, 3)]}
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        schema = _write_batches(spark, src, [b0, b1])
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = dedup_stream(stream, id_col="id", ts_col="ts", watermark="1 hour")
+        sink, ckpt = os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink).toPandas()
+    assert sorted(got["id"]) == ["a", "b", "c", "d"]  # each id exactly once
+
+
+def test_stream_windowed_counts(spark):
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "id": [f"e{i}" for i in range(8)],
+            "ts": [base + pd.Timedelta(seconds=30 * i) for i in range(8)],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        schema = _write_batches(spark, src, [rows])
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        out = windowed_counts(stream, ts_col="ts", every="1 minute", watermark="10 minutes")
+        ckpt = os.path.join(tmp, "ckpt")
+        # complete-mode memory sink: append mode would hold every window
+        # open until the watermark passes it, which a single availableNow
+        # batch never does
+        q = (
+            out.writeStream.format("memory")
+            .queryName("win_counts")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM win_counts").toPandas().sort_values("bucket")
+    # 8 events at 30s spacing -> 4 full minutes x 2 events
+    assert list(got["n"]) == [2, 2, 2, 2]
+
+
+def test_storage_probe_and_persist_raw(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        assert storage_probe(spark, tmp) is True
+        path = persist_raw(
+            spark,
+            '{"symbol": "BTC/USDT", "last": 101.5, "info": {"bid": "101.4", "ask": "101.6"}}',
+            source="binance",
+            symbol="BTC/USDT",
+            base_path=tmp,
+        )
+        back = spark.read.parquet(path).collect()
+    assert len(back) == 1
+    row = back[0].asDict()
+    assert row["last"] == 101.5
+    assert row["info.bid"] == "101.4"  # json_normalize-style flattening
+    assert row["__source"] == "binance"
+
+
+def test_normalize_covalent_scaling(spark):
+    df = normalize_covalent(
+        spark,
+        [
+            {
+                "contract_ticker_symbol": "USDC",
+                "contract_address": "0xabc",
+                "contract_name": "USD Coin",
+                "balance": 12_500_000,
+                "contract_decimals": 6,
+            }
+        ],
+        symbol="0xwallet",
+        snapshot_epoch_ms=1_700_000_000_000,
+    )
+    row = df.first()
+    assert row["value"] == 12.5  # balance / 10**decimals
+    assert row["metric"] == "USDC" and row["contract_name"] == "USD Coin"
