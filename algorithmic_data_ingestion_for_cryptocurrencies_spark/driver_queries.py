@@ -1635,3 +1635,91 @@ def f_sanitize(spark, sf_dir):
         nan_inf_to_null("__dirty").alias("value_clean"),
         sanitize_symbol("__sym").alias("symbol_clean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Source-normalization round trips (S1/S5) and multimodal plumbing (U-media).
+# --------------------------------------------------------------------------
+
+@q(
+    "s1_normalize_ohlcv",
+    """SELECT EPOCH_MS(CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) * 1000) AS timestamp,
+       l_extendedprice AS close, l_quantity AS volume,
+       'BTC-USDT' AS symbol, 'lake' AS exchange, '1d' AS timeframe,
+       STRFTIME(l_shipdate, '%Y-%m-%d') AS dt
+       FROM lineitem
+       WHERE l_orderkey <= 500 ORDER BY l_orderkey, l_linenumber""",
+    cols=["timestamp", "close", "volume", "symbol", "exchange", "timeframe", "dt"],
+    fcols=["close", "volume"],
+)
+def s1_normalize(spark, sf_dir):
+    """S1 round trip: driver-side raw rows (as a CCXT fetch would
+    return) -> normalize_ohlcv -> canonical MARKET_SCHEMA frame. The
+    oracle derives the same frame directly in SQL."""
+    from .sources.adapters import normalize_ohlcv
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 500)
+        .orderBy("l_orderkey", "l_linenumber")
+        .select(
+            (F.col("l_shipdate").cast("long") * 1000).alias("ms"),
+            "l_extendedprice",
+            "l_quantity",
+        )
+        .collect()
+    )
+    rows = [[r["ms"], 0.0, 0.0, 0.0, r["l_extendedprice"], r["l_quantity"]] for r in li]
+    df = normalize_ohlcv(spark, rows, symbol="BTC/USDT", exchange="lake", timeframe="1d")
+    from .functions.cleaning import sanitize_symbol
+
+    return df.select(
+        "timestamp", "close", "volume",
+        sanitize_symbol("symbol").alias("symbol"),
+        "exchange", "timeframe", "dt",
+    )
+
+
+@q(
+    "s5_normalize_onchain",
+    """SELECT EPOCH_MS(CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 1000) AS timestamp,
+       'glassnode' AS source, 'BTC' AS symbol, 'tx_volume' AS metric,
+       value, STRFTIME(ts, '%Y-%m-%d') AS dt
+       FROM events WHERE event_id <= 300""",
+    cols=["timestamp", "source", "symbol", "metric", "value", "dt"],
+    fcols=["value"],
+)
+def s5_normalize(spark, sf_dir):
+    """S5 round trip: driver-side [epoch_ms, value] points ->
+    normalize_onchain -> ONCHAIN_SCHEMA frame (ms-unit heuristic)."""
+    from .sources.adapters import normalize_onchain
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") <= 300)
+        .select((F.col("ts").cast("long") * 1000).alias("ms"), "value")
+        .collect()
+    )
+    df = normalize_onchain(
+        spark,
+        [[r["ms"], r["value"]] for r in ev],
+        source="glassnode",
+        symbol="BTC",
+        metric="tx_volume",
+    )
+    return df.select("timestamp", "source", "symbol", "metric", "value", "dt")
+
+
+@q("u_media_features", None)
+def u_media(spark, sf_dir):
+    # multimodal plumbing: binary payload column -> mapInPandas Arrow
+    # batches -> typed features (decode itself is a deterministic stub;
+    # image/audio libs are not in the container) -> rows-only check
+    from .functions.ml import media_features
+
+    docs = _t(spark, sf_dir, "documents").limit(50).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    return media_features(docs)
