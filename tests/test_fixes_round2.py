@@ -26,7 +26,8 @@ from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators 
 @pytest.fixture(scope="module")
 def long_series_pdf():
     rng = np.random.default_rng(7)
-    n = 20_000  # >> 4.2k, where the round-1 closed form went Inf/NaN
+    n = 60_000  # sf0.01 oracle scale; >> 4.2k, where the round-1
+    # closed form went Inf/NaN
     return pd.DataFrame(
         {"k": "a", "i": np.arange(n), "x": 100 + np.cumsum(rng.normal(0, 1, n))}
     )
