@@ -142,27 +142,45 @@ def ann_topk(
     vec_col: str = "embedding",
     dim: int,
     n_planes: int = 12,
+    n_tables: int = 4,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate k-NN: LSH-bucket both sides, equi-join on bucket
     (this is the scale path — the join only scores same-bucket pairs),
-    then exact cosine rerank within candidates. Recall is tuned by
-    ``n_planes`` (fewer planes -> bigger buckets -> higher recall)."""
-    qb = with_lsh_bucket(queries, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
-    cb = with_lsh_bucket(corpus, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed)
-    q = qb.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.col("lsh_bucket"),
-    )
-    c = cb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.col("lsh_bucket"),
-    )
+    then exact cosine rerank within candidates.
+
+    Recall is tuned by two knobs: ``n_planes`` (fewer planes -> bigger
+    buckets -> higher per-table recall) and ``n_tables`` — independent
+    hash tables whose candidate sets union before the rerank (the
+    standard multi-table LSH construction; misses decay exponentially
+    in the table count). Each table is an equi-join on
+    (table, bucket), never n²."""
+    def bucketed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            b = with_lsh_bucket(
+                df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed + 1000 * t
+            )
+            parts.append(
+                b.select(
+                    F.col(id_col).alias(out_id),
+                    F.col(vec_col).alias(out_vec),
+                    F.lit(t).alias("lsh_table"),
+                    F.col("lsh_bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    q = bucketed(queries, "query_id", "__qvec")
+    c = bucketed(corpus, "neighbor_id", "__cvec")
     scored = (
-        q.join(c, "lsh_bucket")
+        q.join(c, ["lsh_table", "lsh_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
