@@ -130,12 +130,30 @@ def q(name: str, sql: str | None, *, cols: Sequence[str] | None = None,
     return deco
 
 
+def ensure_session_defaults(spark: SparkSession) -> None:
+    """The driver calls queries with ITS OWN SparkSession. Two of its
+    possible defaults would silently break oracle parity, so pin them
+    per call (both are runtime-settable SQL confs):
+
+    - ``spark.sql.ansi.enabled``: Spark 4 defaults to ANSI=true, where
+      x/0 raises instead of yielding NULL (this engine documents
+      pandas-style permissive arithmetic, and the DuckDB oracles
+      assume NULL);
+    - ``spark.sql.session.timeZone``: epoch-based bucketing of the
+      NTZ parquet timestamps must interpret wall-clock as UTC to
+      match DuckDB's naive-epoch semantics.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, normalizing TIMESTAMP_NTZ columns (parquet
     written without UTC adjustment) to session-UTC timestamps so window
     frames, epoch casts, and unions behave uniformly downstream."""
     from pyspark.sql import types as T
 
+    ensure_session_defaults(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for f_ in df.schema.fields:
         if isinstance(f_.dataType, T.TimestampNTZType):
@@ -148,6 +166,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet reader rejects; read them as raw longs and rebuild a
     microsecond timestamp with integer division (truncation toward
     zero on positive epochs == DuckDB's ns→µs read)."""
+    ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
