@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
         m,
         keys=["suppkey"],
         ts_col="timestamp",
-        order_cols=["timestamp", "okey", "lnum"],
+        order_cols=["timestamp", "okey", "lnum", "pkey"],
         dropna_final=True,
     )
 

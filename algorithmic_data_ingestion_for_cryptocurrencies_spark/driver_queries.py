@@ -177,14 +177,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 KEYS = ["suppkey"]
-ORDER = ["ts", "okey", "lnum"]
+ORDER = ["ts", "okey", "lnum", "pkey"]
 PART = "suppkey"
-ORD = "ts, okey, lnum"
+ORD = "ts, okey, lnum, pkey"
 IDS = ["suppkey", "ts", "okey", "lnum"]
 
 MARKET_SQL = (
     "SELECT l_suppkey AS suppkey, l_shipdate AS ts, l_orderkey AS okey, "
-    "l_linenumber AS lnum, l_extendedprice AS close, "
+    "l_linenumber AS lnum, l_partkey AS pkey, l_extendedprice AS close, "
     "l_extendedprice * (1 + l_discount) AS high, "
     "l_extendedprice * (1 - l_discount) AS low, "
     "l_quantity AS volume FROM lineitem"
@@ -198,6 +198,7 @@ def _market(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").alias("ts"),
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("pkey"),
         F.col("l_extendedprice").alias("close"),
         (F.col("l_extendedprice") * (F.lit(1) + F.col("l_discount"))).alias("high"),
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("low"),
@@ -344,7 +345,7 @@ def w08(spark, sf_dir):
 
 # --- W9-W11: EWM family ----------------------------------------------------
 
-_EMA_KEEP = ["suppkey", "ts", "okey", "lnum", "close", "volume", "high", "low"]
+_EMA_KEEP = ["suppkey", "ts", "okey", "lnum", "pkey", "close", "volume", "high", "low"]
 
 _W09_SQL = ewm_sql(
     ewm_sql(
@@ -408,12 +409,12 @@ FROM ("""
         ewm_sql(
             _GAINS_SQL, "__gain", "avg_gain",
             keys=[PART], order=ORDER,
-            keep=["suppkey", "ts", "okey", "lnum", "__loss"],
+            keep=["suppkey", "ts", "okey", "lnum", "pkey", "__loss"],
             alpha=1.0 / 14,
         ),
         "__loss", "avg_loss",
         keys=[PART], order=ORDER,
-        keep=["suppkey", "ts", "okey", "lnum", "avg_gain"],
+        keep=["suppkey", "ts", "okey", "lnum", "pkey", "avg_gain"],
         alpha=1.0 / 14,
     )
     + ")"
@@ -438,11 +439,11 @@ _MACD_STAGE = (
         ewm_sql(
             MARKET_SQL, "close", "__ema_fast",
             keys=[PART], order=ORDER,
-            keep=["suppkey", "ts", "okey", "lnum", "close"], span=12, k=_K_MACD,
+            keep=["suppkey", "ts", "okey", "lnum", "pkey", "close"], span=12, k=_K_MACD,
         ),
         "close", "__ema_slow",
         keys=[PART], order=ORDER,
-        keep=["suppkey", "ts", "okey", "lnum", "close", "__ema_fast"], span=26, k=_K_MACD,
+        keep=["suppkey", "ts", "okey", "lnum", "pkey", "close", "__ema_fast"], span=26, k=_K_MACD,
     )
     + ")"
 )
@@ -454,7 +455,7 @@ FROM ("""
     + ewm_sql(
         _MACD_STAGE, "macd", "macd_signal_9",
         keys=[PART], order=ORDER,
-        keep=["suppkey", "ts", "okey", "lnum", "macd"], span=9,
+        keep=["suppkey", "ts", "okey", "lnum", "pkey", "macd"], span=9,
     )
     + ")"
 )
@@ -738,7 +739,7 @@ def u5(spark, sf_dir):
 
 # --- flagship composite (entry() runs this at sf0.001) ---------------------
 
-_BMF_KEEP = ["suppkey", "ts", "okey", "lnum", "close", "high", "low", "volume"]
+_BMF_KEEP = ["suppkey", "ts", "okey", "lnum", "pkey", "close", "high", "low", "volume"]
 
 _BMF_EWM = ewm_sql(
     ewm_sql(
@@ -801,6 +802,7 @@ def market_series_frame(spark, sf_dir):
         F.col("l_shipdate").alias("ts"),
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("lnum"),
+        F.col("l_partkey").alias("pkey"),
         F.col("l_extendedprice").alias("close"),
         (F.col("l_extendedprice") * (F.lit(1) + F.col("l_discount"))).alias("high"),
         (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("low"),
@@ -1574,7 +1576,7 @@ def s_store_roundtrip(spark, sf_dir):
     "w25_trend_flag",
     f"""SELECT suppkey, ts, okey, lnum,
         CAST((__sma - LAG(__sma, 1) {_over()}) > 0 AS INT) AS trend_up
-        FROM (SELECT suppkey, ts, okey, lnum, {_roll('AVG', 'close', 10)} AS __sma
+        FROM (SELECT suppkey, ts, okey, lnum, pkey, {_roll('AVG', 'close', 10)} AS __sma
               FROM ({MARKET_SQL}))""",
     cols=IDS + ["trend_up"],
 )
