@@ -1748,3 +1748,149 @@ def u_media(spark, sf_dir):
         F.encode("text", "utf-8").alias("content"),
     )
     return media_features(docs)
+
+
+# --------------------------------------------------------------------------
+# Training-matrix flow (SURVEY §3.4): weekly bars -> feature stage ->
+# social/news resample joins -> labels. The reference's flagship
+# batch-analytics pipeline (build_training_matrix.py:92-165), end to
+# end with a full oracle.
+# --------------------------------------------------------------------------
+
+_TM_PART = "symbol"
+_TM_ORD = "timestamp"
+
+
+def _tm_over(frame: str = "") -> str:
+    tail = f" {frame}" if frame else ""
+    return f"OVER (PARTITION BY {_TM_PART} ORDER BY {_TM_ORD}{tail})"
+
+
+def _tm_roll(fn_sql: str, col: str, n: int) -> str:
+    fr = f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+    return (
+        f"CASE WHEN COUNT({col}) {_tm_over(fr)} >= {n} "
+        f"THEN {fn_sql}({col}) {_tm_over(fr)} END"
+    )
+
+
+_BARS_SQL = """
+SELECT CAST(l_suppkey AS VARCHAR) AS symbol, 'lake' AS exchange, '1w' AS timeframe,
+       TO_TIMESTAMP(__e - __e % 604800) AS timestamp,
+       MAX(l_extendedprice) AS close,
+       MAX(l_extendedprice * (1 + l_discount)) AS high,
+       MIN(l_extendedprice * (1 - l_discount)) AS low,
+       SUM(l_quantity) AS volume
+FROM (SELECT *, CAST(FLOOR(EPOCH(l_shipdate)) AS BIGINT) AS __e FROM lineitem)
+GROUP BY 1, 2, 3, 4"""
+
+_TM_KEEP = ["symbol", "exchange", "timeframe", "timestamp", "close", "high", "low", "volume"]
+
+_TM_EWM = ewm_sql(
+    ewm_sql(
+        _BARS_SQL, "close", "ema_12",
+        keys=[_TM_PART], order=[_TM_ORD], keep=_TM_KEEP, span=12, k=_K_MACD,
+    ),
+    "close", "ema_26",
+    keys=[_TM_PART], order=[_TM_ORD], keep=_TM_KEEP + ["ema_12"], span=26, k=_K_MACD,
+)
+
+_TM_SIG = ewm_sql(
+    "SELECT *, ema_12 - ema_26 AS macd FROM (" + _TM_EWM + ")",
+    "macd", "macd_signal_9",
+    keys=[_TM_PART], order=[_TM_ORD],
+    keep=_TM_KEEP + ["ema_12", "ema_26", "macd"], span=9,
+)
+
+_TM_FEATS = f"""
+SELECT *,
+       {_tm_roll('STDDEV_SAMP', 'logret_1', 5)} AS rvol_5,
+       {_tm_roll('STDDEV_SAMP', 'logret_1', 20)} AS rvol_20,
+       100.0 - (100.0 / (1.0 + ({_tm_roll('AVG', '__rup', 14)}) / NULLIF({_tm_roll('AVG', '__rdown', 14)}, 0.0))) AS rsi_14
+FROM (
+  SELECT *,
+         CASE WHEN __delta > 0 THEN __delta ELSE 0.0 END AS __rup,
+         CASE WHEN __delta < 0 THEN -__delta ELSE 0.0 END AS __rdown,
+         (close - LAG(close, 1) {_tm_over()}) / NULLIF(LAG(close, 1) {_tm_over()}, 0) AS ret_1,
+         LN(NULLIF(close, 0)) - LAG(LN(NULLIF(close, 0)), 1) {_tm_over()} AS logret_1,
+         (high - low) / NULLIF(close, 0) AS hl_spread,
+         SUM(CASE WHEN __delta IS NULL THEN 0.0 ELSE SIGN(__delta) END * COALESCE(volume, 0.0)) {_tm_over('ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW')} AS oi_obv
+  FROM (SELECT *, close - LAG(close, 1) {_tm_over()} AS __delta FROM ({_TM_SIG}))
+)"""
+
+_SOCIAL_AGG_SQL = """
+SELECT TO_TIMESTAMP(__e - __e % 604800) AS timestamp,
+       AVG(value) AS sentiment_mean, COUNT(event_id) AS social_n
+FROM (SELECT *, CAST(FLOOR(EPOCH(ts - INTERVAL 28 YEAR)) AS BIGINT) AS __e FROM events)
+GROUP BY 1"""
+
+_NEWS_AGG_SQL = """
+SELECT TO_TIMESTAMP(__e - __e % 604800) AS timestamp, COUNT(event_id) AS news_n
+FROM (SELECT *, CAST(FLOOR(EPOCH(ts - INTERVAL 28 YEAR)) AS BIGINT) AS __e
+      FROM events WHERE event_type = 'click')
+GROUP BY 1"""
+
+_TM_FEATURES = [
+    "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+    "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv",
+]
+
+_TM_SQL = f"""
+SELECT symbol, timestamp, {', '.join(_TM_FEATURES)}, close,
+       sentiment_mean, social_n, news_n, ret_next,
+       CAST(ret_next > 0 AS INT) AS y_dir
+FROM (
+  SELECT f.*,
+         COALESCE(s.sentiment_mean, 0) AS sentiment_mean,
+         COALESCE(s.social_n, 0) AS social_n,
+         COALESCE(n.news_n, 0) AS news_n,
+         LEAD(f.ret_1, 1) {_tm_over()} AS ret_next
+  FROM (
+    SELECT * FROM ({_TM_FEATS})
+    WHERE COALESCE({', '.join(_TM_FEATURES)}) IS NOT NULL
+  ) f
+  LEFT JOIN ({_SOCIAL_AGG_SQL}) s USING (timestamp)
+  LEFT JOIN ({_NEWS_AGG_SQL}) n USING (timestamp)
+)
+WHERE ret_next IS NOT NULL"""
+
+
+@q(
+    "training_matrix",
+    _TM_SQL,
+    cols=["symbol", "timestamp"] + _TM_FEATURES
+    + ["close", "sentiment_mean", "social_n", "news_n", "ret_next", "y_dir"],
+    fcols=_TM_FEATURES + ["close", "sentiment_mean", "ret_next"],
+)
+def training_matrix(spark, sf_dir):
+    from .datasets.training import build_training_matrix
+
+    base = market_series_frame(spark, sf_dir)
+    bars = resample(
+        base,
+        "1w",
+        {
+            "close": F.max("close"),
+            "high": F.max("high"),
+            "low": F.min("low"),
+            "volume": F.sum("volume"),
+        },
+        ts_col="ts",
+        keys=["symbol", "exchange", "timeframe"],
+        bucket_out="timestamp",
+    ).withColumn("timeframe", F.lit("1w"))
+    ev = _events(spark, sf_dir).withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 28 YEARS")
+    )
+    social = ev.select("ts", F.col("event_id").alias("id"),
+                       F.col("value").alias("sentiment_score"))
+    news = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("published_at"), F.col("event_id").alias("id")
+    )
+    out = build_training_matrix(
+        bars, social=social, news=news, timeframe="1w", ts_col="timestamp"
+    )
+    return out.select(
+        "symbol", "timestamp", *_TM_FEATURES, "close",
+        "sentiment_mean", "social_n", "news_n", "ret_next", "y_dir",
+    )
