@@ -36,6 +36,7 @@ HEADLINE = [
     "sim_knn_join",
     "sim_near_pairs",
     "text_quality",
+    "training_matrix",
 ]
 
 
