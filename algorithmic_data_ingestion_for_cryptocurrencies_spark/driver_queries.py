@@ -42,7 +42,7 @@ from .operators.ewm import block_size_for, ewm_sql, with_ewm
 
 # with_macd fuses the fast/slow EMAs with a SHARED block size; the
 # oracle renderings must use the same k for bit parity
-_K_MACD = max(block_size_for(span=12), block_size_for(span=26))
+_K_MACD = max(block_size_for(span=12), block_size_for(span=26), block_size_for(span=9))
 from .operators.indicators import (
     with_adx,
     with_atr,
@@ -455,7 +455,7 @@ FROM ("""
     + ewm_sql(
         _MACD_STAGE, "macd", "macd_signal_9",
         keys=[PART], order=ORDER,
-        keep=["suppkey", "ts", "okey", "lnum", "pkey", "macd"], span=9,
+        keep=["suppkey", "ts", "okey", "lnum", "pkey", "macd"], span=9, k=_K_MACD,
     )
     + ")"
 )
@@ -755,7 +755,7 @@ _BMF_MACD = "SELECT *, ema_12 - ema_26 AS macd FROM (" + _BMF_EWM + ")"
 _BMF_SIG = ewm_sql(
     _BMF_MACD, "macd", "macd_signal_9",
     keys=[PART], order=ORDER,
-    keep=_BMF_KEEP + ["ema_12", "ema_26", "macd"], span=9,
+    keep=_BMF_KEEP + ["ema_12", "ema_26", "macd"], span=9, k=_K_MACD,
 )
 
 _BMF_SQL = f"""
@@ -1799,7 +1799,7 @@ _TM_SIG = ewm_sql(
     "SELECT *, ema_12 - ema_26 AS macd FROM (" + _TM_EWM + ")",
     "macd", "macd_signal_9",
     keys=[_TM_PART], order=[_TM_ORD],
-    keep=_TM_KEEP + ["ema_12", "ema_26", "macd"], span=9,
+    keep=_TM_KEEP + ["ema_12", "ema_26", "macd"], span=9, k=_K_MACD,
 )
 
 _TM_FEATS = f"""

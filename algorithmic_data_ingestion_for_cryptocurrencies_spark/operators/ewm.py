@@ -130,6 +130,7 @@ def with_ewm_multi(
     keys: Sequence[str],
     order: str | Sequence[str],
     k: int | None = None,
+    keep_stage: bool = False,
 ) -> DataFrame:
     """Compute several EWMs in one fused pass: all specs share the
     block size ``k`` (default: max of the per-spec sizes) so their
@@ -137,14 +138,21 @@ def with_ewm_multi(
     every per-block sum/boundary/chain in a shared WindowExec instead
     of re-sorting per EWM (a MACD goes from 8 window stages to 4).
 
-    Each spec: ``{col, out, span|alpha|com}``.
+    Each spec: ``{col, out, span|alpha|com}`` plus optional
+    ``pos_col`` — derive positions from that column's null pattern
+    instead of the spec's own (valid whenever the two patterns are
+    provably identical, e.g. a MACD line vs its source close: it lets
+    a dependent second pass reuse the staged block columns and hence
+    the same window partitioning). ``keep_stage=True`` leaves the
+    staged position columns in place for such a follow-up pass (the
+    follow-up, run without ``keep_stage``, drops them).
     """
     parsed = []
     for s in specs:
         a = _alpha(s.get("span"), s.get("alpha"), s.get("com"))
-        parsed.append((s["col"], s["out"], a, 1.0 - a))
-    k = k or max(_block_size(r) for _c, _o, _a, r in parsed)
-    for _c, _o, _a, r in parsed:
+        parsed.append((s["col"], s["out"], a, 1.0 - a, s.get("pos_col", s["col"])))
+    k = k or max(_block_size(r) for _c, _o, _a, r, _p in parsed)
+    for _c, _o, _a, r, _p in parsed:
         if r > 0.0 and k * -math.log10(r) > 300:
             raise ValueError(
                 f"shared block size {k} overflows r^-k for r={r}; "
@@ -159,29 +167,32 @@ def with_ewm_multi(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    # stage shared per-input-column position columns once
-    cols = list(dict.fromkeys(c for c, _o, _a, _r in parsed))
+    # stage shared per-position-column block columns once (reusing any
+    # left by a previous keep_stage pass — same k is the caller's
+    # responsibility and is what makes the window specs line up)
+    cols = list(dict.fromkeys(p for _c, _o, _a, _r, p in parsed))
     stage: dict[str, tuple[str, str, str]] = {}
     tmp: list[str] = []
     for c in cols:
         x_idx, x_b, x_p = f"__mew_{c}_idx", f"__mew_{c}_b", f"__mew_{c}_p"
-        df = df.withColumn(x_idx, F.count(F.col(c)).over(w_cum) - F.lit(1))
-        df = df.withColumn(
-            x_b,
-            F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(
-                F.lit(0)
-            ),
-        )
-        df = df.withColumn(
-            x_p,
-            F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
-        )
+        if x_idx not in df.columns:
+            df = df.withColumn(x_idx, F.count(F.col(c)).over(w_cum) - F.lit(1))
+            df = df.withColumn(
+                x_b,
+                F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(
+                    F.lit(0)
+                ),
+            )
+            df = df.withColumn(
+                x_p,
+                F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
+            )
         stage[c] = (x_idx, x_b, x_p)
         tmp += [x_idx, x_b, x_p]
 
-    for c, out, a, r in parsed:
+    for c, out, a, r, pos in parsed:
         hi, lo, rho = _pow_tables(r, k)
-        x_idx, x_b, x_p = stage[c]
+        x_idx, x_b, x_p = stage[pos]
         x_u, x_L, x_Le = f"__{out}_u", f"__{out}_L", f"__{out}_Le"
 
         hi_arr = F.array(*[F.lit(v) for v in hi])
@@ -219,6 +230,9 @@ def with_ewm_multi(
         df = df.withColumn(out, F.when(F.col(x_idx) >= 0, y))
         tmp += [x_u, x_L, x_Le]
 
+    if keep_stage:
+        staged = {c for names in stage.values() for c in names}
+        tmp = [c for c in tmp if c not in staged]
     return df.drop(*tmp)
 
 

@@ -125,10 +125,21 @@ def with_macd(df: DataFrame, col: str, *, keys, order,
               keep_emas: bool = False) -> DataFrame:
     """MACD line / signal / histogram — ``ta_indicators.py:79-89``.
 
-    Fast/slow EMAs run fused (shared block size → shared window
-    partitioning → one WindowExec pass); the signal EWM depends on the
-    MACD column so it is necessarily a second pass.
+    All THREE EWMs share one block structure: fast/slow run fused, and
+    the signal pass (which must follow the MACD projection) reuses the
+    staged position columns via ``pos_col`` — valid because the MACD
+    line's null pattern equals the close's (ema null iff close's
+    position index < 0) — so every EWM window shares the same
+    partition spec and Catalyst keeps the whole family in one sort
+    chain.
     """
+    from .ewm import block_size_for
+
+    k = max(
+        block_size_for(span=fast),
+        block_size_for(span=slow),
+        block_size_for(span=signal),
+    )
     df = with_ewm_multi(
         df,
         [
@@ -137,10 +148,24 @@ def with_macd(df: DataFrame, col: str, *, keys, order,
         ],
         keys=keys,
         order=order,
+        k=k,
+        keep_stage=True,
     )
     df = df.withColumn(macd_out, F.col("__ema_fast") - F.col("__ema_slow"))
-    df = with_ewm(df, macd_out, signal_out or f"macd_signal_{signal}",
-                  keys=keys, order=order, span=signal)
+    df = with_ewm_multi(
+        df,
+        [
+            {
+                "col": macd_out,
+                "out": signal_out or f"macd_signal_{signal}",
+                "span": signal,
+                "pos_col": col,
+            }
+        ],
+        keys=keys,
+        order=order,
+        k=k,
+    )
     if hist_out:
         df = df.withColumn(
             hist_out, F.col(macd_out) - F.col(signal_out or f"macd_signal_{signal}")
