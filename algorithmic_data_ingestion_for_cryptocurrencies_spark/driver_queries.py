@@ -1894,3 +1894,35 @@ def training_matrix(spark, sf_dir):
         "symbol", "timestamp", *_TM_FEATURES, "close",
         "sentiment_mean", "social_n", "news_n", "ret_next", "y_dir",
     )
+
+
+# --------------------------------------------------------------------------
+# Strategy signals (HistoricalDataTest.py:83-103 pipeline, minus the
+# out-of-scope vectorbt backtest).
+# --------------------------------------------------------------------------
+
+@q(
+    "u6_sma_crossover_signals",
+    f"""SELECT suppkey, ts, okey, lnum,
+        CAST(__crossed = 1 AS INT) AS entry_sig,
+        CAST(__crossed = -1 AS INT) AS exit_sig,
+        COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
+                                 WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
+                 {_over(_CUM)}, 0) AS position
+FROM (
+  SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
+  FROM (
+    SELECT *, CAST(({_roll('AVG', 'close', 10)}) > ({_roll('AVG', 'close', 50)}) AS INT) AS __above
+    FROM ({MARKET_SQL})
+  )
+)""",
+    cols=IDS + ["entry_sig", "exit_sig", "position"],
+)
+def u6_signals(spark, sf_dir):
+    from .operators.signals import with_sma_crossover_signals
+
+    m = _market(spark, sf_dir)
+    out = with_sma_crossover_signals(
+        m, "close", 10, 50, keys=KEYS, order=ORDER
+    )
+    return out.select(*IDS, "entry_sig", "exit_sig", "position")
