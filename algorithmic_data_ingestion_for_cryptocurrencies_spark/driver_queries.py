@@ -1926,3 +1926,49 @@ def u6_signals(spark, sf_dir):
         m, "close", 10, 50, keys=KEYS, order=ORDER
     )
     return out.select(*IDS, "entry_sig", "exit_sig", "position")
+
+
+# --------------------------------------------------------------------------
+# Engine-level aggregate surface beyond the reference (SURVEY §7.1
+# north-star): grouping sets (ROLLUP/CUBE) and approximate aggregates.
+# --------------------------------------------------------------------------
+
+@q(
+    "agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    cols=["l_returnflag", "l_linestatus", "n", "sum_qty"],
+    fcols=["sum_qty"],
+)
+def agg_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@q(
+    "agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    cols=["l_returnflag", "l_linestatus", "n", "sum_qty"],
+    fcols=["sum_qty"],
+)
+def agg_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@q("agg_approx", None)
+def agg_approx(spark, sf_dir):
+    # HLL/KLL sketches are engine-specific -> rows-only check; the
+    # accuracy-vs-exact assertion lives in tests/test_approx_aggs.py
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
