@@ -1972,3 +1972,66 @@ def agg_approx(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
         F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# ST7 — sliding + session windows (absent in the reference; free in
+# Spark, exposed as first-class queries).
+# --------------------------------------------------------------------------
+
+@q(
+    "st7_sliding_counts",
+    f"""SELECT TO_TIMESTAMP(s) AS bucket, event_type, COUNT(*) AS n
+        FROM (SELECT event_type, UNNEST([__h, __h - 3600]) AS s
+              FROM (SELECT event_type, {_EV_EPOCH} - {_EV_EPOCH} % 3600 AS __h
+                    FROM events))
+        GROUP BY 1, 2""",
+    cols=["bucket", "event_type", "n"],
+)
+def st7_sliding(spark, sf_dir):
+    """2h windows sliding every 1h: each event lands in exactly two
+    windows (start inclusive / end exclusive, Spark F.window parity)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+
+
+@q(
+    "st7_session_window",
+    """SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM (
+  SELECT *, SUM(__new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __sid
+  FROM (SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE OR
+                            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       THEN 1 ELSE 0 END AS __new
+        FROM events)
+)
+GROUP BY user_id, __sid""",
+    cols=["user_id", "session_start", "session_end", "n_events"],
+)
+def st7_session(spark, sf_dir):
+    """30-minute-gap session windows per user (F.session_window:
+    window.end = last event + gap)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
