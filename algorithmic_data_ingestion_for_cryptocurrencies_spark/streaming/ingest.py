@@ -31,6 +31,34 @@ def read_file_stream(
     )
 
 
+def read_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema: StructType,
+    *,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """The production source line (S4): exchange websocket fan-in lands
+    on a Kafka topic; everything downstream of this reader is identical
+    to the file-stream test path. Requires the spark-sql-kafka
+    connector on the classpath (not bundled in the test container —
+    the stream will fail at start() without it, which is why tests use
+    :func:`read_file_stream`)."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
 def start_market_ingest(
     stream_df: DataFrame,
     *,
