@@ -2035,3 +2035,18 @@ def st7_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@q("sim_ivf_topk", None)
+def sim_ivf(spark, sf_dir):
+    # IVF inverted-file ANN (coarse k-means quantizer + nprobe lists +
+    # exact rerank): kmeans assignment has no DuckDB twin → rows-only;
+    # recall-vs-exact asserted in tests (0.96 @ nprobe=8 on sf0.01)
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(
+        queries, emb, k=5, id_col="vec_id", vec_col="embedding",
+        n_centroids=16, nprobe=8,
+    )

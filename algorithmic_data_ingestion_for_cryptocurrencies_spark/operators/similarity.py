@@ -232,3 +232,91 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Deterministic Lloyd iterations, pure DataFrame ops: seeds are
+    the k lowest-id vectors (deterministic), each iteration assigns
+    points to the nearest centroid (broadcast join + min_by) and
+    recomputes the mean. Exact k-means is not the goal — IVF only
+    needs a stable coarse quantizer. Returns (centroid_id, centroid).
+    """
+    seeds = (
+        df.orderBy(F.col(id_col)).limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .rdd.zipWithIndex()
+        .map(lambda r: (r[1], r[0]["centroid"]))
+        .toDF(["centroid_id", "centroid"])
+    )
+    centroids = seeds
+    dims = None
+    for _ in range(iterations):
+        assigned = (
+            df.crossJoin(F.broadcast(centroids))
+            .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+            .groupBy(id_col, vec_col)
+            .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+        )
+        if dims is None:
+            dims = len(assigned.select(vec_col).first()[0])
+        centroids = assigned.groupBy("centroid_id").agg(
+            F.array(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
+                    for i in range(dims)
+                ]
+            ).cast("array<float>").alias("centroid")
+        )
+    return centroids
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate k-NN — the inverted-file scale path (the other
+    standard construction next to LSH): corpus vectors are listed
+    under their nearest coarse centroid; each query probes only the
+    ``nprobe`` nearest lists and reranks exactly. The expensive join
+    touches ~``nprobe/n_centroids`` of the corpus, and every stage is
+    an equi-join on centroid_id — never n².
+    """
+    cents = kmeans_centroids(corpus, n_centroids, vec_col=vec_col, id_col=id_col)
+
+    corpus_l = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+        .groupBy(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__d").desc(), F.col("centroid_id")
+    )
+    query_probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+    scored = (
+        query_probes.join(corpus_l, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,75 @@
+"""IVF ANN recall and the ST5 gap-detect -> backfill -> verify round
+trip (the reference's §3.3 admin flow)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+    ivf_topk,
+    knn_join,
+)
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in knn_join(q, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, k=5, n_centroids=16, nprobe=8).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_gap_detect_and_backfill_roundtrip(spark):
+    """§3.3 parity: write features with a hole, detect exactly the
+    missing bars, backfill them, verify the gap closes."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.feature_store import (
+        FeatureStore,
+    )
+
+    import pandas as pd
+
+    n = 48
+    ts = pd.date_range("2024-01-01", periods=n, freq="1h")
+    pdf = pd.DataFrame(
+        {
+            "timestamp": ts.astype("datetime64[us]"),
+            "symbol": "BTC/USDT",
+            "timeframe": "1h",
+            "value": np.arange(n, dtype=float),
+        }
+    )
+    hole = pdf.iloc[10:20]          # 10 missing bars
+    present = pd.concat([pdf.iloc[:10], pdf.iloc[20:]])
+
+    with tempfile.TemporaryDirectory() as tmp:
+        store = FeatureStore(spark, tmp)
+        store.write(spark.createDataFrame(present), domain="market")
+
+        missing = store.find_missing_bars(
+            "market", "BTC/USDT", "1h", "2024-01-01 00:00:00", "2024-01-02 23:00:00"
+        )
+        got = sorted(r["expected_ts"] for r in missing.collect())
+        assert got == sorted(hole["timestamp"].dt.to_pydatetime())
+
+        # backfill exactly the missing bars, then the gap is closed
+        store.write(spark.createDataFrame(hole), domain="market")
+        assert (
+            store.find_missing_bars(
+                "market", "BTC/USDT", "1h", "2024-01-01 00:00:00", "2024-01-02 23:00:00"
+            ).count()
+            == 0
+        )
+        # and the store serves the full contiguous range
+        full = store.range_read(
+            "market", "BTC/USDT", "1h",
+            int(pd.Timestamp("2024-01-01").timestamp()),
+            int(pd.Timestamp("2024-01-02 23:00:00").timestamp()),
+        )
+        assert full.count() == n
