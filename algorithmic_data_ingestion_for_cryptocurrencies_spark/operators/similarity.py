@@ -248,15 +248,16 @@ def kmeans_centroids(
     recomputes the mean. Exact k-means is not the goal — IVF only
     needs a stable coarse quantizer. Returns (centroid_id, centroid).
     """
-    seeds = (
-        df.orderBy(F.col(id_col)).limit(k)
-        .select(F.col(vec_col).alias("centroid"))
-        .rdd.zipWithIndex()
-        .map(lambda r: (r[1], r[0]["centroid"]))
-        .toDF(["centroid_id", "centroid"])
-    )
-    centroids = seeds
-    dims = None
+    spark = df.sparkSession
+    seed_rows = [
+        (i, r[0])
+        for i, r in enumerate(
+            df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+        )
+    ]
+    dims = len(seed_rows[0][1])
+    schema = "centroid_id int, centroid array<float>"
+    centroids = spark.createDataFrame(seed_rows, schema)
     for _ in range(iterations):
         assigned = (
             df.crossJoin(F.broadcast(centroids))
@@ -264,15 +265,20 @@ def kmeans_centroids(
             .groupBy(id_col, vec_col)
             .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
         )
-        if dims is None:
-            dims = len(assigned.select(vec_col).first()[0])
-        centroids = assigned.groupBy("centroid_id").agg(
+        new = assigned.groupBy("centroid_id").agg(
             F.array(
                 *[
                     F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
                     for i in range(dims)
                 ]
             ).cast("array<float>").alias("centroid")
+        )
+        # materialize between iterations: k rows collected to literals
+        # keeps each Lloyd step a SHALLOW plan instead of nesting the
+        # previous iterations' joins (k is tiny by construction — the
+        # coarse quantizer has dozens of centroids, not millions)
+        centroids = spark.createDataFrame(
+            [(r["centroid_id"], r["centroid"]) for r in new.collect()], schema
         )
     return centroids
 

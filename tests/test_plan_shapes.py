@@ -70,3 +70,42 @@ def test_global_zscore_avoids_global_window(spark, ohlcv_sdf):
     # agg + broadcast join, NOT a Window over an empty partition spec
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
+    """Bucketing evidence for the 100 TB path: two tables bucketed on
+    the join key co-locate, so the sort-merge join runs with NO
+    Exchange on either side (the pre-shuffled layout a nightly
+    pipeline would maintain for its hottest join keys)."""
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="adi_wh_")
+    orders = spark.range(10_000).selectExpr(
+        "id AS o_orderkey", "id % 97 AS o_custkey", "cast(id * 1.5 as double) AS total"
+    )
+    lines = spark.range(40_000).selectExpr(
+        "id % 10000 AS l_orderkey", "cast(id % 7 as double) AS qty"
+    )
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lines")
+    # external tables: warehouse.dir is a static conf on a shared session
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", f"{wh}/b_orders").saveAsTable("b_orders"))
+    (lines.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", f"{wh}/b_lines").saveAsTable("b_lines"))
+
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lines"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = explain_str(j, "formatted")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert j.count() == 40_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lines")
