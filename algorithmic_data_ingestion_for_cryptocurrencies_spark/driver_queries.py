@@ -2050,3 +2050,34 @@ def sim_ivf(spark, sf_dir):
         queries, emb, k=5, id_col="vec_id", vec_col="embedding",
         n_centroids=16, nprobe=8,
     )
+
+
+@q(
+    "a6b_robust_stats",
+    """SELECT okey, lnum,
+       (price - __med) / NULLIF(__mad, 0.0) AS robust_z,
+       LEAST(GREATEST(price, __qlo), __qhi) AS price_clipped
+FROM (
+  SELECT l_orderkey AS okey, l_linenumber AS lnum, l_extendedprice AS price,
+         (SELECT QUANTILE_CONT(l_extendedprice, 0.5) FROM lineitem) AS __med,
+         (SELECT QUANTILE_CONT(ABS(l_extendedprice -
+             (SELECT QUANTILE_CONT(l_extendedprice, 0.5) FROM lineitem)), 0.5)
+          FROM lineitem) AS __mad,
+         (SELECT QUANTILE_CONT(l_extendedprice, 0.01) FROM lineitem) AS __qlo,
+         (SELECT QUANTILE_CONT(l_extendedprice, 0.99) FROM lineitem) AS __qhi
+  FROM lineitem
+)""",
+    cols=["okey", "lnum", "robust_z", "price_clipped"],
+    fcols=["robust_z", "price_clipped"],
+)
+def a6b_robust(spark, sf_dir):
+    from .operators.rolling import with_quantile_clip, with_robust_zscore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    out = with_robust_zscore(li, "price", out="robust_z")
+    out = with_quantile_clip(out, "price", 0.01, 0.99, out="price_clipped")
+    return out.select("okey", "lnum", "robust_z", "price_clipped")

@@ -210,3 +210,65 @@ def with_global_zscore(
     return joined.withColumn(
         out, (F.col(col) - F.col("__mu")) / F.nullif(F.col("__sd"), F.lit(0))
     ).drop("__mu", "__sd")
+
+
+def with_robust_zscore(
+    df: DataFrame,
+    col: str,
+    out: str = "robust_z",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Median/MAD z-score — the outlier-resistant twin of
+    :func:`with_global_zscore` (reference's global standardization,
+    ``onchain_features.py:73-78``, hardened for fat-tailed on-chain
+    series). Two exact-percentile aggregation passes + a broadcast
+    join; no global window."""
+    if keys:
+        med = df.groupBy(*keys).agg(
+            F.percentile(col, F.lit(0.5)).alias("__med")
+        )
+        j1 = df.join(F.broadcast(med), list(keys), "left")
+    else:
+        med = df.agg(F.percentile(col, F.lit(0.5)).alias("__med"))
+        j1 = df.crossJoin(F.broadcast(med))
+    j1 = j1.withColumn("__absdev", F.abs(F.col(col) - F.col("__med")))
+    if keys:
+        mad = j1.groupBy(*keys).agg(
+            F.percentile("__absdev", F.lit(0.5)).alias("__mad")
+        )
+        j2 = j1.join(F.broadcast(mad), list(keys), "left")
+    else:
+        mad = j1.agg(F.percentile("__absdev", F.lit(0.5)).alias("__mad"))
+        j2 = j1.crossJoin(F.broadcast(mad))
+    return j2.withColumn(
+        out, (F.col(col) - F.col("__med")) / F.nullif(F.col("__mad"), F.lit(0.0))
+    ).drop("__med", "__absdev", "__mad")
+
+
+def with_quantile_clip(
+    df: DataFrame,
+    col: str,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out: str | None = None,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Winsorize to the [lo, hi] exact quantiles (pandas ``clip`` with
+    quantile bounds — the reference's clip family generalized). Same
+    agg + broadcast shape as the z-scores."""
+    if keys:
+        q = df.groupBy(*keys).agg(
+            F.percentile(col, F.lit(lo)).alias("__qlo"),
+            F.percentile(col, F.lit(hi)).alias("__qhi"),
+        )
+        j = df.join(F.broadcast(q), list(keys), "left")
+    else:
+        q = df.agg(
+            F.percentile(col, F.lit(lo)).alias("__qlo"),
+            F.percentile(col, F.lit(hi)).alias("__qhi"),
+        )
+        j = df.crossJoin(F.broadcast(q))
+    return j.withColumn(
+        out or f"{col}_clipped",
+        F.least(F.greatest(F.col(col), F.col("__qlo")), F.col("__qhi")),
+    ).drop("__qlo", "__qhi")
