@@ -912,7 +912,7 @@ def a2(spark, sf_dir):
         MAX(CASE WHEN side = 'ask' AND __lvl = 3 THEN amount END) AS ask_depth_3
         FROM (SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY symbol, ts, side
-                ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END, okey, lnum
+                ORDER BY CASE WHEN side = 'bid' THEN -price ELSE price END, okey, lnum, amount
               ) AS __lvl FROM ({BOOK_SQL}))
         WHERE __lvl <= 3
         GROUP BY symbol, ts""",
@@ -923,7 +923,7 @@ def a2(spark, sf_dir):
 )
 def a4(spark, sf_dir):
     return depth_series(
-        _book(spark, sf_dir), 3, keys=["symbol"], tiebreak_cols=["okey", "lnum"]
+        _book(spark, sf_dir), 3, keys=["symbol"], tiebreak_cols=["okey", "lnum", "amount"]
     )
 
 
