@@ -2081,3 +2081,17 @@ def a6b_robust(spark, sf_dir):
     out = with_robust_zscore(li, "price", out="robust_z")
     out = with_quantile_clip(out, "price", 0.01, 0.99, out="price_clipped")
     return out.select("okey", "lnum", "robust_z", "price_clipped")
+
+
+@q("sim_near_pairs_arrow", None)
+def sim_near_pairs_arrow_q(spark, sf_dir):
+    # dense-block (NumPy matmul over Arrow batches) near-pair tier:
+    # ~5x the expression tier on bounded corpora; scores differ from
+    # the exact tier only by float-summation order -> rows-only check
+    # (set-equivalence vs the exact tier asserted in tests)
+    from .operators.similarity import embedding_near_pairs_arrow
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_arrow(
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
+    )

@@ -326,3 +326,56 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_pairs_arrow(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dense-block near-pair tier: the corpus (normalized, float32) is
+    broadcast to every executor and each Arrow batch of rows computes
+    a blocked matrix product against it (NumPy BLAS) — roughly an
+    order of magnitude faster than the per-pair expression tier for
+    bounded corpora (the broadcast caps this at ~1e6 vectors; beyond
+    that the LSH/IVF candidate tiers are the path). Scores differ from
+    the expression tier only by float-summation order, so pairs within
+    ~1e-6 of the threshold may differ — use the exact tier when the
+    boundary matters."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_unit = spark.sparkContext.broadcast(unit)
+    thr = float(threshold)
+
+    def block(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            an = np.linalg.norm(a, axis=1, keepdims=True)
+            an[an == 0] = 1.0
+            sims = (a / an) @ b_unit.value.T
+            aid = pdf[id_col].to_numpy()
+            out_a, out_b, out_c = [], [], []
+            for i in range(sims.shape[0]):
+                hits = np.where(sims[i] >= thr)[0]
+                for j in hits:
+                    if aid[i] < b_ids.value[j]:
+                        out_a.append(aid[i])
+                        out_b.append(int(b_ids.value[j]))
+                        out_c.append(float(sims[i, j]))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        block, schema="id_a long, id_b long, cosine double"
+    )

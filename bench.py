@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "sim_knn_join",
     "sim_near_pairs",
+    "sim_near_pairs_arrow",
     "text_quality",
     "training_matrix",
 ]

@@ -73,3 +73,30 @@ def test_gap_detect_and_backfill_roundtrip(spark):
             int(pd.Timestamp("2024-01-02 23:00:00").timestamp()),
         )
         assert full.count() == n
+
+
+def test_arrow_near_pairs_match_exact_tier(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(emb, 0.3).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs_arrow(emb, 0.3).collect()
+    }
+    # any set difference must sit within float noise of the threshold
+    for pair in set(exact) ^ set(fast):
+        cos = exact.get(pair, fast.get(pair))
+        assert abs(cos - 0.3) < 1e-5
+    # shared pairs agree to float32-matmul precision
+    import numpy as np
+
+    common = set(exact) & set(fast)
+    diffs = np.array([abs(exact[p] - fast[p]) for p in common])
+    assert diffs.max() < 1e-5
