@@ -2095,3 +2095,18 @@ def sim_near_pairs_arrow_q(spark, sf_dir):
     return embedding_near_pairs_arrow(
         emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
     )
+
+
+@q("flagship_arrow", None)
+def flagship_arrow(spark, sf_dir):
+    # alternate PHYSICAL plan for the flagship: one applyInPandas per
+    # series (O(n) C-speed rolling/ewm, single shuffle) — agrees with
+    # the oracle-exact expression plan to float tolerance (test-
+    # asserted); rows-only since pandas float paths are not bit-equal
+    from .operators.indicators import build_market_features_arrow
+
+    m = _market(spark, sf_dir)
+    return build_market_features_arrow(
+        m, keys=["suppkey"], ts_col="ts",
+        order_cols=["ts", "okey", "lnum", "pkey"], id_cols=["okey", "lnum"],
+    )

@@ -386,3 +386,62 @@ def build_market_features(
         ]
         out = out.filter(F.coalesce(*[F.col(c) for c in feature_cols]).isNotNull())
     return out
+
+
+def build_market_features_arrow(
+    df: DataFrame,
+    *,
+    keys: Sequence[str] = ("suppkey",),
+    ts_col: str = "ts",
+    order_cols: Sequence[str] | None = None,
+    id_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Alternate PHYSICAL strategy for the flagship feature stage: one
+    ``applyInPandas`` per series computes every feature in a single
+    O(n) pandas pass (C-speed rolling/ewm) — one shuffle total vs the
+    expression plan's window-stage chain. Same logical features as
+    :func:`build_market_features` (values agree to float tolerance;
+    the expression plan remains the oracle-exact path). Series are
+    bounded per key, so no group outgrows a task — the same contract
+    as ``with_ewm_exact``.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    keys = list(keys)
+    order = list(order_cols) if order_cols is not None else [ts_col]
+    feature_fields = [
+        T.StructField(c, T.DoubleType())
+        for c in (
+            "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+            "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv",
+        )
+    ]
+    out_fields = [df.schema[c] for c in (*keys, *id_cols, ts_col)] + feature_fields
+    schema = T.StructType(out_fields)
+
+    def compute(pdf):
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        close = pdf["close"].astype(float)
+        prev = close.shift(1)
+        out = pdf[[*keys, *id_cols, ts_col]].copy()
+        out["ret_1"] = (close - prev) / prev.replace(0.0, np.nan)
+        logc = np.log(close.replace(0.0, np.nan))
+        out["logret_1"] = logc - logc.shift(1)
+        out["rvol_5"] = out["logret_1"].rolling(5).std()
+        out["rvol_20"] = out["logret_1"].rolling(20).std()
+        out["ema_12"] = close.ewm(span=12, adjust=False).mean()
+        out["ema_26"] = close.ewm(span=26, adjust=False).mean()
+        out["macd"] = out["ema_12"] - out["ema_26"]
+        out["macd_signal_9"] = out["macd"].ewm(span=9, adjust=False).mean()
+        delta = close.diff()
+        up = delta.clip(lower=0).fillna(0.0)
+        down = (-delta).clip(lower=0).fillna(0.0)
+        rs = up.rolling(14).mean() / down.rolling(14).mean().replace(0.0, np.nan)
+        out["rsi_14"] = 100.0 - 100.0 / (1.0 + rs)
+        out["hl_spread"] = (pdf["high"] - pdf["low"]) / close.replace(0.0, np.nan)
+        out["oi_obv"] = (np.sign(delta.fillna(0.0)) * pdf["volume"].fillna(0.0)).cumsum()
+        feature_cols = [f.name for f in feature_fields]
+        return out[out[feature_cols].notna().any(axis=1)]
+
+    return df.groupBy(*keys).applyInPandas(compute, schema=schema)

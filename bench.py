@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_market_features",
+    "flagship_arrow",
     "w08_rolling_median",
     "w09_ema",
     "w17_cci",

@@ -100,3 +100,30 @@ def test_arrow_near_pairs_match_exact_tier(spark):
     common = set(exact) & set(fast)
     diffs = np.array([abs(exact[p] - fast[p]) for p in common])
     assert diffs.max() < 1e-5
+
+
+def test_arrow_flagship_matches_expression_plan(spark):
+    import numpy as np
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import (
+        REGISTRY,
+        _market,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+        build_market_features_arrow,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = build_market_features_arrow(
+        _market(spark, sf), keys=["suppkey"], ts_col="ts",
+        order_cols=["ts", "okey", "lnum", "pkey"], id_cols=["okey", "lnum"],
+    ).toPandas()
+    fn, _sql = REGISTRY["flagship_market_features"]
+    b = fn(spark, sf).toPandas()  # rounded to 1e-6 by the registry
+    mrg = a.merge(b, on=["suppkey", "ts", "okey", "lnum"], suffixes=("_a", "_b"))
+    assert len(mrg) == len(a) == len(b)
+    for c in ["ret_1", "ema_12", "macd_signal_9", "rsi_14", "oi_obv"]:
+        x, y = mrg[c + "_a"].to_numpy(), mrg[c + "_b"].to_numpy()
+        m = ~(np.isnan(x) | np.isnan(y))
+        assert (np.isnan(x) == np.isnan(y)).all()
+        assert np.abs(x[m] - y[m]).max() <= 5.1e-7  # rounding quantum
