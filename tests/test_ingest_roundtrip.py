@@ -186,3 +186,48 @@ def test_training_matrix_with_social_news(spark, ohlcv_rows):
     # zero-filled where no social/news bucket exists
     assert (pdf["social_n"] >= 0).all() and (pdf["news_n"] >= 0).all()
     assert pdf["ret_next"].notna().all()  # unlabeled tail dropped
+
+
+def test_ttl_sweep_and_coalesce_text(spark):
+    """ST8 retention sweep keeps only live rows; P7 text coalescing
+    picks the first non-null candidate column."""
+    import tempfile
+
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.cleaning import (
+        coalesce_text,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.feature_store import (
+        FeatureStore,
+    )
+
+    now = 1_700_100_000
+    pdf = pd.DataFrame(
+        {
+            "timestamp": pd.to_datetime(
+                [now - 10_000, now - 5_000, now - 100, now - 50], unit="s"
+            ).astype("datetime64[us]"),
+            "symbol": "BTC/USDT",
+            "timeframe": "1m",
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        store = FeatureStore(spark, f"{tmp}/store")
+        store.write(spark.createDataFrame(pdf), domain="market")
+        live = store.ttl_sweep(now, ttl_seconds=1_000, out_path=f"{tmp}/live")
+        assert sorted(r["value"] for r in live.collect()) == [3.0, 4.0]
+        assert spark.read.parquet(f"{tmp}/live").count() == 2
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "content": [None, "from content", None],
+                "selftext": ["from selftext", None, None],
+                "summary": [None, None, "from summary"],
+            }
+        )
+    )
+    got = [r["text"] for r in coalesce_text(df).collect()]
+    assert set(got) == {"from selftext", "from content", "from summary"}
