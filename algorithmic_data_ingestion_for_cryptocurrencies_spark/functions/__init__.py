@@ -1,1 +1,1 @@
-from . import cleaning, ml, time_norm  # noqa: F401
+from . import cleaning, ml, payload, time_norm  # noqa: F401

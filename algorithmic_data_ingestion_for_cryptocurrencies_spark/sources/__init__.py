@@ -1,1 +1,1 @@
-from . import lake  # noqa: F401
+from . import adapters, lake  # noqa: F401
