@@ -55,11 +55,15 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one failing query must not null the bench
+            errors[name] = str(e)[:200]
 
     out = {
         "metric": "headline_total",
@@ -68,6 +72,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     if os.environ.get("BENCH_ORACLE"):
         import duckdb
