@@ -2110,3 +2110,91 @@ def flagship_arrow(spark, sf_dir):
         m, keys=["suppkey"], ts_col="ts",
         order_cols=["ts", "okey", "lnum", "pkey"], id_cols=["okey", "lnum"],
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus breadth: windows over an IRREGULAR event series, a TPC-H
+# Q1-style pricing summary, and top-N-per-group.
+# --------------------------------------------------------------------------
+
+_EV_OVER = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+
+
+@q(
+    "w_events_irregular",
+    f"""SELECT user_id, event_id, ts,
+        CASE WHEN COUNT(value) {_EV_OVER.replace(')', ' ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)')} >= 5
+             THEN AVG(value) {_EV_OVER.replace(')', ' ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)')} END AS val_ma5,
+        value - LAG(value, 1) {_EV_OVER} AS val_diff,
+        LIST_REDUCE(LIST_FILTER(
+            LIST(value) {_EV_OVER.replace(')', ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')},
+            v -> v IS NOT NULL), (acc, v) -> acc + v) AS val_cum
+        FROM events""",
+    cols=["user_id", "event_id", "ts", "val_ma5", "val_diff", "val_cum"],
+    fcols=["val_ma5", "val_diff", "val_cum"],
+)
+def w_events_irregular(spark, sf_dir):
+    """The window library on an IRREGULAR (non-bar) event-time series —
+    frames are row-based, so nothing assumes a fixed cadence."""
+    ev = _events(spark, sf_dir)
+    w = series_window(["user_id"], ["ts", "event_id"])
+    return ev.select(
+        "user_id", "event_id", "ts",
+        rolling_mean("value", w, 5).alias("val_ma5"),
+        lag_diff("value", w, 1).alias("val_diff"),
+        cum_sum("value", w).alias("val_cum"),
+    )
+
+
+@q(
+    "tpch_q1_lite",
+    """SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+    cols=["l_returnflag", "l_linestatus", "sum_qty", "avg_qty", "avg_disc", "count_order"],
+    fcols=["sum_qty", "avg_qty", "avg_disc"],
+)
+def tpch_q1_lite(spark, sf_dir):
+    """TPC-H Q1 shape with order-free-exact measures (integer quantity
+    sums; small-magnitude averages — the classic pricing summary's
+    big float price sums would be summation-order-sensitive across
+    engines, see the module doc)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "o_top3_orders_per_cust",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+         FROM orders)
+       WHERE rnk <= 3""",
+    cols=["o_custkey", "o_orderkey", "o_totalprice", "rnk"],
+    fcols=["o_totalprice"],
+)
+def top3_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
