@@ -2198,3 +2198,88 @@ def top3_orders(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
     )
+
+
+@q(
+    "tpch_q5_lite",
+    """SELECT n.n_name, SUM(l.l_quantity) AS sum_qty, COUNT(*) AS n_lines
+       FROM lineitem l
+       JOIN orders o ON l.l_orderkey = o.o_orderkey
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA' AND c.c_nationkey = s.s_nationkey
+       GROUP BY n.n_name""",
+    cols=["n_name", "sum_qty", "n_lines"],
+    fcols=["sum_qty"],
+)
+def tpch_q5_lite(spark, sf_dir):
+    """TPC-H Q5 join shape (6-table star with the local-supplier
+    correlation), order-free-exact measures; Catalyst broadcasts every
+    dimension and reorders freely."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter((F.col("r_name") == "ASIA") & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n_lines"))
+    )
+
+
+@q(
+    "e4_semi_subquery",
+    """SELECT o_orderkey, o_orderdate FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+    cols=["o_orderkey", "o_orderdate"],
+)
+def e4_semi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_orderdate")
+
+
+@q(
+    "e5_except",
+    """SELECT o_custkey FROM orders
+       EXCEPT
+       SELECT c_custkey FROM customer WHERE c_acctbal < 1000""",
+    cols=["o_custkey"],
+)
+def e5_except(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 1000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return o.subtract(c)  # EXCEPT (distinct) semantics
+
+
+@q(
+    "e6_intersect",
+    """SELECT o_custkey FROM orders
+       INTERSECT
+       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    cols=["o_custkey"],
+)
+def e6_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return o.intersect(c)
