@@ -2283,3 +2283,26 @@ def e6_intersect(spark, sf_dir):
         .select(F.col("c_custkey").alias("o_custkey"))
     )
     return o.intersect(c)
+
+
+@q(
+    "text_wordcount_top20",
+    f"""SELECT word, n FROM (
+         SELECT word, COUNT(*) AS n
+         FROM (SELECT UNNEST({_WORDS}) AS word FROM documents)
+         GROUP BY word)
+       ORDER BY n DESC, word LIMIT 20""",
+    cols=["word", "n"],
+)
+def text_wordcount(spark, sf_dir):
+    """The canonical distributed query over the corpus: explode
+    normalized words, count, top-20 (deterministic tiebreak)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textops.word_tokens("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
