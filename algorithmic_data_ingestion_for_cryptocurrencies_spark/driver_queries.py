@@ -958,7 +958,7 @@ _EV_EPOCH = "CAST(FLOOR(EPOCH(ts)) AS BIGINT)"
     f"""SELECT event_type, bucket,
         AVG(value) AS value_mean, COUNT(event_id) AS n_events,
         MAX(value) AS value_max
-        FROM (SELECT *, TO_TIMESTAMP({_EV_EPOCH} - {_EV_EPOCH} % 3600) AS bucket
+        FROM (SELECT *, EPOCH_MS(({_EV_EPOCH} - {_EV_EPOCH} % 3600) * 1000) AS bucket
               FROM events)
         GROUP BY event_type, bucket""",
     cols=["event_type", "bucket", "value_mean", "n_events", "value_max"],
@@ -982,7 +982,7 @@ def a5(spark, sf_dir):
 @q(
     "a5b_resample_last",
     f"""SELECT user_id, bucket, MAX_BY(value, ts) AS value
-        FROM (SELECT *, TO_TIMESTAMP({_EV_EPOCH} - {_EV_EPOCH} % 86400) AS bucket
+        FROM (SELECT *, EPOCH_MS(({_EV_EPOCH} - {_EV_EPOCH} % 86400) * 1000) AS bucket
               FROM events)
         GROUP BY user_id, bucket""",
     cols=["user_id", "bucket", "value"],
@@ -1054,7 +1054,7 @@ def j2(spark, sf_dir):
 
 
 _WEEKLY_SQL = (
-    f"SELECT suppkey, TO_TIMESTAMP(__e - __e % 604800) AS ts, MAX(close) AS weekly_max "
+    f"SELECT suppkey, EPOCH_MS((__e - __e % 604800) * 1000) AS ts, MAX(close) AS weekly_max "
     f"FROM (SELECT suppkey, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS __e, close "
     f"      FROM ({MARKET_SQL})) GROUP BY 1, 2"
 )
@@ -1089,8 +1089,8 @@ def j3(spark, sf_dir):
                                   TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS expected_ts) g
        WHERE NOT EXISTS (
          SELECT 1 FROM (SELECT DISTINCT user_id,
-                        TO_TIMESTAMP(CAST(FLOOR(EPOCH(ts)) AS BIGINT)
-                                     - CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400) AS d
+                        EPOCH_MS((CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                                  - CAST(FLOOR(EPOCH(ts)) AS BIGINT) % 86400) * 1000) AS d
                         FROM events) e
          WHERE e.user_id = u.user_id AND e.d = g.expected_ts)""",
     cols=["user_id", "expected_ts"],
@@ -1224,7 +1224,7 @@ def p10(spark, sf_dir):
     "f_time_norm",
     """SELECT event_id,
        EPOCH_MS(CAST(__ms AS BIGINT)) AS ts_from_ms,
-       TO_TIMESTAMP(__s) AS ts_from_s,
+       EPOCH_MS(__s * 1000) AS ts_from_s,
        STRFTIME(ts, '%Y-%m-%d') AS dt
        FROM (SELECT event_id, ts,
                     CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 1000 + 123 AS __ms,
@@ -1365,15 +1365,29 @@ def text_tokens(spark, sf_dir):
     )
 
 
-@q("text_tokens_bpe", None)
+@q(
+    "text_tokens_bpe",
+    f"""SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[\\pL\\pN]+'))
+             + LENGTH(REGEXP_REPLACE(LOWER(text), '[\\pL\\pN ]', '', 'g'))
+             AS INT) AS n_bpe_tokens,
+        LIST_MIN(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - 7, 1) + 1),
+          i -> CAST(CONCAT('0x', SUBSTRING(MD5(ARRAY_TO_STRING(__w[i:i+7], ' ')), 1, 15))
+                    AS BIGINT))) AS roll_fp
+        FROM (SELECT doc_id, text, {_WORDS} AS __w FROM documents)""",
+    cols=["doc_id", "n_bpe_tokens", "roll_fp"],
+)
 def text_tokens_bpe(spark, sf_dir):
-    # BPE-ish tokenization uses Java-regex lookarounds and the rolling
-    # hash uses xxhash64 — neither has a DuckDB twin → rows-only check.
+    # The Java lookaround split has no DuckDB twin, but its *count*
+    # does: (# alnum runs) + (# non-alnum non-space chars).  The
+    # rolling fingerprint uses the md5_64 parity hash here so the
+    # oracle can reproduce it; xxhash64 stays the scale default
+    # (covered by tests/test_media_text.py).
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         textops.token_count("text", bpe=True).alias("n_bpe_tokens"),
-        textops.rolling_hash_fingerprint("text").alias("roll_fp"),
+        textops.rolling_hash_fingerprint("text", hash_fn="md5_64").alias("roll_fp"),
     )
 
 
@@ -1776,7 +1790,7 @@ def _tm_roll(fn_sql: str, col: str, n: int) -> str:
 
 _BARS_SQL = """
 SELECT CAST(l_suppkey AS VARCHAR) AS symbol, 'lake' AS exchange, '1w' AS timeframe,
-       TO_TIMESTAMP(__e - __e % 604800) AS timestamp,
+       EPOCH_MS((__e - __e % 604800) * 1000) AS timestamp,
        MAX(l_extendedprice) AS close,
        MAX(l_extendedprice * (1 + l_discount)) AS high,
        MIN(l_extendedprice * (1 - l_discount)) AS low,
@@ -1819,13 +1833,13 @@ FROM (
 )"""
 
 _SOCIAL_AGG_SQL = """
-SELECT TO_TIMESTAMP(__e - __e % 604800) AS timestamp,
+SELECT EPOCH_MS((__e - __e % 604800) * 1000) AS timestamp,
        AVG(value) AS sentiment_mean, COUNT(event_id) AS social_n
 FROM (SELECT *, CAST(FLOOR(EPOCH(ts - INTERVAL 28 YEAR)) AS BIGINT) AS __e FROM events)
 GROUP BY 1"""
 
 _NEWS_AGG_SQL = """
-SELECT TO_TIMESTAMP(__e - __e % 604800) AS timestamp, COUNT(event_id) AS news_n
+SELECT EPOCH_MS((__e - __e % 604800) * 1000) AS timestamp, COUNT(event_id) AS news_n
 FROM (SELECT *, CAST(FLOOR(EPOCH(ts - INTERVAL 28 YEAR)) AS BIGINT) AS __e
       FROM events WHERE event_type = 'click')
 GROUP BY 1"""
@@ -1981,7 +1995,7 @@ def agg_approx(spark, sf_dir):
 
 @q(
     "st7_sliding_counts",
-    f"""SELECT TO_TIMESTAMP(s) AS bucket, event_type, COUNT(*) AS n
+    f"""SELECT EPOCH_MS(s * 1000) AS bucket, event_type, COUNT(*) AS n
         FROM (SELECT event_type, UNNEST([__h, __h - 3600]) AS s
               FROM (SELECT event_type, {_EV_EPOCH} - {_EV_EPOCH} % 3600 AS __h
                     FROM events))

@@ -69,29 +69,42 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
     """Top-N levels per (keys, ts, side) pivoted to ``bid_depth_i`` /
     ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
 
-    Spark shape: rank within (keys, ts, side) by price (bids desc,
-    asks asc) + filter <= n + pivot on the computed level label — one
-    window stage + one pivot aggregate, no per-group Python.
-    ``tiebreak_cols`` make the ranking deterministic when price ties.
+    Spark shape: ONE ``groupBy(keys, ts)`` whose aggregate collects
+    each side's levels as a list of structs, sorted in-aggregate with
+    ``sort_array`` and sliced with ``element_at`` — a single shuffle
+    with map-side partial aggregation; no rank window (which needs a
+    full sort exchange on (keys, ts, side)) and no pivot (a second
+    exchange). Book depth per (ts, side) is bounded (exchange levels),
+    so the collected lists are tiny and the shape holds at 100-TB
+    scale. Struct sort order is lexicographic by field: ``(-price,
+    *tiebreaks, amount)`` for bids and ``(price, *tiebreaks, amount)``
+    for asks reproduce the ranked ordering exactly;
+    ``tiebreak_cols`` make it deterministic when price ties.
     """
     keys = list(keys)
-    rank_order = F.when(
-        F.col(side_col) == "bid", -F.col(price_col)
-    ).otherwise(F.col(price_col))
-    w = Window.partitionBy(*keys, ts_col, side_col).orderBy(
-        rank_order, *[F.col(c) for c in tiebreak_cols]
+
+    def side_entries(side: str) -> F.Column:
+        sort_key = -F.col(price_col) if side == "bid" else F.col(price_col)
+        entry = F.struct(
+            sort_key.alias("k"),
+            *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak_cols)],
+            F.col(amount_col).alias("a"),
+        )
+        return F.sort_array(
+            F.collect_list(F.when(F.col(side_col) == side, entry))
+        )
+
+    agg = df.groupBy(*keys, ts_col).agg(
+        side_entries("bid").alias("__bids"),
+        side_entries("ask").alias("__asks"),
     )
-    level = F.row_number().over(w)
-    ranked = df.withColumn("__level", level).filter(F.col("__level") <= n_levels)
-    labels = [f"{side}_depth_{i}" for side in ("bid", "ask") for i in range(1, n_levels + 1)]
-    ranked = ranked.withColumn(
-        "__label", F.concat_ws("_", F.col(side_col), F.lit("depth"), F.col("__level"))
-    )
-    return (
-        ranked.groupBy(*keys, ts_col)
-        .pivot("__label", labels)
-        .agg(F.max(amount_col))
-    )
+    out_cols: list = [*keys, ts_col]
+    for side, src in (("bid", "__bids"), ("ask", "__asks")):
+        for i in range(1, n_levels + 1):
+            out_cols.append(
+                F.element_at(F.col(src), i)["a"].alias(f"{side}_depth_{i}")
+            )
+    return agg.select(*out_cols)
 
 
 def batch_orderbook(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",

@@ -119,13 +119,29 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col).cast("binary"))
 
 
-def rolling_hash_fingerprint(col: Column | str, window: int = 8) -> Column:
+def rolling_hash_fingerprint(
+    col: Column | str, window: int = 8, hash_fn: str = "xxhash64"
+) -> Column:
     """Winnowing-style fingerprint: min over rolling word-window
-    hashes — robust to local edits (document-level signature)."""
+    hashes — robust to local edits (document-level signature).
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest, JVM-native, the
+    scale path) or ``"md5_64"`` (first 60 bits of md5 as a BIGINT —
+    slower but reproducible in any engine with md5, used for
+    cross-engine oracle parity).
+    """
     words = word_tokens(col)
     k = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
+    if hash_fn == "xxhash64":
+        def _h(c: Column) -> Column:
+            return F.xxhash64(c)
+    elif hash_fn == "md5_64":
+        def _h(c: Column) -> Column:
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     window_hashes = F.transform(
         F.sequence(F.lit(1), k),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i, window))),
+        lambda i: _h(F.concat_ws(" ", F.slice(words, i, window))),
     )
     return F.array_min(window_hashes)

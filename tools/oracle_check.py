@@ -32,10 +32,17 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
+            # Dtype-strict on purpose (matches the driver's gate): a
+            # tz-aware column is NOT normalized to naive — it renders
+            # with a +00:00 suffix and fails the value compare, exactly
+            # like the driver's schema_match.  Oracle SQL must emit
+            # naive TIMESTAMP (EPOCH_MS / MAKE_TIMESTAMP), never
+            # TO_TIMESTAMP (TIMESTAMPTZ).
             dt = df[c]
             if getattr(dt.dtype, "tz", None) is not None:
-                dt = dt.dt.tz_convert("UTC").dt.tz_localize(None)
-            df[c] = dt.astype("datetime64[us]")
+                df[c] = dt.dt.tz_convert("UTC").astype("datetime64[us, UTC]")
+            else:
+                df[c] = dt.astype("datetime64[us]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
