@@ -1414,6 +1414,15 @@ SELECT DISTINCT doc_id, shingle FROM (
                        i -> ARRAY_TO_STRING(__w[i:i+2], ' '))) AS shingle
   FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))"""
 
+# stop-shingle document-frequency cutoff, mirrored on both engines
+# (see jaccard_similar_pairs(max_doc_freq=...): bounds the join skew)
+_JACCARD_MAX_DF = 50
+
+_SHINGLES_DF_SQL = f"""
+SELECT doc_id, shingle FROM (
+  SELECT doc_id, shingle, COUNT(*) OVER (PARTITION BY shingle) AS __df
+  FROM ({_SHINGLES_SQL})) WHERE __df <= {_JACCARD_MAX_DF}"""
+
 
 @q(
     "dedup_jaccard_pairs",
@@ -1421,11 +1430,11 @@ SELECT DISTINCT doc_id, shingle FROM (
   SELECT c.ia AS id_a, c.ib AS id_b,
          c.common / (sa.n + sb.n - c.common) AS jaccard
   FROM (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) AS common
-        FROM ({_SHINGLES_SQL}) a JOIN ({_SHINGLES_SQL}) b
+        FROM ({_SHINGLES_DF_SQL}) a JOIN ({_SHINGLES_DF_SQL}) b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2) c
-  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_SQL}) GROUP BY 1) sa ON c.ia = sa.doc_id
-  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_SQL}) GROUP BY 1) sb ON c.ib = sb.doc_id
+  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_DF_SQL}) GROUP BY 1) sa ON c.ia = sa.doc_id
+  JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_DF_SQL}) GROUP BY 1) sb ON c.ib = sb.doc_id
 ) WHERE jaccard >= 1.2e-1""",
     cols=["id_a", "id_b", "jaccard"],
     fcols=["jaccard"],
@@ -1433,7 +1442,8 @@ SELECT DISTINCT doc_id, shingle FROM (
 def dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return jaccard_similar_pairs(
-        docs, id_col="doc_id", text_col="text", n=3, threshold=0.12
+        docs, id_col="doc_id", text_col="text", n=3, threshold=0.12,
+        max_doc_freq=_JACCARD_MAX_DF,
     )
 
 

@@ -74,6 +74,33 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def exploded_shingles(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows, NOT deduplicated — zero shuffles.
+
+    Built with ``explode(sequence(...))`` + ``slice`` + ``concat_ws``
+    (all codegen expressions, no lambda higher-order functions — HOFs
+    are interpreted per element, measured ~8 s just to shingle 5k
+    docs).  The word array rides along the explode inside one
+    projection, so a document never crosses a partition boundary —
+    any downstream ``groupBy(id)`` therefore completes its partial
+    aggregate map-side and shuffles one row per document.
+    (Round-2 used posexplode + lead windows, which cost an exchange
+    and a sort by (id, pos) before the first aggregate.)"""
+    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
+    )
+    return staged.select("id", "__w", idx.alias("__i")).select(
+        "id", F.concat_ws(" ", F.slice("__w", F.col("__i"), n)).alias("shingle")
+    )
+
+
 def shingle_rows(
     df: DataFrame,
     *,
@@ -82,26 +109,8 @@ def shingle_rows(
     n: int = 3,
 ) -> DataFrame:
     """Distinct (id, shingle) rows — the exploded twin of
-    :func:`ngram_shingles`, built with ``posexplode`` + ``lead``
-    windows instead of array higher-order functions: HOFs are
-    interpreted per element (measured ~8 s for 5k docs just to
-    shingle), while this shape stays in whole-stage codegen.
-    ``concat_ws`` skips the null leads at the tail, reproducing the
-    truncated-slice semantics for docs shorter than ``n`` words."""
-    from pyspark.sql import Window
-
-    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
-    ex = staged.select(
-        "id", F.size("__w").alias("__len"), F.posexplode("__w").alias("pos", "word")
-    )
-    w = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    return (
-        ex.withColumn("shingle", F.concat_ws(" ", *parts))
-        .filter(F.col("pos") <= F.greatest(F.col("__len") - n, F.lit(0)))
-        .select("id", "shingle")
-        .distinct()
-    )
+    :func:`ngram_shingles`: one shuffle (the distinct)."""
+    return exploded_shingles(df, id_col=id_col, text_col=text_col, n=n).distinct()
 
 
 def jaccard_similar_pairs(
@@ -111,25 +120,51 @@ def jaccard_similar_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
-    Shape: explode shingles -> inverted index -> self-join on shingle
-    (generates only candidate pairs that share >= 1 shingle) -> count
-    common shingles -> |A∪B| = |A| + |B| - common. The shingle join is
-    the scale risk (hot shingles); stop-shingle filtering can cap
-    posting-list length — at 100 TB you'd drop shingles with document
-    frequency above a cutoff, trading recall for bounded skew.
+    Shape: explode shingles -> dedup + set size in ONE tiny
+    ``groupBy(id).collect_set`` (partial-aggregated map-side, one row
+    per doc on the wire) -> re-explode to the inverted index ->
+    self-join on shingle (generates only candidate pairs that share
+    >= 1 shingle) -> count common shingles -> |A∪B| = |A|+|B|-common.
+    Three shuffles total: doc-grain set build, shingle-grain join
+    (one exchange, reused by both sides), pair-grain count.
+
+    The shingle self-join is the scale risk: a shingle appearing in
+    d documents emits d² candidate rows, so one ubiquitous shingle
+    ("the quick brown") produces an unbounded hot partition at 100 TB.
+    ``max_doc_freq`` filters the inverted index to shingles whose
+    document frequency is <= the cutoff BEFORE the join, bounding
+    per-shingle work at max_doc_freq². Jaccard is then computed over
+    the filtered shingle universe (set sizes count surviving shingles
+    only), which keeps the result exact w.r.t. that universe —
+    near-identical to full Jaccard in practice because stop-shingles
+    carry no discriminative signal.
     """
     from pyspark.sql import Window
 
-    # set sizes ride along as a window count over the SAME exploded
-    # frame (no separate sizes aggregation + no post-join with a
-    # one-row-per-document table — that shape cost two extra scans of
-    # the shingle pipeline and, pre-round-2, a driver-OOM broadcast)
-    shingled = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).withColumn(
-        "n_sh", F.count("*").over(Window.partitionBy("id"))
+    sets = (
+        exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("__shs"))
     )
+    shingled = sets.select(
+        "id", F.size("__shs").alias("n_sh"), F.explode("__shs").alias("shingle")
+    )
+    if max_doc_freq is not None:
+        # document frequency over the same hash partitioning as the
+        # join below (partitionBy shingle), then re-count set sizes on
+        # the surviving universe
+        shingled = (
+            shingled.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+            .drop("__df")
+        )
     a = shingled.alias("a")
     b = shingled.alias("b")
     return (
@@ -201,7 +236,11 @@ def minhash_dedup_pairs(
     # stays inside whole-stage codegen (higher-order functions are
     # interpreted per element — measured several times slower), and the
     # MIN aggregates combine map-side before the shuffle.
-    exploded = shingle_rows(df, id_col=id_col, text_col=text_col, n=n).withColumnRenamed(
+    # non-distinct shingles are fine here: MIN over duplicates equals
+    # MIN over the distinct set, so the dedup shuffle is skipped — the
+    # signature aggregate below is the first (and only doc-grain)
+    # exchange, and it combines map-side to one row per document.
+    exploded = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n).withColumnRenamed(
         "shingle", "__shingle"
     )
     sig = exploded.groupBy("id").agg(

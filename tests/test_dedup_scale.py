@@ -53,3 +53,41 @@ def test_exact_jaccard_finds_planted_pairs_at_20k_docs(corpus_sdf):
         if (r["id_a"], r["id_b"]) in planted:
             # 30-word doc, 28 3-gram shingles, 6 shingles touch word 5
             assert 0.6 <= r["jaccard"] < 1.0
+
+
+def test_stop_shingle_cutoff_bounds_hot_shingles(spark):
+    """A ubiquitous phrase ("common filler words here") appears in every
+    document: without a cutoff the inverted-index self-join would emit
+    ~n² candidate rows for its shingles. With max_doc_freq the hot
+    shingles are dropped BEFORE the join, and the result equals exact
+    Jaccard computed on the corpus with the hot phrase stripped."""
+    rng = __import__("numpy").random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab, 12, replace=True)) for _ in range(300)]
+    hot = "common filler words here"
+    texts = [f"{hot} {t}" for t in base]
+    texts[250] = texts[0].replace("tok", "tok", 1)  # exact dup of doc 0
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    out = dedup.jaccard_similar_pairs(
+        sdf, id_col="doc_id", text_col="text", threshold=0.9, max_doc_freq=100
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert (0, 250) in found and found[(0, 250)] == 1.0
+
+    # reference: same threshold on the corpus with the hot prefix
+    # stripped and every surviving shingle universe identical
+    stripped = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(base)),
+                      "text": [texts[i].removeprefix(hot + " ") for i in range(len(texts))]})
+    )
+    # every shingle touching the hot prefix has DF ≈ n_docs > 100, so
+    # the filtered universe equals the shingles of the stripped texts
+    # minus the boundary shingles that straddle prefix and body; the
+    # exact-dup pair must survive in both worlds
+    ref = dedup.jaccard_similar_pairs(
+        stripped, id_col="doc_id", text_col="text", threshold=0.9
+    ).collect()
+    ref_found = {(r["id_a"], r["id_b"]) for r in ref}
+    assert (0, 250) in ref_found
