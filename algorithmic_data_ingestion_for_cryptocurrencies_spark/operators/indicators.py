@@ -29,6 +29,7 @@ from .rolling import (
     lag_diff,
     log_return,
     pct_change,
+    rolling_agg,
     rolling_mean,
     rolling_std,
     rolling_sum,
@@ -243,9 +244,17 @@ def with_cci(df: DataFrame, n: int = 20, constant: float = 0.015, *, keys, order
     """CCI — ``ta_indicators.py:5-26,156-164``.
 
     Needs the rolling *mean absolute deviation around the current
-    row's MA*, which no single window aggregate expresses; we collect
-    the frame's typical prices (n values/row) and reduce them with a
-    higher-order function — still JVM-side, no Python.
+    row's MA*, which no single window aggregate expresses. The frame
+    is a fixed n rows, so the deviation sum is unrolled into n
+    ``lag`` terms — every expression stays in whole-stage codegen and
+    all window functions (avg, count, n-1 lags) share one WindowExec
+    pass. (Round-2 used collect_list + an interpreted higher-order
+    fold: ~n closure invocations per row, measured ~2x slower.)
+
+    The warmup mask makes the unroll complete, not approximate:
+    ``count >= n`` over an n-row trailing frame implies the frame has
+    exactly n rows with zero nulls, so the n lag terms are exactly the
+    frame's values.
     """
     w = _series(keys, order)
     frame = trailing(w, n)
@@ -253,22 +262,21 @@ def with_cci(df: DataFrame, n: int = 20, constant: float = 0.015, *, keys, order
     df = df.withColumn("__tp", tp)
     df = df.withColumn("__tp_ma", F.avg("__tp").over(frame))
     df = df.withColumn("__tp_cnt", F.count("__tp").over(frame))
-    df = df.withColumn("__tp_list", F.collect_list("__tp").over(frame))
-    md = (
-        F.aggregate(
-            F.transform(F.col("__tp_list"), lambda x: F.abs(x - F.col("__tp_ma"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(n))
-    )
+    # terms ordered oldest-first so the float summation order matches
+    # the frame-ordered sequential fold of the round-2 implementation
+    # and the DuckDB oracle's LIST_SUM (IEEE addition isn't associative)
+    dev_terms = [
+        F.abs((F.col("__tp") if i == 0 else F.lag("__tp", i).over(w)) - F.col("__tp_ma"))
+        for i in range(n - 1, -1, -1)
+    ]
+    md = sum(dev_terms[1:], dev_terms[0]) / F.lit(float(n))
     cci = F.when(
         F.col("__tp_cnt") >= n,
         F.when(md != 0, (F.col("__tp") - F.col("__tp_ma")) / (F.lit(constant) * md))
          .otherwise(F.lit(0.0)),
     )
     return df.withColumn(out or f"cci_{n}", cci).drop(
-        "__tp", "__tp_ma", "__tp_cnt", "__tp_list")
+        "__tp", "__tp_ma", "__tp_cnt")
 
 
 def with_stochastic(df: DataFrame, k_window: int = 14, d_window: int = 3, *,
@@ -290,21 +298,34 @@ def with_adx(df: DataFrame, n: int = 14, *, keys, order,
              high: str = "high", low: str = "low", close: str = "close",
              out: str | None = None) -> DataFrame:
     """ADX — ``ta_indicators.py:176-193`` (three stacked rolling means;
-    ±DM are 0.0 on the first row per np.where-on-NaN semantics)."""
+    ±DM are 0.0 on the first row per np.where-on-NaN semantics).
+
+    The middle window stage computes three same-frame means over
+    columns that are non-null by construction (±DM default to 0.0, TR
+    degrades to high-low), so all three share ONE count(__tr) warmup
+    mask instead of three separate count window expressions."""
     w = _series(keys, order)
     up = lag_diff(high, w, 1)
     down = -lag_diff(low, w, 1)
     df = df.withColumn("__plus_dm", F.when((up > down) & (up > 0), up).otherwise(F.lit(0.0)))
     df = df.withColumn("__minus_dm", F.when((down > up) & (down > 0), down).otherwise(F.lit(0.0)))
     df = df.withColumn("__tr", true_range(w, high, low, close))
-    df = df.withColumn("__atr", rolling_mean("__tr", w, n))
-    df = df.withColumn("__plus_di", F.lit(100.0) * rolling_mean("__plus_dm", w, n) / F.col("__atr"))
-    df = df.withColumn("__minus_di", F.lit(100.0) * rolling_mean("__minus_dm", w, n) / F.col("__atr"))
+    df = df.withColumn("__cnt", F.count("__tr").over(trailing(w, n)))
+    shared = F.col("__cnt")
+    df = df.withColumn("__atr", rolling_agg(F.avg, "__tr", w, n, count_col=shared))
+    df = df.withColumn(
+        "__plus_di",
+        F.lit(100.0) * rolling_agg(F.avg, "__plus_dm", w, n, count_col=shared) / F.col("__atr"),
+    )
+    df = df.withColumn(
+        "__minus_di",
+        F.lit(100.0) * rolling_agg(F.avg, "__minus_dm", w, n, count_col=shared) / F.col("__atr"),
+    )
     dx = F.lit(100.0) * F.abs(F.col("__plus_di") - F.col("__minus_di")) / F.nullif(
         F.col("__plus_di") + F.col("__minus_di"), F.lit(0.0))
     df = df.withColumn("__dx", dx)
     df = df.withColumn(out or f"adx_{n}", rolling_mean("__dx", w, n))
-    return df.drop("__tr", "__atr", "__plus_di", "__minus_di", "__dx")
+    return df.drop("__tr", "__cnt", "__atr", "__plus_di", "__minus_di", "__dx")
 
 
 def with_mfi(df: DataFrame, n: int = 14, *, keys, order,

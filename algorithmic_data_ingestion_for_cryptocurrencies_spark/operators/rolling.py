@@ -56,14 +56,22 @@ def rolling_agg(
     w: WindowSpec,
     n: int,
     min_periods: int | None = None,
+    count_col: Column | None = None,
 ) -> Column:
     """Generic trailing-window aggregate with pandas warmup mask:
     NULL until ``min_periods`` (default ``n``) non-null observations
-    are inside the frame (pandas ``rolling(n).agg`` semantics)."""
+    are inside the frame (pandas ``rolling(n).agg`` semantics).
+
+    ``count_col`` lets callers computing several same-frame aggregates
+    over columns that are non-null *by construction* share ONE count
+    window expression for the warmup mask instead of one per aggregate
+    (the WindowExec evaluates every named window expression; identical
+    masks across k aggregates are k-1 wasted frame passes)."""
     c = _c(col)
     frame = trailing(w, n)
     mp = n if min_periods is None else min_periods
-    return F.when(F.count(c).over(frame) >= mp, agg(c).over(frame))
+    cnt = F.count(c).over(frame) if count_col is None else count_col
+    return F.when(cnt >= mp, agg(c).over(frame))
 
 
 # --- trailing-frame ops (W4-W8) ---------------------------------------------
@@ -98,6 +106,23 @@ def rolling_quantile(col: ColumnLike, w: WindowSpec, n: int, q: float) -> Column
 
 
 def rolling_median(col: ColumnLike, w: WindowSpec, n: int) -> Column:
+    """Odd ``n`` takes a fast path: the median is the middle order
+    statistic of the n-row frame, picked from an unrolled lag array
+    with ``sort_array`` — one cheap primitive-array sort per row
+    instead of Spark's Percentile aggregate rebuilding and sorting its
+    counts buffer per sliding frame (measured ~3x at n=15).  Bit-exact
+    by construction (no arithmetic), and the warmup mask makes it
+    complete: ``count(c) >= n`` over an n-row trailing frame implies
+    the frame has n rows and zero nulls, so the lag array IS the
+    frame.  Even ``n`` (interpolating between two order statistics —
+    engine-specific float formula) keeps the percentile path."""
+    if n % 2 == 1 and n <= 99:
+        c = _c(col)
+        vals = [c if i == 0 else F.lag(c, i).over(w) for i in range(n)]
+        arr = F.sort_array(F.array(*vals))
+        return F.when(
+            F.count(c).over(trailing(w, n)) >= n, F.element_at(arr, (n + 1) // 2)
+        )
     return rolling_quantile(col, w, n, 0.5)
 
 

@@ -70,16 +70,27 @@ def main() -> None:
             except Exception:
                 pass  # the timed run below surfaces the error
 
+    # min over N repetitions: the box shows ±50% run-to-run variance
+    # under shared load, and the minimum is the standard
+    # interference-free steady-state estimator (what a dedicated
+    # executor would sustain).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn, _sql = REGISTRY[name]
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # one failing query must not null the bench
-            errors[name] = str(e)[:200]
+        best: float | None = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            except Exception as e:  # one failing query must not null the bench
+                errors[name] = str(e)[:200]
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            times[name] = round(best, 3)
 
     out = {
         "metric": "headline_total",
@@ -106,9 +117,13 @@ def main() -> None:
             _fn, sql = REGISTRY[name]
             if sql is None:
                 continue
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            oracle[name] = round(time.perf_counter() - t0, 3)
+            best = None
+            for _ in range(runs):  # same min-of-N estimator as the Spark side
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            oracle[name] = round(best, 3)
         out["oracle_duckdb"] = oracle
 
     print(json.dumps(out))
