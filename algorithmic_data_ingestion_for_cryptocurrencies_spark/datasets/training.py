@@ -32,12 +32,11 @@ def build_training_matrix(
 ) -> DataFrame:
     """market OHLCV (+ social/news) -> labeled feature matrix."""
     market = market.filter(F.col("timeframe") == timeframe) if "timeframe" in market.columns else market
-    feats = build_market_features(market, keys=keys, ts_col=ts_col)
-    # keep close for labeling (J1 spine join back onto raw close)
-    spine = feats.join(
-        market.select(ts_col, *[k for k in keys if k in market.columns], "close"),
-        [ts_col, *[k for k in keys if k in market.columns]],
-        "left",
+    # close is carried through the feature stage for labeling — the
+    # round-2 shape joined it back on (ts, keys), which shuffled both
+    # sides of a self-sized join for a column the input already had
+    spine = build_market_features(
+        market, keys=keys, ts_col=ts_col, keep_cols=["close"]
     )
 
     aggs = []

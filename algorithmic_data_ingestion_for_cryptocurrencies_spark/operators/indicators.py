@@ -373,6 +373,7 @@ def build_market_features(
     ts_col: str = "timestamp",
     order_cols: Sequence[str] | None = None,
     dropna_final: bool = True,
+    keep_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Flagship feature stage — parity with
     ``market_factory.build_market_features`` (``market_factory.py:73-156``):
@@ -384,6 +385,9 @@ def build_market_features(
     the (keys, ts) window into a single sort+window stage.
     ``order_cols`` (default ``[ts_col]``) lets callers add tiebreak
     columns for deterministic window order when timestamps can tie.
+    ``keep_cols`` are input columns carried through after the feature
+    schema (e.g. ``close`` for downstream labeling — carrying it is
+    free, while joining it back on costs a shuffle of both sides).
     """
     order = list(order_cols) if order_cols is not None else [ts_col]
     w = series_window(keys, order)
@@ -399,7 +403,9 @@ def build_market_features(
     df = with_obv(df, keys=keys, order=order, out="oi_obv")
     df = df.withColumn("dt", dt_from_ts(ts_col))
     df = df.withColumn("feature_version", F.lit(FEATURE_VERSION))
-    out = coerce_schema(df, MARKET_FEATURE_SCHEMA, keep_extra=False)
+    out = coerce_schema(df, MARKET_FEATURE_SCHEMA, keep_extra=True).select(
+        *[f.name for f in MARKET_FEATURE_SCHEMA.fields], *keep_cols
+    )
     if dropna_final:
         feature_cols = [
             "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
