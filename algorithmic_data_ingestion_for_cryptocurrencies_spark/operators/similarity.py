@@ -334,18 +334,36 @@ def embedding_near_pairs_arrow(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_vectors: int = 1_000_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Dense-block near-pair tier: the corpus (normalized, float32) is
     broadcast to every executor and each Arrow batch of rows computes
     a blocked matrix product against it (NumPy BLAS) — roughly an
     order of magnitude faster than the per-pair expression tier for
-    bounded corpora (the broadcast caps this at ~1e6 vectors; beyond
-    that the LSH/IVF candidate tiers are the path). Scores differ from
-    the expression tier only by float-summation order, so pairs within
-    ~1e-6 of the threshold may differ — use the exact tier when the
-    boundary matters."""
+    bounded corpora. Scores differ from the expression tier only by
+    float-summation order, so pairs within ~1e-6 of the threshold may
+    differ — use the exact tier when the boundary matters.
+
+    The driver-side collect is CAP-GUARDED: a corpus larger than
+    ``max_broadcast_vectors`` (~1 GB at 256-d float32 for the default
+    1e6) fails over to the bucketed-LSH candidate tier
+    (:func:`embedding_near_pairs` with ``use_lsh=True``, which needs
+    ``dim``; without ``dim`` the call raises instead of silently
+    collecting an unbounded corpus onto the driver)."""
     import numpy as np
 
+    n = df.count()
+    if n > max_broadcast_vectors:
+        if dim is None:
+            raise ValueError(
+                f"corpus has {n} vectors > max_broadcast_vectors="
+                f"{max_broadcast_vectors}; pass dim= to fail over to the "
+                "LSH candidate tier, or use embedding_near_pairs/IVF directly"
+            )
+        return embedding_near_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, use_lsh=True, dim=dim
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float32)

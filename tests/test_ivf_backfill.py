@@ -127,3 +127,29 @@ def test_arrow_flagship_matches_expression_plan(spark):
         m = ~(np.isnan(x) | np.isnan(y))
         assert (np.isnan(x) == np.isnan(y)).all()
         assert np.abs(x[m] - y[m]).max() <= 5.1e-7  # rounding quantum
+
+
+def test_arrow_near_pairs_cap_guard_routes_to_lsh(spark):
+    """Above max_broadcast_vectors the arrow tier must NOT collect to
+    the driver: with dim it fails over to the bucketed-LSH candidate
+    join (plan shows a Join, no Python map stage); without dim it
+    raises instead of silently collecting."""
+    import pytest as _pytest
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        embedding_near_pairs_arrow,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    routed = embedding_near_pairs_arrow(
+        emb, 0.3, max_broadcast_vectors=10, dim=dim
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan and "MapInPandas" not in plan
+    assert routed.columns == ["id_a", "id_b", "cosine"]
+    routed.limit(5).collect()  # executes end-to-end
+
+    with _pytest.raises(ValueError, match="max_broadcast_vectors"):
+        embedding_near_pairs_arrow(emb, 0.3, max_broadcast_vectors=10)
