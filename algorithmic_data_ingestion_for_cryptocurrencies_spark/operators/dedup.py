@@ -43,11 +43,24 @@ def exact_dedup(
     """Keep exactly one row (min tiebreak, ties broken by row_number)
     per distinct content — a single shuffle on the content hash.
     ``row_number`` (not a min-semi-join) guarantees one survivor even
-    when rows tie on the tiebreak column."""
+    when rows tie on the tiebreak column, and every other *orderable*
+    column joins the sort as a secondary key so the survivor is
+    deterministic across runs even then (ADVICE r2: a tiebreak tie
+    previously picked an arbitrary row, which breaks hash-compared
+    reruns)."""
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     key = F.xxhash64(*[normalize_text(c) for c in content_cols])
-    w = Window.partitionBy("__content_key").orderBy(F.col(tiebreak_col).asc_nulls_last())
+    unorderable = (T.MapType,)
+    secondary = [
+        F.col(f.name).asc_nulls_last()
+        for f in df.schema.fields
+        if f.name != tiebreak_col and not isinstance(f.dataType, unorderable)
+    ]
+    w = Window.partitionBy("__content_key").orderBy(
+        F.col(tiebreak_col).asc_nulls_last(), *secondary
+    )
     return (
         df.withColumn("__content_key", key)
         .withColumn("__rn", F.row_number().over(w))

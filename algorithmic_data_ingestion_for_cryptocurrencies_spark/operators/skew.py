@@ -44,10 +44,24 @@ def salted_join(
     """Join ``big ⋈ small`` on ``on`` with the hot-key skew broken by
     salting: each big-side row gets a uniform salt in ``[0, salt)``,
     the small side is exploded ``salt`` ways, and the join key becomes
-    (key..., salt). Row multiplicity — and therefore the result — is
+    (key..., salt).
+
+    For big-side-preserving joins (``inner``, ``left``, ``left_semi``,
+    ``left_anti``) row multiplicity — and therefore the result — is
     EXACTLY that of the plain join for any salt assignment; the salt
     only changes shuffle placement, so deriving it from the per-row
-    monotonic id (nondeterministic across reruns) is harmless."""
+    monotonic id (nondeterministic across reruns) is harmless.
+    ``right``/``full``/``outer`` are REJECTED: an unmatched small-side
+    row would surface once per salt replica (ADVICE r2) — and a small
+    side needing outer preservation shouldn't be salted anyway (flip
+    the sides or dedup the replicas instead)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins {sorted(allowed)}; "
+            f"got how={how!r} (small-side rows would duplicate per salt replica)"
+        )
     on = list(on)
     salt_col = F.pmod(
         F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),

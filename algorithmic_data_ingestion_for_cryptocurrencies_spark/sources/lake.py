@@ -85,10 +85,20 @@ def read_lake(
     return df
 
 
+def hadoop_delete(spark: SparkSession, path: str) -> bool:
+    """Recursive delete through Hadoop's FileSystem API — works for any
+    URI Spark can write (file://, hdfs://, s3a://, ...), unlike
+    ``shutil.rmtree`` which silently no-ops on non-local paths
+    (ADVICE r2). Returns True when the path existed and was removed."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.delete(hpath, True))
+
+
 def storage_probe(spark: SparkSession, base_path: str) -> bool:
     """S19 storage-backend probe (``routes.py:1111-1168``): try a
     1-row write + read-back under ``base_path``; True on success."""
-    import shutil
     import uuid
 
     probe = f"{base_path.rstrip('/')}/__probe_{uuid.uuid4().hex}"
@@ -98,7 +108,10 @@ def storage_probe(spark: SparkSession, base_path: str) -> bool:
     except Exception:
         return False
     finally:
-        shutil.rmtree(probe, ignore_errors=True)
+        try:
+            hadoop_delete(spark, probe)
+        except Exception:
+            pass  # probe cleanup must never mask the probe verdict
     return ok
 
 
