@@ -89,3 +89,28 @@ def start_market_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_periodic_ingest(
+    stream_df: DataFrame,
+    *,
+    sink_path: str,
+    checkpoint: str,
+    interval: str = "5 seconds",
+):
+    """ST10 — the reference's APScheduler cron jobs
+    (``app/scheduler/main.py:255-333``: fetch every N seconds, append,
+    advance cursor) map to ONE long-lived query with a
+    ``processingTime`` trigger: the engine wakes every ``interval``,
+    ingests whatever the source accumulated, checkpoints the offset
+    cursor, and sleeps — scheduling, retry, and cursor state all land
+    in the engine instead of an external scheduler process. Callers
+    own the query lifetime (``stop()``/``awaitTermination``)."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(processingTime=interval)
+        .start()
+    )

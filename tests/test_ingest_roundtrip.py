@@ -231,3 +231,56 @@ def test_ttl_sweep_and_coalesce_text(spark):
     )
     got = [r["text"] for r in coalesce_text(df).collect()]
     assert set(got) == {"from selftext", "from content", "from summary"}
+
+
+def test_periodic_ingest_processing_time_trigger(spark, tmp_path):
+    """ST10: a processingTime-triggered query keeps draining the source
+    on its interval — files that arrive AFTER the query starts are
+    ingested by a later tick with no external scheduler (the engine
+    replaces the reference's APScheduler cron loop)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.ingest import (
+        read_file_stream,
+        start_periodic_ingest,
+    )
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def write_file(name, lo, mtime):
+        pdf = pd.DataFrame({"x": range(lo, lo + 5)})
+        path = str(src / name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (mtime, mtime))
+
+    write_file("f0.parquet", 0, 1_700_000_000)
+    schema = spark.read.parquet(str(src / "f0.parquet")).schema
+    stream = read_file_stream(spark, str(src) + "/*", schema, max_files_per_trigger=10)
+    q = start_periodic_ingest(
+        stream, sink_path=str(sink), checkpoint=str(ckpt), interval="1 seconds"
+    )
+    try:
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not os.path.isdir(sink):
+            _time.sleep(0.5)
+        # second file lands while the query is already running
+        write_file("f1.parquet", 100, 1_700_000_100)
+        got = set()
+        while _time.time() < deadline and len(got) < 10:
+            _time.sleep(0.5)
+            try:
+                got = {r["x"] for r in spark.read.parquet(str(sink)).collect()}
+            except Exception:
+                pass
+    finally:
+        q.stop()
+    assert got == set(range(5)) | set(range(100, 105))

@@ -102,3 +102,65 @@ def test_streaming_stateful_equals_batch(spark, series_pdf):
     np.testing.assert_allclose(
         got["rolling_mean"].to_numpy(), exp.to_numpy(), rtol=1e-12
     )
+
+
+def test_chunked_ewm_equals_full_batch(series_pdf):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.stateful import (
+        chunked_ewm_batch,
+    )
+
+    full = series_pdf["value"].ewm(span=12, adjust=True).mean()
+    for chunk_size in (1, 7, 50, 200):
+        chunked = chunked_ewm_batch(series_pdf, chunk_size, span=12)
+        np.testing.assert_allclose(
+            chunked["ewm"].to_numpy(), full.to_numpy(), rtol=1e-12,
+            err_msg=f"chunk_size={chunk_size}",
+        )
+
+
+def test_streaming_stateful_ewm_equals_batch(spark, series_pdf):
+    """Exact EWM continuation across three real micro-batches: the
+    streamed result must equal pandas' full-series ewm(span=12,
+    adjust=True) to float precision (carry is the (num, den) pair)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.stateful import (
+        apply_stateful_ewm,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        sink = os.path.join(tmp, "sink")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+
+        pdf = series_pdf.copy()
+        pdf["sym"] = "ETH-USDT"
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i, lo in enumerate(range(0, len(pdf), 70)):
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(pa.Table.from_pandas(pdf.iloc[lo : lo + 70]), path)
+            os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+        schema = spark.read.parquet(os.path.join(src, "f0.parquet")).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = apply_stateful_ewm(stream, keys=["sym"], value_col="value", span=12)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink).orderBy("ts").toPandas()
+
+    assert len(got) == len(pdf)
+    exp = series_pdf["value"].ewm(span=12, adjust=True).mean()
+    np.testing.assert_allclose(got["ewm"].to_numpy(), exp.to_numpy(), rtol=1e-12)
