@@ -1759,6 +1759,143 @@ def s5_normalize(spark, sf_dir):
     return df.select("timestamp", "source", "symbol", "metric", "value", "dt")
 
 
+@q(
+    "s2_normalize_orderbook",
+    """SELECT EPOCH_MS(1705320000000) AS timestamp,
+       l_extendedprice AS price, l_quantity AS amount,
+       CASE WHEN l_linenumber % 2 = 0 THEN 'bid' ELSE 'ask' END AS side,
+       'BTC/USDT' AS symbol, 'lake' AS exchange
+       FROM lineitem WHERE l_orderkey <= 200""",
+    cols=["timestamp", "price", "amount", "side", "symbol", "exchange"],
+    fcols=["price", "amount"],
+)
+def s2_normalize(spark, sf_dir):
+    """S2 round trip: driver-side bid/ask levels (as a CCXT
+    fetch_order_book snapshot would return) -> normalize_order_book ->
+    long ORDERBOOK_SCHEMA frame stamped with the snapshot time."""
+    from .sources.adapters import normalize_order_book
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") <= 200)
+        .select("l_linenumber", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    bids = [[r["l_extendedprice"], r["l_quantity"]] for r in li if r["l_linenumber"] % 2 == 0]
+    asks = [[r["l_extendedprice"], r["l_quantity"]] for r in li if r["l_linenumber"] % 2 == 1]
+    return normalize_order_book(
+        spark, bids, asks,
+        symbol="BTC/USDT", exchange="lake", snapshot_epoch_ms=1_705_320_000_000,
+    )
+
+
+@q(
+    "s6_normalize_covalent",
+    """SELECT EPOCH_MS(1705320000000) AS timestamp, 'covalent' AS source,
+       'ETH' AS symbol, p_brand AS metric,
+       p_retailprice / 1.00000000000000000e+02 AS value,
+       'addr-' || CAST(p_partkey AS VARCHAR) AS contract_address,
+       p_name AS contract_name, '2024-01-15' AS dt
+       FROM part WHERE p_partkey <= 200""",
+    cols=["timestamp", "source", "symbol", "metric", "value",
+          "contract_address", "contract_name", "dt"],
+    fcols=["value"],
+)
+def s6_normalize(spark, sf_dir):
+    """S6 round trip: Covalent balance items -> normalize_covalent ->
+    ONCHAIN_SCHEMA frame (decimal scaling 10**contract_decimals)."""
+    from .sources.adapters import normalize_covalent
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select("p_partkey", "p_brand", "p_name", "p_retailprice")
+        .collect()
+    )
+    items = [
+        {
+            "contract_ticker_symbol": r["p_brand"],
+            "contract_address": f"addr-{r['p_partkey']}",
+            "contract_name": r["p_name"],
+            "balance": r["p_retailprice"],
+            "contract_decimals": 2,
+        }
+        for r in parts
+    ]
+    return normalize_covalent(
+        spark, items, symbol="ETH", snapshot_epoch_ms=1_705_320_000_000
+    )
+
+
+@q(
+    "s9_normalize_news",
+    """SELECT EPOCH_MS((1704067200 + doc_id * 3600) * 1000) AS published_at,
+       CAST(doc_id AS VARCHAR) AS id, text AS title,
+       'https://news.example.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url,
+       source, CAST(NULL AS VARCHAR) AS author,
+       CAST(NULL AS VARCHAR) AS description,
+       STRFTIME(EPOCH_MS((1704067200 + doc_id * 3600) * 1000), '%Y-%m-%d') AS dt
+       FROM documents WHERE doc_id <= 300""",
+    cols=["published_at", "id", "title", "url", "source", "author",
+          "description", "dt"],
+)
+def s9_normalize(spark, sf_dir):
+    """S9/S11 round trip: news/RSS article dicts -> normalize_news ->
+    NEWS_SCHEMA frame; article id derived from the URL tail, missing
+    fields materialized as typed nulls, dt partition derived."""
+    from .sources.adapters import normalize_news
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 300)
+        .select("doc_id", "text", "source")
+        .collect()
+    )
+    rows = [
+        {
+            "url": f"https://news.example.com/{r['source']}/{r['doc_id']}",
+            "title": r["text"],
+            "published_at": 1_704_067_200 + r["doc_id"] * 3600,
+            "source": r["source"],
+        }
+        for r in docs
+    ]
+    return normalize_news(spark, rows)
+
+
+@q(
+    "st8_ttl_retention",
+    """SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ts_epoch, value FROM events
+       WHERE user_id = 3
+         AND CAST(FLOOR(EPOCH(ts)) AS BIGINT) >= 1706745600 - 2592000""",
+    cols=["ts_epoch", "value"],
+    fcols=["value"],
+)
+def st8_ttl(spark, sf_dir):
+    """ST8 end to end: write an events-derived feature table into a
+    partitioned store, run the TTL retention sweep (30-day window from
+    a fixed 'now'), and return the surviving rows. The oracle applies
+    the same retention predicate straight to events."""
+    import tempfile
+
+    from .store.feature_store import FeatureStore
+
+    ev = _events(spark, sf_dir)
+    feats = ev.filter(F.col("user_id") == 3).select(
+        F.col("ts").alias("timestamp"),
+        F.col("user_id").cast("string").alias("symbol"),
+        F.lit("1m").alias("timeframe"),
+        "value",
+    )
+    base = tempfile.mkdtemp(prefix="adi_ttl_")
+    store = FeatureStore(spark, base)
+    store.write(feats, domain="events", mode="overwrite")
+    live = store.ttl_sweep(
+        now_epoch=1_706_745_600, ttl_seconds=2_592_000, out_path=base + "_live"
+    )
+    return live.select("ts_epoch", "value")
+
+
 @q("u_media_features", None)
 def u_media(spark, sf_dir):
     # multimodal plumbing: binary payload column -> mapInPandas Arrow
