@@ -161,10 +161,19 @@ def with_ewm_multi(
 
     keys = list(keys)
     order_cols = [order] if isinstance(order, str) else list(order)
-    w_cum = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    # The whole stage is rendered as Spark-SQL text and attached with a
+    # handful of batched ``withColumns(F.expr(...))`` calls: building
+    # the same graph node-by-node through the Column API costs ~2000
+    # py4j round trips (~1 s of driver latency per MACD, measured
+    # round 3), while the parsed SQL produces the IDENTICAL Catalyst
+    # expression tree — same multiply/divide/sum graph on the same
+    # embedded constants, so oracle bit parity is untouched.
+    ordr = ", ".join(f"`{c}`" for c in order_cols)
+    part_keys = ", ".join(f"`{c}`" for c in keys)
+    over_cum = (
+        f"OVER ({'PARTITION BY ' + part_keys + ' ' if keys else ''}ORDER BY {ordr} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
     # stage shared per-position-column block columns once (reusing any
@@ -173,62 +182,76 @@ def with_ewm_multi(
     cols = list(dict.fromkeys(p for _c, _o, _a, _r, p in parsed))
     stage: dict[str, tuple[str, str, str]] = {}
     tmp: list[str] = []
+    idx_layer: dict[str, str] = {}
+    bp_layer: dict[str, str] = {}
     for c in cols:
         x_idx, x_b, x_p = f"__mew_{c}_idx", f"__mew_{c}_b", f"__mew_{c}_p"
         if x_idx not in df.columns:
-            df = df.withColumn(x_idx, F.count(F.col(c)).over(w_cum) - F.lit(1))
-            df = df.withColumn(
-                x_b,
-                F.when(F.col(x_idx) >= 0, F.floor(F.col(x_idx) / F.lit(k))).otherwise(
-                    F.lit(0)
-                ),
+            idx_layer[x_idx] = f"COUNT(`{c}`) {over_cum} - 1"
+            bp_layer[x_b] = (
+                f"CASE WHEN `{x_idx}` >= 0 THEN FLOOR(`{x_idx}` / {k}) ELSE 0 END"
             )
-            df = df.withColumn(
-                x_p,
-                F.when(F.col(x_idx) >= 0, F.col(x_idx) % F.lit(k)).otherwise(F.lit(0)),
+            bp_layer[x_p] = (
+                f"CASE WHEN `{x_idx}` >= 0 THEN `{x_idx}` % {k} ELSE 0 END"
             )
         stage[c] = (x_idx, x_b, x_p)
         tmp += [x_idx, x_b, x_p]
+    if idx_layer:
+        df = df.withColumns({n: F.expr(s) for n, s in idx_layer.items()})
+        df = df.withColumns({n: F.expr(s) for n, s in bp_layer.items()})
 
+    u_layer: dict[str, str] = {}
+    L_layer: dict[str, str] = {}
+    Le_layer: dict[str, str] = {}
+    out_layer: dict[str, str] = {}
     for c, out, a, r, pos in parsed:
         hi, lo, rho = _pow_tables(r, k)
         x_idx, x_b, x_p = stage[pos]
         x_u, x_L, x_Le = f"__{out}_u", f"__{out}_L", f"__{out}_Le"
 
-        hi_arr = F.array(*[F.lit(v) for v in hi])
-        lo_arr = F.array(*[F.lit(v) for v in lo])
-        rinvp = F.element_at(
-            hi_arr, (F.floor(F.col(x_p) / F.lit(_CHUNK)) + 1).cast("int")
-        ) * F.element_at(lo_arr, (F.col(x_p) % F.lit(_CHUNK) + 1).cast("int"))
-        rp = F.lit(1.0) / rinvp
-
-        cc = F.col(c)
-        u = F.when(cc.isNull(), F.lit(None)).otherwise(
-            F.when(F.col(x_idx) == 0, cc.cast("double")).otherwise(
-                F.lit(a) * cc.cast("double") * rinvp
-            )
+        hi_arr, lo_arr = _sql_array(hi), _sql_array(lo)
+        rinvp = (
+            f"(element_at({hi_arr}, CAST((FLOOR(`{x_p}` / {_CHUNK}) + 1) AS INT)) * "
+            f"element_at({lo_arr}, CAST((`{x_p}` % {_CHUNK} + 1) AS INT)))"
         )
-        df = df.withColumn(x_u, u)
+        rp = f"({_d(1.0)} / {rinvp})"
 
-        w_blk = (
-            Window.partitionBy(*keys, x_b)
-            .orderBy(*order_cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u_layer[x_u] = (
+            f"CASE WHEN `{c}` IS NULL THEN NULL "
+            f"WHEN `{x_idx}` = 0 THEN CAST(`{c}` AS DOUBLE) "
+            f"ELSE {_d(a)} * CAST(`{c}` AS DOUBLE) * {rinvp} END"
         )
-        df = df.withColumn(x_L, rp * F.sum(x_u).over(w_blk))
+        over_blk = (
+            f"OVER (PARTITION BY {part_keys + ', ' if keys else ''}`{x_b}` "
+            f"ORDER BY {ordr} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        L_layer[x_L] = f"{rp} * SUM(`{x_u}`) {over_blk}"
 
         # per-block boundary value, then a 3-lag geometric carry chain
-        w_part = Window.partitionBy(*keys, x_b)
-        df = df.withColumn(x_Le, F.max_by(F.col(x_L), F.col(x_p)).over(w_part))
-        w_b = Window.partitionBy(*keys).orderBy(F.col(x_b))
+        Le_layer[x_Le] = (
+            f"MAX_BY(`{x_L}`, `{x_p}`) "
+            f"OVER (PARTITION BY {part_keys + ', ' if keys else ''}`{x_b}`)"
+        )
+        over_b = (
+            f"OVER ({'PARTITION BY ' + part_keys + ' ' if keys else ''}"
+            f"ORDER BY `{x_b}`"
+        )
         lags = [
-            F.coalesce(F.max(x_Le).over(w_b.rangeBetween(-i, -i)), F.lit(0.0))
+            f"COALESCE(MAX(`{x_Le}`) {over_b} "
+            f"RANGE BETWEEN {i} PRECEDING AND {i} PRECEDING), {_d(0.0)})"
             for i in range(1, _CHAIN + 1)
         ]
-        carry = lags[0] + F.lit(rho) * lags[1] + F.lit(rho * rho) * lags[2]
-        y = F.col(x_L) + rp * F.lit(r) * carry
-        df = df.withColumn(out, F.when(F.col(x_idx) >= 0, y))
+        carry = f"{lags[0]} + {_d(rho)} * {lags[1]} + {_d(rho * rho)} * {lags[2]}"
+        out_layer[out] = (
+            f"CASE WHEN `{x_idx}` >= 0 "
+            f"THEN `{x_L}` + {rp} * {_d(r)} * ({carry}) END"
+        )
         tmp += [x_u, x_L, x_Le]
+
+    df = df.withColumns({n: F.expr(s) for n, s in u_layer.items()})
+    df = df.withColumns({n: F.expr(s) for n, s in L_layer.items()})
+    df = df.withColumns({n: F.expr(s) for n, s in Le_layer.items()})
+    df = df.withColumns({n: F.expr(s) for n, s in out_layer.items()})
 
     if keep_stage:
         staged = {c for names in stage.values() for c in names}
@@ -276,6 +299,12 @@ def _d(v: float) -> str:
 
 def _sql_list(vals: list[float]) -> str:
     return "[" + ", ".join(_d(v) for v in vals) + "]"
+
+
+def _sql_array(vals: list[float]) -> str:
+    """Spark-SQL array literal of bit-exact doubles (``_sql_list`` is
+    the DuckDB-dialect twin)."""
+    return "array(" + ", ".join(_d(v) for v in vals) + ")"
 
 
 def ewm_sql(
