@@ -162,14 +162,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores nanosecond timestamps, which the Spark
-    parquet reader rejects; read them as raw longs and rebuild a
-    microsecond timestamp with integer division (truncation toward
-    zero on positive epochs == DuckDB's ns→µs read)."""
+    """Load events.parquet with a schema-adaptive ``ts``.
+
+    Driver-generated data has shipped two physical encodings across
+    rounds: nanosecond-integer timestamps (which the Spark parquet
+    reader only accepts as raw longs via ``nanosAsLong``) and plain
+    microsecond TIMESTAMP.  Normalize both to a naive microsecond
+    timestamp so every downstream operator sees one schema —
+    truncation toward zero on positive epochs matches DuckDB's ns→µs
+    read."""
     ensure_session_defaults(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type.startswith("timestamp"):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz").cast("timestamp"))
+    return df
 
 
 # --------------------------------------------------------------------------
