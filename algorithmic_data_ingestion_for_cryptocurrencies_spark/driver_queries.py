@@ -59,7 +59,8 @@ from .operators.indicators import (
     with_stochastic,
     with_vwap,
 )
-from .operators.joins import expected_grid, find_gaps, spine_join
+from .operators.joins import expected_grid, find_gaps, range_interval_join, spine_join
+from .operators.sampling import hash_bernoulli_sample, hash_top_n_per_group, rate_to_hex8
 from .operators.labels import with_labels
 from .operators.orderbook import batch_orderbook, depth_series, imbalance_series, spread_series
 from .operators.resample import resample, resample_last
@@ -1117,6 +1118,85 @@ def j4(spark, sf_dir):
         "user_id", floor_to_bar("ts", 86400).alias("expected_ts")
     )
     return find_gaps(present, grid, on=["user_id", "expected_ts"])
+
+
+@q(
+    "j5_range_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_pairs, SUM(l_quantity) AS qty
+       FROM lineitem JOIN orders
+         ON l_shipdate >= o_orderdate
+        AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+       GROUP BY o_orderpriority""",
+    cols=["o_orderpriority", "n_pairs", "qty"],
+    fcols=["qty"],
+)
+def j5(spark, sf_dir):
+    """Non-equi point-in-interval join, bucket-rewritten to an equi
+    join (DuckDB's IEJoin handles the oracle side natively; Spark has
+    no inequality join operator, so the naive formulation would plan
+    as a cartesian product — see ``range_interval_join``)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderdate").alias("win_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")).alias("win_end"),
+    )
+    joined = range_interval_join(
+        li, iv, ts="l_shipdate", start="win_start", end="win_end",
+        bucket_seconds=7 * 86400,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_pairs"), F.sum("l_quantity").alias("qty")
+    )
+
+
+_SAMP_RATES = {"en": 0.25, "zh": 0.5, "es": 0.5}
+_SAMP_CASE = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN '{rate_to_hex8(v)}'" for k, v in sorted(_SAMP_RATES.items())
+    )
+    + f" ELSE '{rate_to_hex8(1.0)}' END"
+)
+
+
+@q(
+    "samp_bernoulli_strata",
+    f"""SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < {_SAMP_CASE}""",
+    cols=["doc_id", "lang"],
+)
+def samp_bernoulli(spark, sf_dir):
+    """Stratified Bernoulli sample by content hash — shuffle-free
+    language rebalancing (keep 25% en, 50% zh/es, all low-resource).
+    Deterministic across engines: the oracle evaluates the identical
+    md5 threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_bernoulli_sample(
+        docs, id_col="doc_id", stratum_col="lang",
+        rates=_SAMP_RATES, default_rate=1.0,
+    ).select("doc_id", "lang")
+
+
+@q(
+    "samp_top_n_per_group",
+    """SELECT doc_id, lang FROM (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (
+                  PARTITION BY lang
+                  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                ) AS rn
+         FROM documents) WHERE rn <= 20""",
+    cols=["doc_id", "lang"],
+)
+def samp_topn(spark, sf_dir):
+    """Deterministic per-group cap (≤20 docs per language), ordered by
+    md5(id) — the reproducible version of 'take a random N per
+    stratum'."""
+    docs = _t(spark, sf_dir, "documents")
+    return hash_top_n_per_group(
+        docs, id_col="doc_id", group_cols=["lang"], n=20
+    ).select("doc_id", "lang")
 
 
 @q(

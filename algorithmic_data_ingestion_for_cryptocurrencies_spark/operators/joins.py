@@ -63,6 +63,60 @@ def expected_grid(
     return base
 
 
+def range_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    ts: str,
+    start: str,
+    end: str,
+    keys: Sequence[str] = (),
+    bucket_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join — ``points.ts ∈ [intervals.start,
+    intervals.end)`` (half-open), optionally with equi ``keys``.
+
+    Spark has no inequality-join physical operator: a bare range
+    predicate plans as BroadcastNestedLoopJoin (small side only) or a
+    cartesian product — both O(|points|·|intervals|) and unusable at
+    scale. This rewrite makes the join an EQUI join Catalyst can
+    shuffle-hash/sort-merge:
+
+    1. bucket each point on ``floor(epoch(ts) / bucket_seconds)``;
+    2. explode each interval to the buckets its span covers
+       (``sequence(floor(start/b), floor(end/b))`` — choose
+       ``bucket_seconds`` ≈ the typical interval length so the
+       explode factor stays ~2);
+    3. equi-join on (keys…, bucket) and re-apply the exact predicate.
+
+    Each qualifying (point, interval) pair survives EXACTLY once —
+    a point belongs to a single bucket, so no dedup pass is needed.
+    Skewed buckets (everything in one hour) are AQE-splittable since
+    the join is a plain shuffle join."""
+    b = int(bucket_seconds)
+    pt = points.withColumn("__bkt", F.expr(f"CAST(`{ts}` AS LONG) div {b}"))
+    iv = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(`{start}` AS LONG) div {b},"
+                f" CAST(`{end}` AS LONG) div {b})"
+            )
+        ),
+    )
+    cond = [pt["__bkt"] == iv["__bkt"]]
+    for k in keys:
+        cond.append(pt[k] == iv[k])
+    cond.append(pt[ts] >= iv[start])
+    cond.append(pt[ts] < iv[end])
+    joined = pt.join(iv, cond, "inner")
+    # project away helper + duplicated key columns (keep point side)
+    drop = [iv["__bkt"], pt["__bkt"]] + [iv[k] for k in keys]
+    for c in drop:
+        joined = joined.drop(c)
+    return joined
+
+
 def find_gaps(
     present: DataFrame,
     grid: DataFrame,

@@ -1,0 +1,101 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines downsample
+overrepresented strata (language, source, domain) and cap per-group
+contributions. Doing that with ``rand()`` makes every rerun a
+different dataset — a reproducibility bug at scale. These operators
+derive the randomness from a **content hash of a stable id** (md5),
+so the sample is a pure function of the data:
+
+- identical across reruns, executors, and engines (the DuckDB oracle
+  computes the very same md5 and agrees row-for-row);
+- stable under repartitioning — no ``rand(seed)``-per-partition
+  nondeterminism, no task-retry anomalies;
+- shuffle-free for Bernoulli sampling (a plain filter that pushes
+  into the scan) and one bounded window for per-group caps.
+
+No counterpart in the reference (its datasets are small enough to
+train on fully) — this is part of the beyond-reference LLM-pipeline
+surface (BASELINE.md north-star).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _hash_hex8(id_col: str) -> F.Column:
+    """First 8 hex chars of md5(id-as-string). Lowercase hex compares
+    lexicographically == numerically, so ``hex8 < threshold_hex``
+    selects a uniform fraction int(threshold,16)/16^8 of rows."""
+    return F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+
+
+def rate_to_hex8(rate: float) -> str:
+    """Render a sampling rate in [0, 1] as the 8-hex-char threshold
+    whose lexicographic acceptance probability is ``rate`` (to within
+    1/16^8 ≈ 2.3e-10)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(int(round(rate * 0xFFFFFFFF)), "08x")
+
+
+def hash_bernoulli_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    rate: float | None = None,
+    stratum_col: str | None = None,
+    rates: Mapping[str, float] | None = None,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff md5(id) falls under the (per-stratum) rate.
+
+    Pure narrow filter — no shuffle, no state, pushes down next to the
+    scan; at 100 TB this is the only sampling shape that costs nothing
+    beyond the read. Pass ``rate`` for a uniform sample or
+    ``stratum_col`` + ``rates`` for per-stratum rates (e.g. language
+    rebalancing: keep 10% of English, 100% of low-resource languages).
+    """
+    h = _hash_hex8(id_col)
+    if rates is not None:
+        if stratum_col is None:
+            raise ValueError("rates requires stratum_col")
+        thr = F.lit(rate_to_hex8(default_rate))
+        # small literal CASE chain: strata sets are small by definition
+        for value, r in sorted(rates.items()):
+            thr = F.when(F.col(stratum_col) == value, F.lit(rate_to_hex8(r))).otherwise(thr)
+    elif rate is not None:
+        thr = F.lit(rate_to_hex8(rate))
+    else:
+        raise ValueError("pass rate= or rates=")
+    return df.filter(h < thr)
+
+
+def hash_top_n_per_group(
+    df: DataFrame,
+    *,
+    id_col: str,
+    group_cols: Sequence[str],
+    n: int,
+) -> DataFrame:
+    """Deterministic cap: at most ``n`` rows per group, chosen by
+    md5(id) order (uniform among the group's rows, reproducible).
+
+    One window shuffle on ``group_cols``; ties are impossible while
+    md5 is collision-free on distinct ids, but ``id_col`` is appended
+    to the ordering anyway so equal hashes cannot reorder across runs.
+    For very hot groups at 100 TB scale, pre-thin with
+    :func:`hash_bernoulli_sample` at a rate that leaves ~10n expected
+    rows per group, then apply the exact cap — the window then sorts
+    a bounded set instead of the full group."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        _hash_hex8(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

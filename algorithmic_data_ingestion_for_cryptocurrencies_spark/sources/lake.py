@@ -85,6 +85,63 @@ def read_lake(
     return df
 
 
+def compact_lake(
+    spark: SparkSession,
+    base_path: str,
+    *,
+    partition_by: Sequence[str] = DEFAULT_PARTITIONS,
+    ts_col: str = "timestamp",
+    target_file_mb: int = 128,
+    max_records_per_file: int = 0,
+) -> str:
+    """Rewrite a lake prefix into right-sized files — the small-files
+    compaction every streaming/micro-batch sink eventually needs (each
+    trigger appends one file per partition; a year of 1-minute batches
+    is ~500k tiny files, and at 100 TB the NameNode/listing cost alone
+    kills scans).
+
+    Plan shape: one scan → AQE-coalesced exchange →
+    ``sortWithinPartitions(ts)`` → overwrite. Sizing comes from the
+    actual bytes on disk (Hadoop ``getContentSummary``, no driver
+    listing of file contents): ``ceil(bytes / target_file_mb)`` output
+    files, so the rewrite is a single bounded shuffle regardless of
+    how fragmented the input is. Row-group time-skipping is preserved
+    because the per-file sort is reapplied.
+
+    Writes to ``<base>__compact`` then swaps via Hadoop rename —
+    readers never observe a half-written table."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = src.getFileSystem(hconf)
+    bytes_total = fs.getContentSummary(src).getLength()
+    n_files = max(1, int(bytes_total // (target_file_mb * 1024 * 1024)) + 1)
+
+    df = spark.read.parquet(base_path)
+    cols = [c for c in (partition_by or ()) if c in df.columns]
+    out = df.repartition(n_files, *[F.col(c) for c in cols]) if cols else df.repartition(n_files)
+    if ts_col in df.columns:
+        out = out.sortWithinPartitions(*cols, ts_col) if cols else out.sortWithinPartitions(ts_col)
+
+    tmp = f"{base_path.rstrip('/')}__compact"
+    writer = out.write.mode("overwrite")
+    if cols:
+        writer = writer.partitionBy(*cols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(tmp)
+
+    bak = jvm.org.apache.hadoop.fs.Path(f"{base_path.rstrip('/')}__pre_compact")
+    fs.delete(bak, True)
+    if not fs.rename(src, bak):
+        raise IOError(f"compact_lake: could not stage {base_path}")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), src):
+        fs.rename(bak, src)  # roll back; leave the table as it was
+        raise IOError(f"compact_lake: swap failed for {base_path}")
+    fs.delete(bak, True)
+    return base_path
+
+
 def hadoop_delete(spark: SparkSession, path: str) -> bool:
     """Recursive delete through Hadoop's FileSystem API — works for any
     URI Spark can write (file://, hdfs://, s3a://, ...), unlike

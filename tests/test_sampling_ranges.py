@@ -1,0 +1,146 @@
+"""Round-3 operators: deterministic sampling, bucketed range join,
+lake compaction."""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import (
+    range_interval_join,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+    hash_bernoulli_sample,
+    hash_top_n_per_group,
+    rate_to_hex8,
+)
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.sources.lake import (
+    compact_lake,
+)
+
+
+# ------------------------------------------------------------------ sampling
+def test_rate_to_hex8_bounds():
+    assert rate_to_hex8(0.0) == "00000000"
+    assert rate_to_hex8(1.0) == "ffffffff"
+    assert rate_to_hex8(0.25) == "40000000"
+    with pytest.raises(ValueError):
+        rate_to_hex8(1.5)
+
+
+def test_bernoulli_sample_deterministic_and_calibrated(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    s1 = hash_bernoulli_sample(df, id_col="doc_id", rate=0.25)
+    s2 = hash_bernoulli_sample(df.repartition(13), id_col="doc_id", rate=0.25)
+    a = {r.doc_id for r in s1.collect()}
+    b = {r.doc_id for r in s2.collect()}
+    assert a == b, "sample must be invariant to partitioning"
+    # md5 is uniform: 20k draws at p=0.25 → ±4σ ≈ ±245
+    assert abs(len(a) - 5000) < 250
+
+
+def test_bernoulli_strata_rates(spark):
+    df = (
+        spark.range(0, 10000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("rare"))
+    )
+    out = hash_bernoulli_sample(
+        df, id_col="doc_id", stratum_col="lang",
+        rates={"en": 0.1}, default_rate=1.0,
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["rare"] == 5000, "default_rate=1.0 keeps every row"
+    assert 380 < counts["en"] < 620
+
+
+def test_top_n_per_group_cap_and_determinism(spark):
+    df = (
+        spark.range(0, 3000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("g", (F.col("doc_id") % 3).cast("string"))
+    )
+    out1 = hash_top_n_per_group(df, id_col="doc_id", group_cols=["g"], n=7)
+    out2 = hash_top_n_per_group(df.repartition(11), id_col="doc_id", group_cols=["g"], n=7)
+    rows1 = sorted((r.g, r.doc_id) for r in out1.collect())
+    rows2 = sorted((r.g, r.doc_id) for r in out2.collect())
+    assert rows1 == rows2
+    per_g = out1.groupBy("g").count().collect()
+    assert all(r["count"] == 7 for r in per_g)
+
+
+# ------------------------------------------------------------------ range join
+def test_range_interval_join_matches_naive(spark):
+    pts = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d} 12:00:00") for i, d in enumerate(range(1, 29))],
+        ["pid", "ts_s"],
+    ).select("pid", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [
+            (100, "2024-01-03 00:00:00", "2024-01-05 00:00:00"),   # 2-day span
+            (200, "2024-01-04 12:00:00", "2024-01-20 12:00:00"),   # long span, crosses buckets
+            (300, "2024-01-25 12:00:00", "2024-01-25 13:00:00"),   # sub-bucket
+            (400, "2024-02-10 00:00:00", "2024-02-11 00:00:00"),   # no matches
+        ],
+        ["iid", "s_s", "e_s"],
+    ).select(
+        "iid",
+        F.col("s_s").cast("timestamp").alias("ws"),
+        F.col("e_s").cast("timestamp").alias("we"),
+    )
+    got = range_interval_join(
+        pts, iv, ts="ts", start="ws", end="we", bucket_seconds=3 * 86400
+    )
+    naive = pts.join(iv, (pts.ts >= iv.ws) & (pts.ts < iv.we), "inner")
+    got_set = sorted((r.pid, r.iid) for r in got.collect())
+    naive_set = sorted((r.pid, r.iid) for r in naive.collect())
+    assert got_set == naive_set
+    assert got_set, "fixture must produce matches"
+    # half-open: a point exactly at an interval end is excluded
+    assert all(iid != 400 for _, iid in got_set)
+
+
+def test_range_interval_join_with_keys(spark):
+    pts = spark.createDataFrame(
+        [("a", "2024-01-02 00:00:00"), ("b", "2024-01-02 00:00:00")],
+        ["k", "ts_s"],
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-03 00:00:00")],
+        ["k", "s_s", "e_s"],
+    ).select(
+        "k",
+        F.col("s_s").cast("timestamp").alias("ws"),
+        F.col("e_s").cast("timestamp").alias("we"),
+    )
+    got = range_interval_join(
+        pts, iv, ts="ts", start="ws", end="we", keys=["k"], bucket_seconds=86400
+    )
+    assert [(r.k,) for r in got.collect()] == [("a",)]
+
+
+# ------------------------------------------------------------------ compaction
+def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path: pathlib.Path):
+    base = str(tmp_path / "lake")
+    df = (
+        spark.range(0, 5000)
+        .withColumn("part", (F.col("id") % 2).cast("string"))
+        .withColumn("timestamp", F.timestamp_seconds(1704067200 + F.col("id")))
+    )
+    # fragment: 40 writer tasks per partition value
+    df.repartition(40).write.partitionBy("part").parquet(base)
+    n_before = len(list(pathlib.Path(base).rglob("*.parquet")))
+    before = df.select(F.sum(F.col("id")).alias("s")).collect()[0].s
+
+    compact_lake(spark, base, partition_by=("part",), ts_col="timestamp")
+
+    files_after = list(pathlib.Path(base).rglob("*.parquet"))
+    back = spark.read.parquet(base)
+    after = back.select(F.sum(F.col("id")).alias("s")).collect()[0].s
+    assert after == before
+    assert back.count() == 5000
+    assert len(files_after) < n_before
+    assert not (tmp_path / "lake__compact").exists()
+    assert not (tmp_path / "lake__pre_compact").exists()
