@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.asof import asof_join
 from .operators.dedup import (
+    contamination_check,
     exact_dedup,
     jaccard_similar_pairs,
     minhash_dedup_pairs,
@@ -60,7 +61,12 @@ from .operators.indicators import (
     with_vwap,
 )
 from .operators.joins import expected_grid, find_gaps, range_interval_join, spine_join
-from .operators.sampling import hash_bernoulli_sample, hash_top_n_per_group, rate_to_hex8
+from .operators.sampling import (
+    hash_bernoulli_sample,
+    hash_top_n_per_group,
+    rate_to_hex8,
+    with_shuffle_key,
+)
 from .operators.labels import with_labels
 from .operators.orderbook import batch_orderbook, depth_series, imbalance_series, spread_series
 from .operators.resample import resample, resample_last
@@ -1534,6 +1540,49 @@ def dedup_jaccard(spark, sf_dir):
     return jaccard_similar_pairs(
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.12,
         max_doc_freq=_JACCARD_MAX_DF,
+    )
+
+
+@q(
+    "dedup_contamination",
+    f"""WITH sh AS ({_SHINGLES_SQL}),
+        tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0),
+        ev AS (SELECT * FROM sh WHERE doc_id % 5 = 0)
+        SELECT ev.doc_id, COUNT(*) AS n_shingles,
+               COUNT(tr.shingle) AS n_matched,
+               COUNT(tr.shingle) / COUNT(*) AS score,
+               COUNT(tr.shingle) / COUNT(*) >= 0.5 AS contaminated
+        FROM ev LEFT JOIN tr ON ev.shingle = tr.shingle
+        GROUP BY ev.doc_id""",
+    cols=["doc_id", "n_shingles", "n_matched", "score", "contaminated"],
+    fcols=["score"],
+)
+def dedup_contamination_q(spark, sf_dir):
+    """Benchmark-leakage scan: every 5th document plays the eval set,
+    the rest the training corpus; score = share of the eval doc's
+    3-gram shingles present anywhere in train."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return contamination_check(
+        train, ev, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+
+
+@q(
+    "samp_shuffle_key",
+    """SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+       FROM documents""",
+    cols=["doc_id", "shuffle_key"],
+)
+def samp_shuffle(spark, sf_dir):
+    """Reproducible training-order shuffle: the seeded md5 key that
+    ``deterministic_shuffle`` totally orders by (order itself is
+    invisible to the sorted hash compare, so the key is the
+    checkable artifact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return with_shuffle_key(docs, id_col="doc_id", seed="s42").select(
+        "doc_id", "shuffle_key"
     )
 
 

@@ -197,6 +197,58 @@ def jaccard_similar_pairs(
     )
 
 
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Train/eval contamination scan: for each eval document, the
+    fraction of its distinct n-gram shingles that appear anywhere in
+    the training corpus (→ ``score``), flagged ``contaminated`` at
+    ``threshold``. The standard pre-release benchmark-leakage check
+    for LLM training sets.
+
+    Shape: distinct train shingles (one shuffle, map-side combined) →
+    eval shingles LEFT JOIN train shingles on the shingle key (plain
+    equi join: sort-merge/shuffle-hash, AQE-splittable) → per-doc
+    count + matched-count (one agg; the doc's shingles rode the same
+    explode projection so the partial agg is map-side). No driver
+    state, no broadcast of the big side.
+
+    ``hash_shingles=True`` replaces the shingle string key with
+    ``xxhash64(shingle)`` before the join — at 100 TB the join key
+    shrinks ~10×; collisions (2^-64) can only overcount matches by a
+    hair. Keep it off when an external engine must reproduce the
+    result string-for-string (the DuckDB oracle path).
+    """
+    key = "shingle"
+    tr = shingle_rows(train, id_col=id_col, text_col=text_col, n=n)
+    ev = shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
+    if hash_shingles:
+        key = "__sh_h"
+        tr = tr.select(F.xxhash64("shingle").alias(key))
+        ev = ev.select("id", F.xxhash64("shingle").alias(key))
+    tr_set = tr.select(key).distinct().withColumn("__hit", F.lit(1))
+    return (
+        ev.join(tr_set, key, "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .withColumn(
+            "score",
+            F.col("n_matched").cast("double") / F.col("n_shingles"),
+        )
+        .withColumn("contaminated", F.col("score") >= F.lit(threshold))
+    )
+
+
 def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) -> Column:
     """MinHash signature: min over shingles of xxhash64(shingle, seed_i)
     for each of ``num_hashes`` seeds. Array column, JVM-side."""

@@ -74,6 +74,25 @@ def hash_bernoulli_sample(
     return df.filter(h < thr)
 
 
+def with_shuffle_key(
+    df: DataFrame, *, id_col: str, seed: str = "s0", out: str = "shuffle_key"
+) -> F.Column | DataFrame:
+    """Attach a deterministic pseudo-random ordering key:
+    ``md5(seed || ':' || id)``. Sorting by it is the reproducible
+    version of 'shuffle the training set' — same order on every rerun
+    and engine, different order per seed. Pure projection (no shuffle
+    to *compute*; the eventual ``orderBy`` is Spark's sampled
+    range-partitioned total sort, which scales)."""
+    return df.withColumn(
+        out, F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    )
+
+
+def deterministic_shuffle(df: DataFrame, *, id_col: str, seed: str = "s0") -> DataFrame:
+    """Total-order the frame by the seeded content hash."""
+    return with_shuffle_key(df, id_col=id_col, seed=seed).orderBy("shuffle_key", id_col)
+
+
 def hash_top_n_per_group(
     df: DataFrame,
     *,

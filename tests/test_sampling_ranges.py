@@ -71,6 +71,59 @@ def test_top_n_per_group_cap_and_determinism(spark):
     assert all(r["count"] == 7 for r in per_g)
 
 
+def test_deterministic_shuffle_is_seeded_and_stable(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in deterministic_shuffle(df, id_col="doc_id", seed="a").collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(df.repartition(7), id_col="doc_id", seed="a").collect()]
+    o3 = [r.doc_id for r in deterministic_shuffle(df, id_col="doc_id", seed="b").collect()]
+    assert o1 == o2, "same seed → same total order, any partitioning"
+    assert o1 != o3, "different seed → different order"
+    assert o1 != sorted(o1), "order is actually shuffled"
+
+
+def test_contamination_check_scores(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.dedup import (
+        contamination_check,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # verbatim leak
+            (11, "quick brown fox sits under a red tree today"),  # partial overlap
+            (12, "completely different words appear in this sentence here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_check(
+            train, ev, id_col="doc_id", text_col="text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[10].score == 1.0 and out[10].contaminated
+    assert 0.0 < out[11].score < 0.5 and not out[11].contaminated
+    assert out[12].score == 0.0 and not out[12].contaminated
+
+    hashed = {
+        r.doc_id: r
+        for r in contamination_check(
+            train, ev, id_col="doc_id", text_col="text", n=3,
+            threshold=0.5, hash_shingles=True,
+        ).collect()
+    }
+    for k in out:
+        assert (out[k].n_shingles, out[k].n_matched) == (
+            hashed[k].n_shingles, hashed[k].n_matched,
+        ), "xxhash64 key path must agree with the string key path"
+
+
 # ------------------------------------------------------------------ range join
 def test_range_interval_join_matches_naive(spark):
     pts = spark.createDataFrame(
