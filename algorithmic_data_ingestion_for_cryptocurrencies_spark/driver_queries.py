@@ -64,6 +64,7 @@ from .operators.joins import expected_grid, find_gaps, range_interval_join, spin
 from .operators.sampling import (
     hash_bernoulli_sample,
     hash_top_n_per_group,
+    pack_sequences,
     rate_to_hex8,
     with_shuffle_key,
 )
@@ -1150,6 +1151,7 @@ def j5(spark, sf_dir):
     joined = range_interval_join(
         li, iv, ts="l_shipdate", start="win_start", end="win_end",
         bucket_seconds=7 * 86400,
+        points_parallelism=spark.sparkContext.defaultParallelism,
     )
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_pairs"), F.sum("l_quantity").alias("qty")
@@ -1584,6 +1586,23 @@ def samp_shuffle(spark, sf_dir):
     return with_shuffle_key(docs, id_col="doc_id", seed="s42").select(
         "doc_id", "shuffle_key"
     )
+
+
+@q("samp_pack_sequences", None)
+def samp_pack(spark, sf_dir):
+    """Sequence packing over the documents table (token counts from
+    the whitespace tokenizer): greedy first-fit into 512-token
+    windows, sharded by id hash. Sequential-per-shard by nature → no
+    DuckDB twin; invariants (budget respected, deterministic,
+    partitioning-invariant) are pytest-asserted."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.token_count("text").alias("n_tokens")
+    )
+    packed = pack_sequences(
+        docs, id_col="doc_id", tokens_col="n_tokens",
+        budget=512, n_shards=8, seed="s42",
+    )
+    return packed.orderBy("shard", "bin", "doc_id")
 
 
 @q("dedup_minhash_pairs", None)

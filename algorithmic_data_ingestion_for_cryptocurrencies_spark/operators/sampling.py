@@ -93,6 +93,61 @@ def deterministic_shuffle(df: DataFrame, *, id_col: str, seed: str = "s0") -> Da
     return with_shuffle_key(df, id_col=id_col, seed=seed).orderBy("shuffle_key", id_col)
 
 
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 256,
+    seed: str = "s0",
+) -> DataFrame:
+    """Greedy first-fit-in-order packing of documents into fixed
+    token-budget context windows (the 'sequence packing' step before
+    LLM pretraining): returns the input ids plus ``(shard, bin)`` —
+    the window each document lands in.
+
+    Packing is inherently sequential, so it is SHARDED: documents are
+    scattered to ``n_shards`` by id hash, each shard packs its own
+    documents independently in seeded-hash order (deterministic across
+    reruns and partitionings), and bins are namespaced by shard.
+    Cross-shard packing quality is statistically identical to global
+    packing once shards hold thousands of docs, and shards are the
+    unit of parallelism — the one sequential pass is an Arrow-batched
+    ``applyInPandas`` over a single shard's rows, never the corpus.
+    Oversized documents (> budget) get a bin of their own rather than
+    being dropped silently; chunk them upstream if that matters.
+    """
+    import pandas as pd
+
+    schema = (
+        f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        f"{tokens_col} {df.schema[tokens_col].dataType.simpleString()}, "
+        "shard int, bin bigint"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)
+        bins, cur_bin, cur_tot = [], 0, 0
+        for t in pdf[tokens_col].astype("int64"):
+            if cur_tot > 0 and cur_tot + t > budget:
+                cur_bin += 1
+                cur_tot = 0
+            cur_tot += int(t)
+            bins.append(cur_bin)
+        pdf = pdf.assign(bin=pd.Series(bins, dtype="int64"))
+        return pdf[[id_col, tokens_col, "__shard", "bin"]].rename(
+            columns={"__shard": "shard"}
+        )
+
+    staged = (
+        with_shuffle_key(df, id_col=id_col, seed=seed, out="__ord")
+        .withColumn("__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int"))
+        .select(id_col, tokens_col, "__shard", "__ord")
+    )
+    return staged.groupBy("__shard").applyInPandas(pack, schema=schema)
+
+
 def hash_top_n_per_group(
     df: DataFrame,
     *,

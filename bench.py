@@ -32,6 +32,8 @@ HEADLINE = [
     "j2_spine_join",
     "j3_asof_join",
     "e1_union_agg",
+    "j5_range_join",
+    "dedup_contamination",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_knn_join",

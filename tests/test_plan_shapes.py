@@ -109,3 +109,39 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lines")
+
+
+def test_range_join_plans_as_equi_join(spark):
+    """The bucketed rewrite must never degrade to a cartesian/nested-
+    loop plan — that is its entire reason to exist."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import (
+        range_interval_join,
+    )
+
+    pts = spark.range(0, 10_000).select(
+        F.timestamp_seconds(1704067200 + F.col("id") * 60).alias("ts"),
+        F.col("id").alias("pid"),
+    )
+    iv = spark.range(0, 500).select(
+        F.timestamp_seconds(1704067200 + F.col("id") * 3600).alias("ws"),
+        F.timestamp_seconds(1704067200 + (F.col("id") + 2) * 3600).alias("we"),
+        F.col("id").alias("iid"),
+    )
+    out = range_interval_join(pts, iv, ts="ts", start="ws", end="we", bucket_seconds=3600)
+    plan = explain_str(out, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_bernoulli_sample_plan_is_shuffle_free(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        hash_bernoulli_sample,
+    )
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = hash_bernoulli_sample(df, id_col="doc_id", rate=0.1)
+    plan = explain_str(out, "formatted")
+    assert "Exchange" not in plan, "sampling must stay a narrow filter"

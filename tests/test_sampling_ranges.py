@@ -197,3 +197,53 @@ def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path: pathlib.Path
     assert len(files_after) < n_before
     assert not (tmp_path / "lake__compact").exists()
     assert not (tmp_path / "lake__pre_compact").exists()
+
+
+# ------------------------------------------------------------------ packing
+def test_pack_sequences_invariants(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = (
+        spark.range(0, 2000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") % 300 + 1).cast("int"))
+    )
+    out = pack_sequences(
+        df, id_col="doc_id", tokens_col="n_tokens", budget=512, n_shards=4, seed="a"
+    ).toPandas()
+    assert len(out) == 2000, "every document lands in exactly one window"
+    fill = out.groupby(["shard", "bin"])["n_tokens"].sum()
+    assert (fill <= 512).all(), "no window exceeds the token budget"
+    # bins are dense per shard (greedy opens them in sequence)
+    for s_, grp in out.groupby("shard"):
+        bins = sorted(grp["bin"].unique())
+        assert bins == list(range(len(bins)))
+    # packing efficiency: greedy first-fit over uniform sizes ≳ 75% full
+    assert fill.iloc[:-1].mean() > 0.75 * 512
+
+    out2 = pack_sequences(
+        spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") % 300 + 1).cast("int"))
+        .repartition(17),
+        id_col="doc_id", tokens_col="n_tokens", budget=512, n_shards=4, seed="a",
+    ).toPandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b), "packing must be partitioning-invariant"
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 9000), (3, 100)], ["doc_id", "n_tokens"]
+    )
+    out = pack_sequences(
+        df, id_col="doc_id", tokens_col="n_tokens", budget=512, n_shards=1
+    ).toPandas()
+    big_bin = out.loc[out.doc_id == 2, "bin"].iloc[0]
+    assert (out[out.bin == big_bin].doc_id == 2).all(), "oversized doc is alone in its bin"
