@@ -498,20 +498,38 @@ def w11(spark, sf_dir):
 
 @q(
     "w12_bollinger",
+    # Parity note: mid and sd are rounded to the oracle's 6-decimal
+    # grid BEFORE the ±2·sd combination (on both engines). Each engine
+    # computes STDDEV with a different float algorithm (~1 ulp apart);
+    # combining raw mid and sd sums those ulps and, at sf0.1, pushed a
+    # handful of rows across the FLOOR rounding knife edge. Rounding
+    # the two intermediates first makes the combination arithmetic on
+    # bit-identical doubles. Deviation from raw pandas values is below
+    # the engine's documented 6-decimal oracle granularity.
     f"""SELECT suppkey, ts, okey, lnum,
-        __mid AS bb_middle,
-        __mid + 2.0 * __sd AS bb_upper,
-        __mid - 2.0 * __sd AS bb_lower
-        FROM (SELECT suppkey, ts, okey, lnum, {_roll('AVG', 'close', 20)} AS __mid,
-                     {_roll('STDDEV_SAMP', 'close', 20)} AS __sd
-              FROM ({MARKET_SQL}))""",
+        __mid_r AS bb_middle,
+        __mid_r + 2.0 * __sd_r AS bb_upper,
+        __mid_r - 2.0 * __sd_r AS bb_lower
+        FROM (SELECT suppkey, ts, okey, lnum,
+                     {SR('__mid')} AS __mid_r, {SR('__sd')} AS __sd_r
+              FROM (SELECT suppkey, ts, okey, lnum,
+                           {_roll('AVG', 'close', 20)} AS __mid,
+                           {_roll('STDDEV_SAMP', 'close', 20)} AS __sd
+                    FROM ({MARKET_SQL})))""",
     cols=IDS + ["bb_middle", "bb_upper", "bb_lower"],
     fcols=["bb_middle", "bb_upper", "bb_lower"],
 )
 def w12(spark, sf_dir):
     m = _market(spark, sf_dir)
-    m = with_bollinger(m, "close", 20, 2.0, keys=KEYS, order=ORDER, prefix="bb")
-    return m.select(*IDS, "bb_middle", "bb_upper", "bb_lower")
+    w = series_window(KEYS, ORDER)
+    mid = _round6(rolling_mean("close", w, 20))
+    sd = _round6(rolling_std("close", w, 20))
+    return m.select(
+        *IDS,
+        mid.alias("bb_middle"),
+        (mid + F.lit(2.0) * sd).alias("bb_upper"),
+        (mid - F.lit(2.0) * sd).alias("bb_lower"),
+    )
 
 
 @q(
