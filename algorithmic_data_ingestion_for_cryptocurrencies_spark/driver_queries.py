@@ -1391,11 +1391,9 @@ _NORM = "TRIM(REGEXP_REPLACE(LOWER({c}), '\\s+', ' ', 'g'))"
 _WORDS = f"STRING_SPLIT({_NORM.format(c='text')}, ' ')"
 
 
-@q(
-    "text_quality",
-    f"""SELECT doc_id, n_chars_text, n_words, avg_word_len, punct_ratio,
-        digit_ratio, upper_ratio, stopword_ratio, quality_score
-FROM (
+# Full quality-feature subquery, shared by text_quality and the
+# corpus-curation pipeline query (identical score arithmetic on both).
+_QUALITY_SQL = f"""
   SELECT doc_id,
          LENGTH(text) AS n_chars_text,
          __nw AS n_words,
@@ -1420,8 +1418,14 @@ FROM (
          AS DOUBLE) AS quality_score
   FROM (SELECT doc_id, text, {_NORM.format(c='text')} AS __norm, {_WORDS} AS __w,
                LEN({_WORDS}) AS __nw
-        FROM documents)
-)""",
+        FROM documents)"""
+
+
+@q(
+    "text_quality",
+    f"""SELECT doc_id, n_chars_text, n_words, avg_word_len, punct_ratio,
+        digit_ratio, upper_ratio, stopword_ratio, quality_score
+FROM ({_QUALITY_SQL})""",
     cols=["doc_id", "n_chars_text", "n_words", "avg_word_len", "punct_ratio",
           "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score"],
     fcols=["avg_word_len", "punct_ratio", "digit_ratio", "upper_ratio",
@@ -1434,6 +1438,56 @@ def text_quality(spark, sf_dir):
         "doc_id", "n_chars_text", "n_words", "avg_word_len", "punct_ratio",
         "digit_ratio", "upper_ratio", "stopword_ratio", "quality_score",
     )
+
+
+_CURATION_RATES = {"en": 0.5}
+
+
+@q(
+    "pipeline_corpus_curation",
+    f"""WITH q AS ({_QUALITY_SQL}),
+        filt AS (
+          SELECT d.doc_id, d.lang, q.quality_score,
+                 {_NORM.format(c='d.text')} AS __norm
+          FROM documents d JOIN q ON d.doc_id = q.doc_id
+          WHERE q.quality_score >= 0.55 AND d.lang IN ('en','es','de','fr','zh')),
+        survivors AS (
+          SELECT doc_id, lang, quality_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY __norm ORDER BY doc_id) AS __rn
+            FROM filt) WHERE __rn = 1)
+        SELECT doc_id, lang, quality_score FROM survivors
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE lang WHEN 'en' THEN '{rate_to_hex8(0.5)}'
+                          ELSE '{rate_to_hex8(1.0)}' END""",
+    cols=["doc_id", "lang", "quality_score"],
+    fcols=["quality_score"],
+)
+def pipeline_curation(spark, sf_dir):
+    """Capstone corpus-curation pipeline — the composition a real
+    training-data job runs, every stage an operator from this repo:
+    quality gate -> language allowlist -> exact dedup (normalized
+    text, deterministic survivor) -> stratified downsampling of the
+    overrepresented language. Plan: one scan feeds the quality
+    projection (narrow), dedup is one shuffle on the content hash,
+    sampling is a shuffle-free filter — two exchanges end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = textops.quality_features(docs, "text").select(
+        "doc_id", "lang", "text", "quality_score"
+    )
+    filt = scored.filter(
+        (F.col("quality_score") >= 0.55)
+        & F.col("lang").isin("en", "es", "de", "fr", "zh")
+    )
+    survivors = exact_dedup(
+        filt.select("doc_id", "lang", "quality_score", "text"),
+        ["text"], tiebreak_col="doc_id",
+    )
+    sampled = hash_bernoulli_sample(
+        survivors, id_col="doc_id", stratum_col="lang",
+        rates=_CURATION_RATES, default_rate=1.0,
+    )
+    return sampled.select("doc_id", "lang", "quality_score")
 
 
 _LANG_RATIOS = ", ".join(
