@@ -34,6 +34,7 @@ HEADLINE = [
     "e1_union_agg",
     "j5_range_join",
     "dedup_contamination",
+    "pipeline_corpus_curation",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_knn_join",
