@@ -1469,8 +1469,10 @@ def pipeline_curation(spark, sf_dir):
     quality gate -> language allowlist -> exact dedup (normalized
     text, deterministic survivor) -> stratified downsampling of the
     overrepresented language. Plan: one scan feeds the quality
-    projection (narrow), dedup is one shuffle on the content hash,
-    sampling is a shuffle-free filter — two exchanges end to end."""
+    projection (narrow), dedup is one shuffle on the content hash
+    (with WindowGroupLimit pre-filtering survivors map-side),
+    sampling is a shuffle-free filter — ONE exchange end to end
+    (plan-asserted)."""
     docs = _t(spark, sf_dir, "documents")
     scored = textops.quality_features(docs, "text").select(
         "doc_id", "lang", "text", "quality_score"

@@ -145,3 +145,17 @@ def test_bernoulli_sample_plan_is_shuffle_free(spark):
     out = hash_bernoulli_sample(df, id_col="doc_id", rate=0.1)
     plan = explain_str(out, "formatted")
     assert "Exchange" not in plan, "sampling must stay a narrow filter"
+
+
+def test_corpus_curation_pipeline_is_single_exchange(spark):
+    """Capstone pipeline (quality gate -> lang filter -> exact dedup ->
+    stratified sample) must stay narrow except the one dedup shuffle:
+    quality scoring and hash sampling are projections/filters, and the
+    dedup survivor is a WindowGroupLimit-pushed rank over the content
+    key."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pipeline_corpus_curation"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "formatted").split("\n\n")[0]
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
