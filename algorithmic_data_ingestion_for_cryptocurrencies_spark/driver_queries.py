@@ -66,6 +66,7 @@ from .operators.sampling import (
     hash_top_n_per_group,
     pack_sequences,
     rate_to_hex8,
+    rate_to_threshold,
     with_shuffle_key,
 )
 from .operators.labels import with_labels
@@ -1180,9 +1181,9 @@ _SAMP_RATES = {"en": 0.25, "zh": 0.5, "es": 0.5}
 _SAMP_CASE = (
     "CASE lang "
     + " ".join(
-        f"WHEN '{k}' THEN '{rate_to_hex8(v)}'" for k, v in sorted(_SAMP_RATES.items())
+        f"WHEN '{k}' THEN '{rate_to_threshold(v)}'" for k, v in sorted(_SAMP_RATES.items())
     )
-    + f" ELSE '{rate_to_hex8(1.0)}' END"
+    + f" ELSE '{rate_to_threshold(1.0)}' END"
 )
 
 
@@ -1458,8 +1459,8 @@ _CURATION_RATES = {"en": 0.5}
             FROM filt) WHERE __rn = 1)
         SELECT doc_id, lang, quality_score FROM survivors
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
-              < CASE lang WHEN 'en' THEN '{rate_to_hex8(0.5)}'
-                          ELSE '{rate_to_hex8(1.0)}' END""",
+              < CASE lang WHEN 'en' THEN '{rate_to_threshold(0.5)}'
+                          ELSE '{rate_to_threshold(1.0)}' END""",
     cols=["doc_id", "lang", "quality_score"],
     fcols=["quality_score"],
 )

@@ -102,13 +102,26 @@ def range_interval_join(
         # repartition of the (narrow) point side restores it; pointless
         # only when both sides are big enough to shuffle anyway.
         points = points.repartition(points_parallelism)
-    pt = points.withColumn("__bkt", F.expr(f"CAST(`{ts}` AS LONG) div {b}"))
+
+    def _epoch_div(df: DataFrame, col: str) -> str:
+        # Spark disallows DATE->BIGINT casts; route DATE columns through
+        # TIMESTAMP so any temporal type works (ADVICE r3).
+        from pyspark.sql import types as T
+
+        inner = (
+            f"CAST(`{col}` AS TIMESTAMP)"
+            if isinstance(df.schema[col].dataType, T.DateType)
+            else f"`{col}`"
+        )
+        return f"CAST({inner} AS LONG) div {b}"
+
+    pt = points.withColumn("__bkt", F.expr(_epoch_div(points, ts)))
     iv = intervals.withColumn(
         "__bkt",
         F.explode(
             F.expr(
-                f"sequence(CAST(`{start}` AS LONG) div {b},"
-                f" CAST(`{end}` AS LONG) div {b})"
+                f"sequence({_epoch_div(intervals, start)},"
+                f" {_epoch_div(intervals, end)})"
             )
         ),
     )

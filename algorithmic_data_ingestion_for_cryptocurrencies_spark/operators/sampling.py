@@ -42,6 +42,17 @@ def rate_to_hex8(rate: float) -> str:
     return format(int(round(rate * 0xFFFFFFFF)), "08x")
 
 
+def rate_to_threshold(rate: float) -> str:
+    """Threshold literal for the ``hex8 < thr`` predicate. For
+    ``rate >= 1.0`` returns ``'g'`` — lexicographically above every
+    hex string — so 1.0 is *exactly* keep-all (``rate_to_hex8(1.0) ==
+    'ffffffff'`` would drop rows whose md5 prefix is exactly ffffffff,
+    p≈2.3e-10 per row: real rows at 100 TB scale; ADVICE r3). Oracle
+    SQL renderings must use this same helper so both engines evaluate
+    the identical predicate."""
+    return "g" if rate >= 1.0 else rate_to_hex8(rate)
+
+
 def hash_bernoulli_sample(
     df: DataFrame,
     *,
@@ -63,11 +74,13 @@ def hash_bernoulli_sample(
     if rates is not None:
         if stratum_col is None:
             raise ValueError("rates requires stratum_col")
-        thr = F.lit(rate_to_hex8(default_rate))
+        thr = F.lit(rate_to_threshold(default_rate))
         # small literal CASE chain: strata sets are small by definition
         for value, r in sorted(rates.items()):
-            thr = F.when(F.col(stratum_col) == value, F.lit(rate_to_hex8(r))).otherwise(thr)
+            thr = F.when(F.col(stratum_col) == value, F.lit(rate_to_threshold(r))).otherwise(thr)
     elif rate is not None:
+        if rate >= 1.0:
+            return df  # exactly keep-all, no filter at all
         thr = F.lit(rate_to_hex8(rate))
     else:
         raise ValueError("pass rate= or rates=")
@@ -76,7 +89,7 @@ def hash_bernoulli_sample(
 
 def with_shuffle_key(
     df: DataFrame, *, id_col: str, seed: str = "s0", out: str = "shuffle_key"
-) -> F.Column | DataFrame:
+) -> DataFrame:
     """Attach a deterministic pseudo-random ordering key:
     ``md5(seed || ':' || id)``. Sorting by it is the reproducible
     version of 'shuffle the training set' — same order on every rerun

@@ -108,12 +108,24 @@ def compact_lake(
     how fragmented the input is. Row-group time-skipping is preserved
     because the per-file sort is reapplied.
 
-    Writes to ``<base>__compact`` then swaps via Hadoop rename —
-    readers never observe a half-written table."""
+    Writes to ``<base>__compact`` then swaps via Hadoop rename. The
+    swap window is NOT reader-atomic: between rename(src->bak) and
+    rename(tmp->src) the base path briefly does not exist, and on
+    object stores (s3a) Hadoop rename is a non-atomic O(data) copy —
+    use a table format (Delta/Iceberg) there. On local FS / HDFS the
+    window is two metadata ops; a crash inside it leaves the data at
+    ``<base>__pre_compact``, which the next call detects and restores
+    before compacting (self-healing, ADVICE r3)."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     src = jvm.org.apache.hadoop.fs.Path(base_path)
     fs = src.getFileSystem(hconf)
+    stranded = jvm.org.apache.hadoop.fs.Path(f"{base_path.rstrip('/')}__pre_compact")
+    if not fs.exists(src) and fs.exists(stranded):
+        # a previous run crashed mid-swap: the original table is intact
+        # at __pre_compact — restore it and carry on
+        if not fs.rename(stranded, src):
+            raise IOError(f"compact_lake: could not restore {base_path} from __pre_compact")
     bytes_total = fs.getContentSummary(src).getLength()
     n_files = max(1, int(bytes_total // (target_file_mb * 1024 * 1024)) + 1)
 

@@ -41,6 +41,28 @@ def test_bernoulli_sample_deterministic_and_calibrated(spark):
     assert abs(len(a) - 5000) < 250
 
 
+def test_bernoulli_rate_one_is_exact_keep_all(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        rate_to_threshold,
+    )
+
+    # 'g' sorts above every hex8 string, so `hex8 < 'g'` is always true
+    assert rate_to_threshold(1.0) == "g"
+    assert rate_to_threshold(0.25) == "40000000"
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    # uniform rate=1.0 short-circuits: no filter in the plan at all
+    out = hash_bernoulli_sample(df, id_col="doc_id", rate=1.0)
+    assert out is df
+    # stratified: the keep-all stratum keeps every row, even ones whose
+    # md5 prefix would be 'ffffffff' (exercised via the sentinel)
+    strat = df.withColumn("lang", F.lit("rare"))
+    kept = hash_bernoulli_sample(
+        strat, id_col="doc_id", stratum_col="lang", rates={"en": 0.1},
+        default_rate=1.0,
+    )
+    assert kept.count() == 1000
+
+
 def test_bernoulli_strata_rates(spark):
     df = (
         spark.range(0, 10000)
@@ -174,6 +196,25 @@ def test_range_interval_join_with_keys(spark):
     assert [(r.k,) for r in got.collect()] == [("a",)]
 
 
+def test_range_interval_join_date_columns(spark):
+    # DATE->BIGINT casts are disallowed in Spark; the operator must
+    # route DATE through TIMESTAMP itself (ADVICE r3)
+    pts = spark.createDataFrame(
+        [(1, "2024-01-02"), (2, "2024-01-10")], ["pid", "d_s"]
+    ).select("pid", F.col("d_s").cast("date").alias("ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01", "2024-01-05")], ["iid", "s_s", "e_s"]
+    ).select(
+        "iid",
+        F.col("s_s").cast("date").alias("ws"),
+        F.col("e_s").cast("date").alias("we"),
+    )
+    got = range_interval_join(
+        pts, iv, ts="ts", start="ws", end="we", bucket_seconds=86400
+    )
+    assert sorted((r.pid, r.iid) for r in got.collect()) == [(1, 100)]
+
+
 # ------------------------------------------------------------------ compaction
 def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path: pathlib.Path):
     base = str(tmp_path / "lake")
@@ -196,6 +237,26 @@ def test_compact_lake_reduces_files_preserves_rows(spark, tmp_path: pathlib.Path
     assert back.count() == 5000
     assert len(files_after) < n_before
     assert not (tmp_path / "lake__compact").exists()
+    assert not (tmp_path / "lake__pre_compact").exists()
+
+
+def test_compact_lake_self_heals_stranded_swap(spark, tmp_path: pathlib.Path):
+    # Simulate a crash inside the swap window: the table was renamed to
+    # __pre_compact but the compacted tree never landed at the base
+    # path. A rerun must restore the original and complete (ADVICE r3).
+    base = str(tmp_path / "lake")
+    df = (
+        spark.range(0, 1000)
+        .withColumn("timestamp", F.timestamp_seconds(1704067200 + F.col("id")))
+    )
+    df.repartition(8).write.parquet(base)
+    (tmp_path / "lake").rename(tmp_path / "lake__pre_compact")
+    assert not (tmp_path / "lake").exists()
+
+    compact_lake(spark, base, partition_by=(), ts_col="timestamp")
+
+    back = spark.read.parquet(base)
+    assert back.count() == 1000
     assert not (tmp_path / "lake__pre_compact").exists()
 
 
