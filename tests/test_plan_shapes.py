@@ -147,6 +147,29 @@ def test_bernoulli_sample_plan_is_shuffle_free(spark):
     assert "Exchange" not in plan, "sampling must stay a narrow filter"
 
 
+def test_depth_series_single_exchange_before_aggregate(spark):
+    """Top-N depth: exactly one exchange, and it must sit BELOW the
+    object aggregation (exchange-first shape) — a map-side partial
+    collect_list reduces nothing and serializes the aggregation onto
+    the scan splits (r3 verdict: 12.6x DuckDB from exactly that)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
+        depth_series,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0, "bid"), (1, 11.0, 2.0, "ask"), (1, 9.5, 3.0, "bid")],
+        ["ts", "price", "amount", "side"],
+    )
+    out = depth_series(df, 2)
+    plan = explain_str(out, "formatted").split("\n\n")[0]
+    assert plan.count("Exchange") == 1
+    # tree prints top-down: every aggregate node is ABOVE the exchange
+    lines = plan.splitlines()
+    exchange_at = next(i for i, l in enumerate(lines) if "Exchange" in l)
+    agg_lines = [i for i, l in enumerate(lines) if "ObjectHashAggregate" in l]
+    assert agg_lines and all(i < exchange_at for i in agg_lines)
+
+
 def test_corpus_curation_pipeline_is_single_exchange(spark):
     """Capstone pipeline (quality gate -> lang filter -> exact dedup ->
     stratified sample) must stay narrow except the one dedup shuffle:
