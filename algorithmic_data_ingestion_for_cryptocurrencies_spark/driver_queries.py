@@ -2260,6 +2260,10 @@ def training_matrix(spark, sf_dir):
     from .datasets.training import build_training_matrix
 
     base = market_series_frame(spark, sf_dir)
+    # pre_cluster=symbol: one exchange serves the bars aggregate AND
+    # the entire downstream window cascade (subset-of-group-keys
+    # clustering) — without it the plan re-shuffles the spine from
+    # (symbol, ..., bucket) partitioning to (symbol) for the windows
     bars = resample(
         base,
         "1w",
@@ -2272,6 +2276,7 @@ def training_matrix(spark, sf_dir):
         ts_col="ts",
         keys=["symbol", "exchange", "timeframe"],
         bucket_out="timestamp",
+        pre_cluster=["symbol"],
     ).withColumn("timeframe", F.lit("1w"))
     ev = _events(spark, sf_dir).withColumn(
         "ts", F.col("ts") - F.expr("INTERVAL 28 YEARS")

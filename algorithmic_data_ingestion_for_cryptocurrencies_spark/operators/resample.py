@@ -32,12 +32,37 @@ def resample(
     ts_col: str = "ts",
     keys: Sequence[str] = (),
     bucket_out: str = "bucket",
+    pre_cluster: Sequence[str] | None = None,
+    pre_cluster_n: int | None = None,
 ) -> DataFrame:
     """Tumbling-window aggregate: one row per (keys..., bucket).
 
     ``aggs`` maps output column name -> aggregate Column, e.g.
     ``{"sentiment_mean": F.avg("sentiment_score"), "n": F.count("id")}``.
-    """
+
+    ``pre_cluster`` (a SUBSET of ``keys``) repartitions the input on
+    those columns before grouping. Hash-partitioning on a subset of
+    the group keys satisfies the aggregate's clustering requirement,
+    so the groupBy reuses that one exchange — and so does any
+    downstream per-``pre_cluster``-key stage (window cascades over the
+    resampled bars, series joins): the whole spine path then runs on a
+    single exchange instead of agg-shuffle + window-shuffle. Measured
+    ~10% off the training-matrix pipeline at sf0.1. Only worth it when
+    such a consumer exists; plain rollups keep the default (map-side
+    partial aggregation reduces rows before the wire, which
+    ``pre_cluster`` forgoes). ``pre_cluster_n`` defaults to
+    ``spark.sql.shuffle.partitions`` (explicit count so AQE cannot
+    byte-coalesce a CPU-heavy window stage downstream)."""
+    if pre_cluster:
+        extra = set(pre_cluster) - set(keys)
+        if extra:
+            raise ValueError(
+                f"pre_cluster must be a subset of keys, got extra {sorted(extra)}"
+            )
+        n = pre_cluster_n or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        df = df.repartition(n, *[F.col(c) for c in pre_cluster])
     bucketed = df.withColumn(bucket_out, bucket_col(ts_col, timeframe))
     gb = bucketed.groupBy(*list(keys), bucket_out)
     return gb.agg(*[c.alias(name) for name, c in aggs.items()])
