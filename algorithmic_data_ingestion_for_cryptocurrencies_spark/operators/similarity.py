@@ -201,11 +201,30 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     use_lsh: bool = False,
     dim: int | None = None,
+    max_exact_vectors: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
     Exact all-pairs by default (fine for bounded corpora / within
     groups); ``use_lsh`` switches candidate generation to bucketed.
-    Norms are staged once per vector, not once per pair."""
+    Norms are staged once per vector, not once per pair.
+
+    The exact tier is CAP-GUARDED (r3 verdict): all-pairs is O(n²),
+    and an unbounded corpus must never get the quadratic plan
+    silently. Above ``max_exact_vectors`` the call counts-and-routes
+    to the bucketed LSH tier (needs ``dim``; without it the call
+    raises rather than going quadratic) — the same fail-over contract
+    as :func:`embedding_near_pairs_arrow`."""
+    if not use_lsh:
+        n = df.count()
+        if n > max_exact_vectors:
+            if dim is None:
+                raise ValueError(
+                    f"corpus has {n} vectors > max_exact_vectors="
+                    f"{max_exact_vectors}: refusing the O(n^2) all-pairs "
+                    "plan; pass dim= to fail over to the LSH tier, raise "
+                    "the cap explicitly, or call with use_lsh=True"
+                )
+            use_lsh = True
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),

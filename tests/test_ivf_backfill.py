@@ -153,3 +153,31 @@ def test_arrow_near_pairs_cap_guard_routes_to_lsh(spark):
 
     with _pytest.raises(ValueError, match="max_broadcast_vectors"):
         embedding_near_pairs_arrow(emb, 0.3, max_broadcast_vectors=10)
+
+
+def test_exact_near_pairs_cap_guard_never_goes_quadratic(spark):
+    """The exact tier must count-and-route above max_exact_vectors:
+    with dim it switches to the bucketed LSH join (no cartesian in the
+    plan); without dim it raises. Under the cap the all-pairs plan is
+    allowed (r3 verdict #4)."""
+    import pytest as _pytest
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+
+    routed = embedding_near_pairs(emb, 0.3, max_exact_vectors=10, dim=dim)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "Join" in plan
+    assert routed.columns == ["id_a", "id_b", "cosine"]
+    routed.limit(5).collect()
+
+    with _pytest.raises(ValueError, match="max_exact_vectors"):
+        embedding_near_pairs(emb, 0.3, max_exact_vectors=10)
+
+    # under the cap: exact all-pairs allowed (and is the oracle tier)
+    exact = embedding_near_pairs(emb, 0.3)
+    assert exact.columns == ["id_a", "id_b", "cosine"]
