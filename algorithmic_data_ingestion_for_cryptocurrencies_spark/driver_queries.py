@@ -1614,9 +1614,11 @@ SELECT doc_id, shingle FROM (
 )
 def dedup_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
+    # broadcast_sizes: bounded doc corpus -> the (id, n_sh) sizes frame
+    # broadcasts, replacing the id-window recount's full index sort
     return jaccard_similar_pairs(
         docs, id_col="doc_id", text_col="text", n=3, threshold=0.12,
-        max_doc_freq=_JACCARD_MAX_DF,
+        max_doc_freq=_JACCARD_MAX_DF, broadcast_sizes=True,
     )
 
 

@@ -134,6 +134,7 @@ def jaccard_similar_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -155,6 +156,15 @@ def jaccard_similar_pairs(
     only), which keeps the result exact w.r.t. that universe —
     near-identical to full Jaccard in practice because stop-shingles
     carry no discriminative signal.
+
+    ``broadcast_sizes`` changes how the post-filter set sizes reach
+    the pair grain: the default re-counts them with a window over
+    ``id`` (a full shuffle+sort of the inverted index — scale-safe at
+    any doc-id cardinality); with ``broadcast_sizes=True`` the sizes
+    are a map-side-combined ``groupBy(id).count()`` (one row per doc)
+    broadcast-joined onto the pair aggregates — ~30% faster measured
+    at sf0.1, correct only while one (id, n_sh) row per document fits
+    a broadcast (bounded corpora; not the 5B-doc regime).
     """
     from pyspark.sql import Window
 
@@ -166,29 +176,43 @@ def jaccard_similar_pairs(
     shingled = sets.select(
         "id", F.size("__shs").alias("n_sh"), F.explode("__shs").alias("shingle")
     )
+    sizes = None
     if max_doc_freq is not None:
         # document frequency over the same hash partitioning as the
         # join below (partitionBy shingle), then re-count set sizes on
         # the surviving universe
-        shingled = (
-            shingled.withColumn(
-                "__df", F.count("*").over(Window.partitionBy("shingle"))
-            )
-            .filter(F.col("__df") <= max_doc_freq)
-            .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
-            .drop("__df")
-        )
+        shingled = shingled.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("__df") <= max_doc_freq)
+        if broadcast_sizes:
+            shingled = shingled.drop("n_sh", "__df")
+            sizes = shingled.groupBy("id").agg(F.count("*").alias("n_sh"))
+        else:
+            shingled = shingled.withColumn(
+                "n_sh", F.count("*").over(Window.partitionBy("id"))
+            ).drop("__df")
     a = shingled.alias("a")
     b = shingled.alias("b")
-    return (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
+    joined = a.join(
+        b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
+    )
+    if sizes is not None:
+        pairs = joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(F.count("*").alias("common"))
+        sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")))
+        sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")))
+        pairs = pairs.join(sa, "id_a").join(sb, "id_b")
+    else:
+        pairs = joined.groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        ).agg(
             F.count("*").alias("common"),
             F.first(F.col("a.n_sh")).alias("n_a"),
             F.first(F.col("b.n_sh")).alias("n_b"),
         )
-        .withColumn(
+    return (
+        pairs.withColumn(
             "jaccard",
             F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")),
         )
