@@ -197,6 +197,181 @@ def chunked_ewm_batch(
     return pd.concat(outs, ignore_index=True)
 
 
+# --------------------------------------------------------------------------
+# ST3 generality (r3 verdict #6): stateful continuity for the FULL
+# flagship feature family — ret/logret, rvol_5/20, ema_12/26, macd,
+# macd_signal_9, rsi_14, hl_spread, oi_obv — not just one rolling mean.
+# --------------------------------------------------------------------------
+
+_MF_CARRY_ROWS = 20  # max rolling window (rvol_20): 20 trailing closes
+_MF_FEATURES = [
+    "ret_1", "logret_1", "rvol_5", "rvol_20", "ema_12", "ema_26",
+    "macd", "macd_signal_9", "rsi_14", "hl_spread", "oi_obv",
+]
+
+
+def _cont_ewm(x: pd.Series, span: int, y0: float | None) -> pd.Series:
+    """adjust=False EWM, continued exactly from a carried value: the
+    recursion y_t = (1-a)·y_{t-1} + a·x_t depends on history only
+    through y_{t-1}, so seeding with y0 as a pseudo-first-row and
+    dropping it reproduces the full-series EWM bit-for-bit."""
+    if y0 is not None and not pd.isna(y0):
+        s = pd.concat([pd.Series([y0]), x], ignore_index=True)
+        return s.ewm(span=span, adjust=False).mean().iloc[1:].reset_index(drop=True)
+    return x.reset_index(drop=True).ewm(span=span, adjust=False).mean()
+
+
+def _market_features_combine(
+    pdf: pd.DataFrame, carry: dict | None, *, ts_col: str = "ts",
+) -> tuple[pd.DataFrame, dict]:
+    """Chunk step for the composite feature stage. ``carry`` holds the
+    trailing ``_MF_CARRY_ROWS`` (ts, close) rows — enough history for
+    every rolling window — plus the O(1) recursive accumulators
+    (ema_12/26, macd signal, OBV running total). Math mirrors
+    ``build_market_features_arrow`` line-for-line so chunked == full
+    batch to float precision (``stateful_processor.py:11-41``'s
+    invariant, extended to the whole family)."""
+    import numpy as np
+
+    pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+    have_carry = carry is not None and len(carry["closes"]) > 0
+    if have_carry:
+        prefix = pd.DataFrame({
+            ts_col: pd.to_datetime(carry["ts"]),
+            "close": carry["closes"],
+        })
+        full = pd.concat([prefix, pdf], ignore_index=True, sort=False)
+        p = len(prefix)
+    else:
+        full = pdf
+        p = 0
+
+    close = full["close"].astype(float)
+    prev = close.shift(1)
+    delta = close.diff()
+    ret_1 = (close - prev) / prev.replace(0.0, np.nan)
+    logc = np.log(close.replace(0.0, np.nan))
+    logret = logc - logc.shift(1)
+    rvol_5 = logret.rolling(5).std()
+    rvol_20 = logret.rolling(20).std()
+    up = delta.clip(lower=0).fillna(0.0)
+    down = (-delta).clip(lower=0).fillna(0.0)
+    rs = up.rolling(14).mean() / down.rolling(14).mean().replace(0.0, np.nan)
+    rsi_14 = 100.0 - 100.0 / (1.0 + rs)
+
+    new_close = close.iloc[p:].reset_index(drop=True)
+    ema_12 = _cont_ewm(new_close, 12, carry["ema12"] if have_carry else None)
+    ema_26 = _cont_ewm(new_close, 26, carry["ema26"] if have_carry else None)
+    macd = ema_12 - ema_26
+    sig_9 = _cont_ewm(macd, 9, carry["sig9"] if have_carry else None)
+
+    # OBV: sign of each NEW row's delta (first-ever row: sign(0) = 0,
+    # matching the batch twin's fillna) times its volume, accumulated
+    # onto the carried running total
+    signed = (
+        np.sign(delta.iloc[p:].fillna(0.0).to_numpy())
+        * pdf["volume"].fillna(0.0).to_numpy()
+    )
+    obv0 = carry["obv"] if have_carry else 0.0
+    oi_obv = obv0 + np.cumsum(signed)
+
+    out = pdf.copy()
+    out["ret_1"] = ret_1.iloc[p:].to_numpy()
+    out["logret_1"] = logret.iloc[p:].to_numpy()
+    out["rvol_5"] = rvol_5.iloc[p:].to_numpy()
+    out["rvol_20"] = rvol_20.iloc[p:].to_numpy()
+    out["ema_12"] = ema_12.to_numpy()
+    out["ema_26"] = ema_26.to_numpy()
+    out["macd"] = macd.to_numpy()
+    out["macd_signal_9"] = sig_9.to_numpy()
+    out["rsi_14"] = rsi_14.iloc[p:].to_numpy()
+    out["hl_spread"] = (
+        (pdf["high"].astype(float) - pdf["low"].astype(float))
+        / pdf["close"].astype(float).replace(0.0, np.nan)
+    ).to_numpy()
+    out["oi_obv"] = oi_obv
+
+    tail = full.iloc[max(0, len(full) - _MF_CARRY_ROWS):]
+    new_carry = {
+        "ts": [t.isoformat() for t in pd.to_datetime(tail[ts_col])],
+        "closes": [float(v) for v in tail["close"]],
+        "ema12": float(ema_12.iloc[-1]) if len(ema_12) else (carry["ema12"] if have_carry else float("nan")),
+        "ema26": float(ema_26.iloc[-1]) if len(ema_26) else (carry["ema26"] if have_carry else float("nan")),
+        "sig9": float(sig_9.iloc[-1]) if len(sig_9) else (carry["sig9"] if have_carry else float("nan")),
+        "obv": float(oi_obv[-1]) if len(oi_obv) else obv0,
+    }
+    return out, new_carry
+
+
+def apply_stateful_market_features(
+    stream_df,
+    *,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+):
+    """Wire the composite feature stage onto a (streaming) DataFrame:
+    state per series is 20 trailing (ts, close) rows + four scalar
+    accumulators — constant size regardless of stream length."""
+    key_schema = ", ".join(
+        f"{k} {stream_df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    feat_schema = ", ".join(f"{c} double" for c in _MF_FEATURES)
+    out_schema = (
+        f"{ts_col} timestamp, close double, high double, low double, "
+        f"volume double, {feat_schema}, {key_schema}"
+    )
+    state_schema = (
+        "ts array<string>, closes array<double>, "
+        "ema12 double, ema26 double, sig9 double, obv double"
+    )
+    key_cols = list(keys)
+
+    def fn(key, pdf_iter, state: GroupState):
+        carry = None
+        if state.exists:
+            ts_l, cl_l, e12, e26, s9, obv = state.get
+            carry = {"ts": list(ts_l), "closes": list(cl_l),
+                     "ema12": e12, "ema26": e26, "sig9": s9, "obv": obv}
+        outs = []
+        for pdf in pdf_iter:
+            out, carry = _market_features_combine(pdf, carry, ts_col=ts_col)
+            outs.append(out)
+        if carry is not None:
+            state.update((carry["ts"], carry["closes"], carry["ema12"],
+                          carry["ema26"], carry["sig9"], carry["obv"]))
+        for out in outs:
+            for i, k in enumerate(key_cols):
+                out[k] = key[i]
+            yield out[[ts_col, "close", "high", "low", "volume",
+                       *_MF_FEATURES, *key_cols]]
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def chunked_market_features_batch(
+    pdf: pd.DataFrame,
+    chunk_size: int,
+    *,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Batch harness over the composite-feature carry core (equivalence
+    twin for tests: chunked-with-state == one-pass full batch)."""
+    carry = None
+    outs = []
+    for lo in range(0, len(pdf), chunk_size):
+        out, carry = _market_features_combine(
+            pdf.iloc[lo:lo + chunk_size], carry, ts_col=ts_col
+        )
+        outs.append(out)
+    return pd.concat(outs, ignore_index=True)
+
+
 def chunked_rolling_mean_batch(
     pdf: pd.DataFrame,
     chunk_size: int,

@@ -49,6 +49,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # scaled-bench support (tools/make_scaled_sf.py): skip queries whose
+    # work grows quadratically with the replica count, by name
+    skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+    headline = [q for q in HEADLINE if q not in skip]
 
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
@@ -66,7 +70,7 @@ def main() -> None:
     # per distinct plan, measured round 3).
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in headline:
             fn, _sql = REGISTRY[name]
             try:
                 fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
@@ -84,7 +88,7 @@ def main() -> None:
                      "dedup_minhash_pairs": max(runs, 5)}
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn, _sql = REGISTRY[name]
         best: float | None = None
         for _ in range(runs_override.get(name, runs)):
@@ -118,9 +122,12 @@ def main() -> None:
         con = duckdb.connect()
         for t in ["region", "nation", "customer", "supplier", "part",
                   "orders", "lineitem", "events", "documents", "embeddings"]:
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            p = f"{sf_dir}/{t}.parquet"
+            # scaled tables are directories of part files
+            src_glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src_glob}'")
         oracle: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in headline:
             _fn, sql = REGISTRY[name]
             if sql is None:
                 continue

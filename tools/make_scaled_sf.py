@@ -1,0 +1,112 @@
+"""Generate an sf1-equivalent bench dataset by replicating sf0.1 with
+key-shifted ids (r3 verdict #3).
+
+Why replicate instead of duplicate: naive 10x row duplication creates
+degenerate data (10 identical rows per (symbol, ts) — window ties,
+everything an exact dup). Shifting every id/key column by
+``replica * (max_key + 1)`` gives DISJOINT key spaces: 10x more
+series/orders/docs over the same time range — the way market data
+actually scales (more symbols, not longer history). Text/vector
+payloads repeat verbatim across replicas, which mirrors the exact-dup
+clusters of a real crawl corpus.
+
+Output layout: ``<out>/sf1/<table>.parquet/part-*.parquet`` — each
+table is a DIRECTORY of right-sized files so both engines get a
+parallel scan (the driver's single-row-group files cap Spark at one
+decode task, which is the very floor this dataset exists to amortize;
+see ROUND4_NOTES). Physical types are preserved bit-for-bit by
+round-tripping through pyarrow, so the schema-adaptive loaders behave
+identically.
+
+Usage: python tools/make_scaled_sf.py [--replicas 10]
+       [--src /root/testdata/sf0.1] [--out /root/repo/testdata_scaled]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+# id/FK columns to shift per table; referential pairs (orders.o_custkey
+# -> customer.c_custkey etc.) shift by the PARENT's stride so FKs stay
+# consistent across replicas
+SHIFT_COLS: dict[str, list[tuple[str, str]]] = {
+    # table -> [(column, stride_source_table.column)]
+    "region": [],
+    "nation": [],
+    "customer": [("c_custkey", "customer.c_custkey")],
+    "supplier": [("s_suppkey", "supplier.s_suppkey")],
+    "part": [("p_partkey", "part.p_partkey")],
+    "orders": [("o_orderkey", "orders.o_orderkey"), ("o_custkey", "customer.c_custkey")],
+    "lineitem": [
+        ("l_orderkey", "orders.o_orderkey"),
+        ("l_partkey", "part.p_partkey"),
+        ("l_suppkey", "supplier.s_suppkey"),
+    ],
+    "events": [("event_id", "events.event_id"), ("user_id", "events.user_id")],
+    "documents": [("doc_id", "documents.doc_id")],
+    "embeddings": [("vec_id", "embeddings.vec_id")],
+}
+
+TARGET_FILE_MB = 4  # small files -> every core gets scan work
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/root/repo/testdata_scaled")
+    args = ap.parse_args()
+
+    out_dir = os.path.join(args.out, "sf1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # strides: max+1 of every referenced key column, computed once
+    strides: dict[str, int] = {}
+    for ref in {r for cols in SHIFT_COLS.values() for _c, r in cols}:
+        t, c = ref.split(".")
+        col = pq.read_table(os.path.join(args.src, f"{t}.parquet"), columns=[c])[c]
+        strides[ref] = int(pc.max(col).as_py()) + 1
+
+    for table, cols in SHIFT_COLS.items():
+        src = pq.read_table(os.path.join(args.src, f"{table}.parquet"))
+        n_rep = 1 if not cols else args.replicas  # dims are not replicated
+        parts = []
+        for r in range(n_rep):
+            t = src
+            for col, ref in cols:
+                if r == 0:
+                    continue
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t[col], pa.scalar(r * strides[ref], type=t.schema.field(col).type))
+                t = t.set_column(idx, t.schema.field(col), shifted)
+            parts.append(t)
+        full = pa.concat_tables(parts)
+
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        shutil.rmtree(dest, ignore_errors=True)
+        os.makedirs(dest)
+        src_mb = os.path.getsize(os.path.join(args.src, f"{table}.parquet")) / 1e6
+        # replicated tables get >=8 files regardless of byte size: CPU-
+        # heavy scans (text shingling, vector math) need task fan-out
+        # even when the bytes are tiny
+        floor_files = 8 if n_rep > 1 else 1
+        n_files = max(floor_files, min(32, round(src_mb * n_rep / TARGET_FILE_MB)))
+        rows_per_file = -(-full.num_rows // n_files)
+        for i in range(n_files):
+            chunk = full.slice(i * rows_per_file, rows_per_file)
+            if chunk.num_rows:
+                pq.write_table(
+                    chunk, os.path.join(dest, f"part-{i:03d}.parquet"),
+                    compression="snappy",
+                )
+        print(f"{table}: {full.num_rows} rows, {n_files} files")
+
+
+if __name__ == "__main__":
+    main()
