@@ -1564,6 +1564,93 @@ def text_tokens_bpe(spark, sf_dir):
     )
 
 
+_CHUNK_T, _CHUNK_OV = 16, 4
+_CHUNK_STEP = _CHUNK_T - _CHUNK_OV
+
+
+@q(
+    "text_chunking",
+    f"""SELECT doc_id,
+        CAST(FLOOR((s - 1) / {_CHUNK_STEP}) AS INT) AS chunk_id,
+        ARRAY_TO_STRING(__w[s:s + {_CHUNK_T - 1}], ' ') AS chunk_text,
+        CAST(LEAST({_CHUNK_T}, __nw - s + 1) AS INT) AS n_tokens
+        FROM (
+          SELECT doc_id, __w, LEN(__w) AS __nw,
+                 UNNEST(RANGE(1, GREATEST(LEN(__w) - {_CHUNK_OV}, 1) + 1,
+                              {_CHUNK_STEP})) AS s
+          FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))""",
+    cols=["doc_id", "chunk_id", "chunk_text", "n_tokens"],
+)
+def text_chunking(spark, sf_dir):
+    """Overlapping context-window chunking — zero-exchange projection
+    + explode (chunking 100 TB costs one read)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.chunk_documents(
+        docs, id_col="doc_id", text_col="text",
+        chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV,
+    )
+    return out.select(
+        "doc_id", "chunk_id", "chunk_text", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+
+
+@q(
+    "text_repetition",
+    f"""SELECT doc_id,
+        CAST(GREATEST(LEN(__w) - 1, 0) AS INT) AS n_ngrams,
+        CAST(CASE WHEN LEN(__w) >= 2 THEN LEN(LIST_DISTINCT(
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - 1, 1) + 1),
+                              s -> ARRAY_TO_STRING(__w[s:s + 1], ' '))))
+             ELSE 0 END AS INT) AS n_distinct,
+        CASE WHEN LEN(__w) >= 2 THEN 1.0 - CAST(CASE WHEN LEN(__w) >= 2 THEN LEN(LIST_DISTINCT(
+               LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - 1, 1) + 1),
+                              s -> ARRAY_TO_STRING(__w[s:s + 1], ' '))))
+             ELSE 0 END AS DOUBLE) / CAST(GREATEST(LEN(__w) - 1, 0) AS DOUBLE)
+             ELSE 0.0 END AS dup_ngram_ratio
+        FROM (SELECT doc_id, {_WORDS} AS __w FROM documents)""",
+    cols=["doc_id", "n_ngrams", "n_distinct", "dup_ngram_ratio"],
+    fcols=["dup_ngram_ratio"],
+)
+def text_repetition(spark, sf_dir):
+    """Within-doc duplicate-bigram ratio (Gopher/C4 repetition filter)
+    — pure array expressions, no explode, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.repetition_stats(docs, text_col="text", n=2)
+    return out.select(
+        "doc_id",
+        F.col("n_ngrams").cast("int").alias("n_ngrams"),
+        F.col("n_distinct").cast("int").alias("n_distinct"),
+        "dup_ngram_ratio",
+    )
+
+
+_URL_RE = textops.URL_PATTERN
+_EMAIL_RE = textops.EMAIL_PATTERN
+
+
+@q(
+    "text_scrub",
+    f"""SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_URL_RE}')) AS INT) AS n_urls,
+        CAST(LEN(REGEXP_EXTRACT_ALL(
+            REGEXP_REPLACE(text, '{_URL_RE}', '<URL>', 'g'),
+            '{_EMAIL_RE}')) AS INT) AS n_emails,
+        TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+            REGEXP_REPLACE(text, '{_URL_RE}', '<URL>', 'g'),
+            '{_EMAIL_RE}', '<EMAIL>', 'g'), '\\s+', ' ', 'g')) AS clean_text
+        FROM documents""",
+    cols=["doc_id", "n_urls", "n_emails", "clean_text"],
+)
+def text_scrub(spark, sf_dir):
+    """URL/email redaction + whitespace collapse, with redaction
+    counts — the PII/boilerplate scrub pass. The regex patterns parse
+    identically under Java regex and RE2, so the oracle embeds the
+    same strings."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textops.scrub_text(docs, text_col="text", out_col="clean_text")
+    return out.select("doc_id", "n_urls", "n_emails", "clean_text")
+
+
 @q(
     "dedup_exact",
     """SELECT doc_id, __snip AS snippet

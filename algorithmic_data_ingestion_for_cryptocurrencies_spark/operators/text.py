@@ -113,6 +113,112 @@ def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") 
     return df
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard context-window prep before LLM pretraining / embedding.
+    Output grain: one row per (doc, chunk) with ``chunk_id`` (0-based),
+    ``chunk_text`` and ``n_tokens``.
+
+    Pure projection + explode — ZERO exchanges, so chunking 100 TB
+    costs one read. Chunk starts step by ``chunk_tokens - overlap``;
+    the final chunk may be short but never starts beyond
+    ``n - overlap`` (no pure-overlap tail chunks). Short docs yield
+    exactly one chunk."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    words = word_tokens(text_col)
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / F.lit(step)).cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(words, s, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("__c")
+    ).select(
+        id_col,
+        F.col("__c.chunk_id").alias("chunk_id"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, *, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document repetition signal (Gopher/C4-style filter): the
+    fraction of duplicate word n-grams. High ``dup_ngram_ratio`` marks
+    boilerplate/spam/generated loops. Pure column expressions — no
+    explode, no shuffle: the n-gram set is built and deduplicated
+    per-row with array functions."""
+    words = word_tokens(text_col)
+    total = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.when(
+        total > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
+            lambda s: F.concat_ws(" ", F.slice(words, s, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.withColumn("n_ngrams", total)
+        .withColumn("n_distinct", distinct)
+        .withColumn(
+            "dup_ngram_ratio",
+            F.when(
+                total > 0,
+                F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+# Conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB) — no lookarounds, no backrefs — so oracle SQL can
+# embed the very same strings.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def scrub_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """PII/boilerplate scrub: redact URLs then emails to placeholder
+    tokens, collapse whitespace, and count the redactions (the counts
+    feed quality filters — a doc that is mostly links is boilerplate).
+    Pure projection; order matters (URLs can contain email-shaped
+    substrings, so they are redacted first)."""
+    c = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_PATTERN), F.lit(0)))
+    t1 = F.regexp_replace(c, URL_PATTERN, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(t1, F.lit(EMAIL_PATTERN), F.lit(0)))
+    t2 = F.regexp_replace(t1, EMAIL_PATTERN, "<EMAIL>")
+    clean = F.trim(F.regexp_replace(t2, r"\s+", " "))
+    return (
+        df.withColumn("n_urls", n_urls)
+        .withColumn("n_emails", n_emails)
+        .withColumn(out_col, clean)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text
     (content-defined identity for exact dedup / incremental ingest)."""

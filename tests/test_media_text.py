@@ -55,3 +55,80 @@ def test_bpe_ish_tokens_and_rolling_hash(spark):
         pd.DataFrame({"doc_id": [3], "text": ["completely different content here"]})
     ).select(textops.rolling_hash_fingerprint("text", window=2).alias("fp"))
     assert other.first()["fp"] != out[0]["fp"]
+
+
+def test_chunk_documents_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(40))),   # multi-chunk
+            (2, "short doc"),                             # single chunk
+            (3, ""),                                      # degenerate
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.chunk_documents(
+        df, id_col="doc_id", text_col="text", chunk_tokens=16, overlap=4
+    ).toPandas()
+    d1 = out[out.doc_id == 1].sort_values("chunk_id")
+    # step = 12: starts at words 0, 12, 24 -> 3 chunks of 16/16/16
+    assert list(d1.chunk_id) == [0, 1, 2]
+    assert list(d1.n_tokens) == [16, 16, 16]
+    # overlap: each chunk repeats the previous chunk's last 4 words
+    w = [f"w{i}" for i in range(40)]
+    assert d1.iloc[1].chunk_text == " ".join(w[12:28])
+    # reconstruction: stripping the 4-word overlap re-yields the doc
+    rebuilt = w[:16] + w[16 + 4 - 4:][:0]  # sanity base
+    toks = [c.split(" ") for c in d1.chunk_text]
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[4:]]
+    assert rebuilt == w
+    assert len(out[out.doc_id == 2]) == 1
+    assert out[out.doc_id == 2].iloc[0].n_tokens == 2
+    # zero-exchange plan
+    plan = textops.chunk_documents(
+        df, id_col="doc_id", text_col="text", chunk_tokens=16, overlap=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_repetition_stats_flags_loops(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),          # pure loop
+            (2, "all words here are fully distinct ones"), # clean
+            (3, "one"),                                    # too short
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.repetition_stats(df, text_col="text", n=2).collect()
+    }
+    assert out[1].n_ngrams == 5 and out[1].n_distinct == 1
+    assert abs(out[1].dup_ngram_ratio - 0.8) < 1e-12
+    assert out[2].dup_ngram_ratio == 0.0
+    assert out[3].n_ngrams == 0 and out[3].dup_ngram_ratio == 0.0
+
+
+def test_scrub_text_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at alice@example.com   or  bob.smith+x@sub.domain.org now"),
+            (2, "see https://example.com/a?b=c and http://x.io too"),
+            (3, "url with mail inside https://host/a@b.com/path stays one URL"),
+            (4, "plain text, nothing to scrub"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textops.scrub_text(df, text_col="text").collect()}
+    assert out[1].n_emails == 2 and out[1].n_urls == 0
+    assert out[1].clean_text == "mail me at <EMAIL> or <EMAIL> now"
+    assert out[2].n_urls == 2 and out[2].n_emails == 0
+    assert out[2].clean_text == "see <URL> and <URL> too"
+    # URL redacted FIRST: the embedded email never counts
+    assert out[3].n_urls == 1 and out[3].n_emails == 0
+    assert out[4].clean_text == "plain text, nothing to scrub"
