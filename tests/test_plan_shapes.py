@@ -198,6 +198,43 @@ def test_depth_series_single_exchange_before_aggregate(spark):
     assert agg_lines and all(i < exchange_at for i in agg_lines)
 
 
+def test_depth_series_window_tier_matches_object_tier(spark):
+    """The two physical tiers must be row-identical on tied prices
+    (deterministic tiebreaks), and the window tier must be pure
+    codegen (no ObjectHashAggregate) with a WindowGroupLimit prune."""
+    import random
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
+        depth_series,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for ts in range(50):
+        for k in range(rng.randint(1, 8)):
+            rows.append((
+                ts % 3, ts, k, rng.choice([9.0, 10.0, 11.0]),  # tied prices
+                float(rng.randint(1, 5)),
+                "bid" if k % 2 == 0 else "ask",
+            ))
+    df = spark.createDataFrame(
+        rows, ["symbol", "ts", "okey", "price", "amount", "side"]
+    )
+    kw = dict(keys=["symbol"], tiebreak_cols=["okey"])
+    obj = depth_series(df, 3, **kw).orderBy("symbol", "ts").collect()
+    win = depth_series(df, 3, strategy="window", **kw).orderBy("symbol", "ts").collect()
+    assert obj == win
+
+    plan = explain_str(
+        depth_series(df, 3, strategy="window", **kw), "formatted"
+    ).split("\n\n")[0]
+    assert "ObjectHashAggregate" not in plan
+    assert "WindowGroupLimit" in plan
+
+    with pytest.raises(ValueError):
+        depth_series(df, 3, strategy="nope", **kw)
+
+
 def test_corpus_curation_pipeline_is_single_exchange(spark):
     """Capstone pipeline (quality gate -> lang filter -> exact dedup ->
     stratified sample) must stay narrow except the one dedup shuffle:
