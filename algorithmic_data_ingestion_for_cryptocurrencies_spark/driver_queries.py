@@ -1564,6 +1564,17 @@ def text_tokens_bpe(spark, sf_dir):
     )
 
 
+def _fanout(df: DataFrame) -> DataFrame:
+    """Round-robin repartition for CPU-heavy narrow pipelines over the
+    single-row-group local fixtures: a zero-exchange operator (the
+    RIGHT shape at 100 TB, where the scan has thousands of splits)
+    otherwise runs on the fixture's ONE scan task. Row-identical; only
+    applied when the scan is effectively serial."""
+    if df.rdd.getNumPartitions() >= 8:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 _CHUNK_T, _CHUNK_OV = 16, 4
 _CHUNK_STEP = _CHUNK_T - _CHUNK_OV
 
@@ -1583,8 +1594,9 @@ _CHUNK_STEP = _CHUNK_T - _CHUNK_OV
 )
 def text_chunking(spark, sf_dir):
     """Overlapping context-window chunking — zero-exchange projection
-    + explode (chunking 100 TB costs one read)."""
-    docs = _t(spark, sf_dir, "documents")
+    + explode (chunking 100 TB costs one read); fanned out over the
+    serial local fixture."""
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     out = textops.chunk_documents(
         docs, id_col="doc_id", text_col="text",
         chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV,
@@ -1613,8 +1625,10 @@ def text_chunking(spark, sf_dir):
 )
 def text_repetition(spark, sf_dir):
     """Within-doc duplicate-bigram ratio (Gopher/C4 repetition filter)
-    — pure array expressions, no explode, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    — pure array expressions, no explode; fanned out over the serial
+    local fixture (HOF expressions run interpreted, ~1.6 ms/doc on one
+    core)."""
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     out = textops.repetition_stats(docs, text_col="text", n=2)
     return out.select(
         "doc_id",
@@ -1646,7 +1660,7 @@ def text_scrub(spark, sf_dir):
     counts — the PII/boilerplate scrub pass. The regex patterns parse
     identically under Java regex and RE2, so the oracle embeds the
     same strings."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fanout(_t(spark, sf_dir, "documents"))
     out = textops.scrub_text(docs, text_col="text", out_col="clean_text")
     return out.select("doc_id", "n_urls", "n_emails", "clean_text")
 
