@@ -124,3 +124,89 @@ def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, seed):
         rtol=1e-12,
         equal_nan=True,
     )
+
+
+@given(
+    n_words=st.integers(min_value=0, max_value=120),
+    chunk=st.integers(min_value=4, max_value=32),
+    ov_frac=st.floats(min_value=0.0, max_value=0.9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_chunking_covers_and_reconstructs(spark, n_words, chunk, ov_frac, seed):
+    """Any (doc length, chunk size, overlap): chunk ids are dense from
+    0, every chunk respects the token budget, and stripping the
+    overlap from chunks 1..k reconstructs the document exactly."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        chunk_documents,
+    )
+
+    overlap = min(int(chunk * ov_frac), chunk - 1)
+    rng = np.random.default_rng(seed)
+    words = [f"w{rng.integers(0, 50)}" for _ in range(n_words)]
+    text = " ".join(words)
+    sdf = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = (
+        chunk_documents(sdf, chunk_tokens=chunk, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    assert [r.chunk_id for r in out] == list(range(len(out)))
+    assert all(r.n_tokens <= chunk for r in out)
+    toks = [r.chunk_text.split(" ") for r in out]
+    rebuilt = toks[0] + [t for c in toks[1:] for t in c[overlap:]]
+    expected = words if words else [""]  # empty text -> one empty token
+    assert rebuilt == expected
+
+
+@given(
+    words=st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_repetition_ratio_matches_python_oracle(spark, words):
+    """dup_ngram_ratio equals a direct python computation and stays in
+    [0, 1) for any word sequence."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        repetition_stats,
+    )
+
+    text = " ".join(words)
+    sdf = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = repetition_stats(sdf, text_col="text", n=2).collect()[0]
+    toks = text.split(" ") if text else [""]
+    grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+    assert row.n_ngrams == len(grams)
+    assert row.n_distinct == len(set(grams))
+    exp = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+    assert abs(row.dup_ngram_ratio - exp) < 1e-12
+    assert 0.0 <= row.dup_ngram_ratio < 1.0 or row.n_ngrams == 0
+
+
+@given(
+    n_urls=st.integers(min_value=0, max_value=3),
+    n_emails=st.integers(min_value=0, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_scrub_is_idempotent_and_counts(spark, n_urls, n_emails, seed):
+    """scrub(scrub(x)) == scrub(x), and the counts match the number of
+    planted artifacts."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        scrub_text,
+    )
+
+    rng = np.random.default_rng(seed)
+    parts = ["plain"] * 3
+    parts += [f"https://site{rng.integers(0, 9)}.io/p" for _ in range(n_urls)]
+    parts += [f"u{rng.integers(0, 9)}@mail.com" for _ in range(n_emails)]
+    rng.shuffle(parts)
+    text = "  ".join(parts)
+    sdf = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = scrub_text(sdf, text_col="text").collect()[0]
+    assert row.n_urls == n_urls and row.n_emails == n_emails
+    again = scrub_text(
+        spark.createDataFrame([(1, row.clean_text)], ["doc_id", "text"]),
+        text_col="text",
+    ).collect()[0]
+    assert again.clean_text == row.clean_text
+    assert again.n_urls == 0 and again.n_emails == 0
