@@ -1665,6 +1665,62 @@ def text_scrub(spark, sf_dir):
     return out.select("doc_id", "n_urls", "n_emails", "clean_text")
 
 
+_PCHUNK_NORM = _NORM.format(c="chunk_text")
+
+
+@q(
+    "pipeline_chunk_prep",
+    f"""WITH cleaned AS (
+          SELECT doc_id,
+                 TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                     REGEXP_REPLACE(text, '{_URL_RE}', '<URL>', 'g'),
+                     '{_EMAIL_RE}', '<EMAIL>', 'g'), '\\s+', ' ', 'g')) AS clean
+          FROM documents),
+        chunks AS (
+          SELECT doc_id,
+                 CAST(FLOOR((s - 1) / {_CHUNK_STEP}) AS INT) AS chunk_id,
+                 ARRAY_TO_STRING(__w[s:s + {_CHUNK_T - 1}], ' ') AS chunk_text,
+                 CAST(LEAST({_CHUNK_T}, __nw - s + 1) AS INT) AS n_tokens
+          FROM (SELECT doc_id, __w, LEN(__w) AS __nw,
+                       UNNEST(RANGE(1, GREATEST(LEN(__w) - {_CHUNK_OV}, 1) + 1,
+                                    {_CHUNK_STEP})) AS s
+                FROM (SELECT doc_id,
+                             STRING_SPLIT({_NORM.format(c='clean')}, ' ') AS __w
+                      FROM cleaned))),
+        scored AS (
+          SELECT *, CASE WHEN LEN(__g) >= 1
+                         THEN 1.0 - CAST(LEN(LIST_DISTINCT(__g)) AS DOUBLE)
+                                    / CAST(LEN(__g) AS DOUBLE)
+                         ELSE 0.0 END AS dup_ratio
+          FROM (SELECT *, LIST_TRANSFORM(
+                    RANGE(1, GREATEST(LEN(STRING_SPLIT(chunk_text, ' ')) - 1, 0) + 1),
+                    s -> ARRAY_TO_STRING(STRING_SPLIT(chunk_text, ' ')[s:s + 1], ' ')) AS __g
+                FROM chunks))
+        SELECT doc_id, chunk_id, chunk_text, n_tokens FROM scored
+        WHERE dup_ratio <= 2.0e-1
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY {_PCHUNK_NORM} ORDER BY doc_id, chunk_id) = 1""",
+    cols=["doc_id", "chunk_id", "chunk_text", "n_tokens"],
+)
+def pipeline_chunk_prep(spark, sf_dir):
+    """Capstone #2 — pretraining chunk prep, composing the round-4
+    operators end to end: PII scrub -> context-window chunking ->
+    repetition-ratio gate -> exact chunk dedup (deterministic
+    survivor). Plan: narrow exprs + explode feed ONE dedup shuffle."""
+    docs = _fanout(_t(spark, sf_dir, "documents"))
+    clean = textops.scrub_text(docs, text_col="text", out_col="clean_text")
+    chunks = textops.chunk_documents(
+        clean, id_col="doc_id", text_col="clean_text",
+        chunk_tokens=_CHUNK_T, overlap=_CHUNK_OV,
+    )
+    rep = textops.repetition_stats(chunks, text_col="chunk_text", n=2)
+    kept = rep.filter(F.col("dup_ngram_ratio") <= 0.2).select(
+        "doc_id", "chunk_id", "chunk_text", F.col("n_tokens").cast("int").alias("n_tokens")
+    )
+    surv = exact_dedup(kept, ["chunk_text"], tiebreak_col="doc_id")
+    return surv.select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
 @q(
     "dedup_exact",
     """SELECT doc_id, __snip AS snippet

@@ -198,6 +198,20 @@ def test_depth_series_single_exchange_before_aggregate(spark):
     assert agg_lines and all(i < exchange_at for i in agg_lines)
 
 
+def test_chunk_prep_pipeline_is_single_dedup_exchange(spark):
+    """Capstone #2 (scrub -> chunk -> repetition gate -> exact dedup):
+    everything up to the dedup survivor must stay narrow — one data
+    exchange for the dedup shuffle plus the serial-fixture fan-out
+    repartition, nothing else."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pipeline_chunk_prep"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "formatted").split("\n\n")[0]
+    assert plan.count("Exchange") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # dedup survivor pruned map-side
+
+
 def test_depth_series_window_tier_matches_object_tier(spark):
     """The two physical tiers must be row-identical on tied prices
     (deterministic tiebreaks), and the window tier must be pure
