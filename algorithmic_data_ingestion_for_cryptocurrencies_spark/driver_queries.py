@@ -1665,6 +1665,36 @@ def text_scrub(spark, sf_dir):
     return out.select("doc_id", "n_urls", "n_emails", "clean_text")
 
 
+_BM25_TERMS = ("table", "scan", "fast", "spark")
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@q(
+    "text_bm25",
+    f"""WITH w AS (SELECT doc_id, LEN(__w) AS dl, UNNEST(__w) AS t
+               FROM (SELECT doc_id, {_WORDS} AS __w FROM documents)),
+        tf AS (SELECT doc_id, t, COUNT(*) AS tf, FIRST(dl) AS dl FROM w
+               WHERE t IN ({_BM25_IN}) GROUP BY 1, 2),
+        dfq AS (SELECT t, COUNT(*) AS dfc FROM tf GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n, AVG(LEN({_WORDS})) AS avgdl
+                  FROM documents)
+        SELECT doc_id, COUNT(*) AS n_hit_terms,
+               SUM(LN(1 + (n - dfc + 0.5) / (dfc + 0.5)) * tf
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+        FROM tf JOIN dfq USING (t), stats GROUP BY doc_id""",
+    cols=["doc_id", "n_hit_terms", "bm25"],
+    fcols=["bm25"],
+)
+def text_bm25(spark, sf_dir):
+    """BM25 retrieval scoring against a fixed query — vocabulary
+    filter pushed to the narrow stage, corpus statistics broadcast,
+    two data shuffles total."""
+    docs = _fanout(_t(spark, sf_dir, "documents"))
+    return textops.bm25_scores(
+        docs, list(_BM25_TERMS), id_col="doc_id", text_col="text"
+    )
+
+
 _PCHUNK_NORM = _NORM.format(c="chunk_text")
 
 

@@ -219,6 +219,63 @@ def scrub_text(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: "list[str]",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query — the
+    retrieval step of query-targeted corpus curation ("find the docs
+    about X in 100 TB"). Returns ``(id, n_hit_terms, bm25)`` for
+    documents matching >= 1 term.
+
+    Shape: explode words -> filter to the query terms (pushes the
+    vocabulary filter into the narrow stage; everything else operates
+    on matching postings only) -> one (doc, term) aggregate -> two
+    BROADCAST joins for the corpus statistics (per-term document
+    frequency and the global (N, avgdl) scalar row — both tiny by
+    construction) -> per-doc sum. Two data shuffles total regardless
+    of corpus size; never a full-vocabulary index."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = word_tokens(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(words).alias("__dl"),
+        F.explode(words).alias("__w"),
+    ).filter(F.col("__w").isin(*query_terms))
+    tf = base.groupBy("id", "__w").agg(
+        F.count("*").alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    dfreq = tf.groupBy("__w").agg(F.count("*").alias("__df"))
+    stats = df.select(
+        F.count("*").alias("__n"),
+        F.avg(F.size(word_tokens(text_col))).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    term_score = idf * F.col("__tf") / (
+        F.col("__tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__w")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum(term_score).alias("bm25"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of normalized text
     (content-defined identity for exact dedup / incremental ingest)."""

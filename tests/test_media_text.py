@@ -132,3 +132,27 @@ def test_scrub_text_redacts_and_counts(spark):
     # URL redacted FIRST: the embedded email never counts
     assert out[3].n_urls == 1 and out[3].n_emails == 0
     assert out[4].clean_text == "plain text, nothing to scrub"
+
+
+def test_bm25_ranking_properties(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common filler filler filler"),
+            (2, "common filler words only here today"),
+            (3, "common common common filler filler filler"),
+            (4, "nothing matching at all in this"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in textops.bm25_scores(
+        df, ["rare", "common"], id_col="doc_id", text_col="text"
+    ).collect()}
+    assert 4 not in out, "docs with no query term are absent"
+    assert out[1].n_hit_terms == 2 and out[2].n_hit_terms == 1
+    # 'rare' appears in 1 doc, 'common' in 3 -> doc 1's rare hit
+    # dominates doc 3's extra 'common' occurrences
+    assert out[1].bm25 > out[3].bm25 > out[2].bm25
+    with _pytest.raises(ValueError):
+        textops.bm25_scores(df, [], id_col="doc_id", text_col="text")
