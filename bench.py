@@ -35,6 +35,7 @@ HEADLINE = [
     "j5_range_join",
     "dedup_contamination",
     "pipeline_corpus_curation",
+    "pipeline_chunk_prep",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_knn_join",
