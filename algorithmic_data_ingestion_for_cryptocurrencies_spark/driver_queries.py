@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .operators.asof import asof_join
 from .operators.dedup import (
+    connected_components,
     contamination_check,
+    dedup_survivors,
     exact_dedup,
     jaccard_similar_pairs,
     minhash_dedup_pairs,
@@ -1784,9 +1786,7 @@ SELECT doc_id, shingle FROM (
   FROM ({_SHINGLES_SQL})) WHERE __df <= {_JACCARD_MAX_DF}"""
 
 
-@q(
-    "dedup_jaccard_pairs",
-    f"""SELECT id_a, id_b, jaccard FROM (
+_JACCARD_PAIRS_SQL = f"""SELECT id_a, id_b, jaccard FROM (
   SELECT c.ia AS id_a, c.ib AS id_b,
          c.common / (sa.n + sb.n - c.common) AS jaccard
   FROM (SELECT a.doc_id ia, b.doc_id ib, COUNT(*) AS common
@@ -1795,7 +1795,12 @@ SELECT doc_id, shingle FROM (
         GROUP BY 1, 2) c
   JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_DF_SQL}) GROUP BY 1) sa ON c.ia = sa.doc_id
   JOIN (SELECT doc_id, COUNT(*) n FROM ({_SHINGLES_DF_SQL}) GROUP BY 1) sb ON c.ib = sb.doc_id
-) WHERE jaccard >= 1.2e-1""",
+) WHERE jaccard >= 1.2e-1"""
+
+
+@q(
+    "dedup_jaccard_pairs",
+    _JACCARD_PAIRS_SQL,
     cols=["id_a", "id_b", "jaccard"],
     fcols=["jaccard"],
 )
@@ -1833,6 +1838,67 @@ def dedup_contamination_q(spark, sf_dir):
     return contamination_check(
         train, ev, id_col="doc_id", text_col="text", n=3, threshold=0.5
     )
+
+
+# transitive closure of the (symmetric) near-dup pair graph; component
+# label = min reachable doc_id. The recursive CTE is the DuckDB twin of
+# connected_components' min-label propagation (UNION dedups states, so
+# the recursion terminates at the closure fixpoint).
+_CC_COMP_SQL = f"""
+  pairs AS ({_JACCARD_PAIRS_SQL}),
+  edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+  reach(u, v) AS (SELECT u, v FROM edges
+                  UNION
+                  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+  comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+           FROM reach GROUP BY u)"""
+
+
+def _jaccard_pairs_df(spark, sf_dir):
+    return jaccard_similar_pairs(
+        _t(spark, sf_dir, "documents"), id_col="doc_id", text_col="text",
+        n=3, threshold=0.12, max_doc_freq=_JACCARD_MAX_DF,
+        broadcast_sizes=True,
+    )
+
+
+@q(
+    "dedup_clusters",
+    f"WITH RECURSIVE {_CC_COMP_SQL} SELECT doc_id, cluster_id FROM comp",
+    cols=["doc_id", "cluster_id"],
+)
+def dedup_clusters_q(spark, sf_dir):
+    """Near-dup clusters: Jaccard pairs (same tier/threshold as
+    ``dedup_jaccard_pairs``) -> connected components -> (doc_id,
+    cluster_id = min id in component). Oracle = recursive-CTE
+    transitive closure over the identical pair list."""
+    comp = connected_components(_jaccard_pairs_df(spark, sf_dir))
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@q(
+    "dedup_cluster_survivors",
+    f"""WITH RECURSIVE {_CC_COMP_SQL}
+SELECT doc_id, cluster_id, cluster_size FROM (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id))
+           AS cluster_size
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+WHERE doc_id = cluster_id""",
+    cols=["doc_id", "cluster_id", "cluster_size"],
+)
+def dedup_cluster_survivors_q(spark, sf_dir):
+    """One survivor (min doc_id) per near-dup cluster plus all
+    singleton documents, with the cluster's total member count — the
+    complete pairs -> clusters -> canonical-survivor dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = dedup_survivors(
+        docs, _jaccard_pairs_df(spark, sf_dir), id_col="doc_id"
+    )
+    return out.select("doc_id", "cluster_id", "cluster_size")
 
 
 @q(

@@ -390,6 +390,121 @@ def minhash_dedup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list:
+    ``(id, component)`` where ``component`` is the minimum node id in
+    the component. The glue between pairwise dedup (Jaccard / MinHash /
+    SimHash / cosine tiers above) and survivor selection — near-dup
+    relations are not transitive, so keeping one doc per *pair* both
+    over- and under-deletes; the industry-standard pipeline clusters
+    the pair graph first (c4/Gopher/RefinedWeb all do this).
+
+    Algorithm: min-label propagation with pointer jumping. Each
+    iteration (a) takes the min label over neighbors, (b) shortcuts
+    ``label(u) <- label(label(u))`` — the pointer-jump makes chains
+    collapse in O(log diameter) rounds instead of O(diameter). Each
+    round is three bounded shuffles (edge join on v, parent join on
+    label, change-count); lineage is truncated per round with an eager
+    ``localCheckpoint`` so plans stay flat no matter the iteration
+    count (on a real cluster prefer ``checkpoint()`` to an HDFS dir —
+    localCheckpoint stores blocks on executors and is not
+    fault-tolerant to executor loss). Driver involvement is one
+    O(1)-row convergence count per round — the standard pattern for
+    iterative graph algorithms on Spark (GraphX/GraphFrames do the
+    same); data never collects.
+
+    Raises ``RuntimeError`` if ``max_iterations`` rounds don't reach a
+    fixpoint (with pointer jumping, 25 rounds cover graphs of diameter
+    ~2^25 — only adversarial inputs get close).
+    """
+    e = pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    edges = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # first propagation fused into the init: label = min(u, neighbors)
+    labels = edges.groupBy("u").agg(F.min("v").alias("__nb")).select(
+        "u", F.least(F.col("u"), F.col("__nb")).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.select(F.col("u").alias("v"), "label"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("__nbl"))
+        )
+        l1 = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("__nbl", "label")).alias("label"),
+        )
+        parent = l1.select(F.col("u").alias("label"), F.col("label").alias("__pl"))
+        l2 = (
+            l1.join(parent, "label", "left")
+            .select(
+                "u",
+                F.least(F.col("label"), F.coalesce("__pl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            l2.join(labels.withColumnRenamed("label", "__old"), "u")
+            .filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = l2
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Survivor selection: cluster the near-dup ``pairs`` with
+    :func:`connected_components`, then keep exactly one document per
+    cluster — the minimum id — plus every unpaired document (its own
+    singleton cluster). Adds ``cluster_id`` and ``cluster_size``
+    columns (size counts ALL members, so downstream stats can weight
+    survivors by their duplicate multiplicity).
+
+    Shape: CC over the pair graph (tiny relative to the corpus — only
+    paired docs appear), LEFT equi-join of the full corpus against the
+    (id, component) labeling, ``groupBy(cluster_id).count`` for sizes
+    (map-side combined) joined back on cluster_id — a plain equi-join,
+    NOT a forced broadcast: cluster count is O(corpus) since most
+    clusters are singletons, so AQE picks broadcast only when the
+    stats allow. Survivor filter ``id == cluster_id``. Nothing
+    quadratic, nothing driver-side.
+    """
+    comp = connected_components(
+        pairs, src_col=src_col, dst_col=dst_col, max_iterations=max_iterations
+    ).withColumnRenamed("id", id_col)
+    annotated = df.join(comp, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("component", F.col(id_col))
+    ).drop("component")
+    sizes = annotated.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return annotated.join(sizes, "cluster_id").filter(
+        F.col(id_col) == F.col("cluster_id")
+    )
+
+
 def simhash(col: Column | str, *, bits: int = 64) -> Column:
     """SimHash fingerprint: per-bit majority vote over token hashes.
 

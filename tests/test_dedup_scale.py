@@ -91,3 +91,41 @@ def test_stop_shingle_cutoff_bounds_hot_shingles(spark):
     ).collect()
     ref_found = {(r["id_a"], r["id_b"]) for r in ref}
     assert (0, 250) in ref_found
+
+
+def test_connected_components_chain_star_and_isolated(spark):
+    # chain 1-2-3-4-5 (pointer-jump path case), star 10-{11,12,13},
+    # two-node 20-21; ids 30.. never appear (stay out of the labeling)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["id"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10), (13, 10), (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_connected_components_long_path_converges(spark):
+    # 200-node path: diameter 199 — label propagation without pointer
+    # jumping needs ~200 rounds; with it, well under max_iterations=25
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    out = dedup.connected_components(pairs, max_iterations=25)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+
+
+def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (1, 2)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_survivors(docs, pairs, id_col="doc_id").collect()
+    rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
+    # survivors: 0 (cluster {0,3,5}), 1 (cluster {1,2}), singletons 4,6,7
+    assert rows == {0: (0, 3), 1: (1, 2), 4: (4, 1), 6: (6, 1), 7: (7, 1)}
