@@ -66,9 +66,11 @@ from .operators.joins import expected_grid, find_gaps, range_interval_join, spin
 from .operators.sampling import (
     hash_bernoulli_sample,
     hash_top_n_per_group,
+    mixture_sample,
     pack_sequences,
     rate_to_hex8,
     rate_to_threshold,
+    take_token_budget,
     with_shuffle_key,
 )
 from .operators.labels import with_labels
@@ -1916,6 +1918,71 @@ def samp_shuffle(spark, sf_dir):
     return with_shuffle_key(docs, id_col="doc_id", seed="s42").select(
         "doc_id", "shuffle_key"
     )
+
+
+@q(
+    "samp_mixture_tokens",
+    f"""WITH base AS (SELECT doc_id, lang, LEN({_WORDS}) AS n_tokens FROM documents),
+  tok AS (SELECT lang, CAST(SUM(n_tokens) AS DOUBLE) AS __tok FROM base GROUP BY lang),
+  r AS (SELECT lang, __tok,
+               CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.4
+                         WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 END AS __share
+        FROM tok),
+  r2 AS (SELECT lang,
+                (__share * (SELECT MIN(__tok / __share) FROM r
+                            WHERE __share IS NOT NULL)) / __tok AS rate
+         FROM r WHERE __share IS NOT NULL),
+  thr AS (SELECT lang,
+                 CASE WHEN rate >= 1.0 THEN 'g'
+                      ELSE printf('%08x', CAST(FLOOR(rate * 4294967296.0) AS BIGINT))
+                 END AS __thr
+          FROM r2)
+SELECT b.doc_id, b.lang, b.n_tokens
+FROM base b JOIN thr USING (lang)
+WHERE SUBSTRING(MD5(CAST(b.doc_id AS VARCHAR)), 1, 8) < __thr""",
+    cols=["doc_id", "lang", "n_tokens"],
+)
+def samp_mixture(spark, sf_dir):
+    """Token-mixture sampling: rates derived from the data to hit a
+    40/20/20/20 en/de/fr/es TOKEN mix (zh excluded), applied as a
+    deterministic md5 filter. The oracle recomputes the identical
+    rates and thresholds in SQL — FLOOR-based rendering keeps the
+    two engines bit-identical (no banker's rounding)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", textops.token_count("text").alias("n_tokens")
+    )
+    return mixture_sample(
+        docs, id_col="doc_id", stratum_col="lang", tokens_col="n_tokens",
+        target_shares={"en": 0.4, "de": 0.2, "fr": 0.2, "es": 0.2},
+    )
+
+
+@q(
+    "samp_token_budget",
+    f"""SELECT doc_id, n_tokens, cum_tokens FROM (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY MD5('b7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+           AS cum_tokens
+  FROM (SELECT doc_id, LEN({_WORDS}) AS n_tokens FROM documents))
+WHERE cum_tokens <= 10000""",
+    cols=["doc_id", "n_tokens", "cum_tokens"],
+)
+def samp_budget(spark, sf_dir):
+    """Budget-bounded corpus cut: walk documents in seeded-shuffle
+    order, keep while the running token total stays <= 10k. The Spark
+    side computes the global running sum WITHOUT a single-partition
+    window (range repartition + per-partition prefix + bounded offset
+    broadcast — global_cumsum); the oracle is the plain windowed SUM."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textops.token_count("text").alias("n_tokens")
+    )
+    staged = with_shuffle_key(docs, id_col="doc_id", seed="b7", out="__ord")
+    out = take_token_budget(
+        staged, tokens_col="n_tokens", order_cols=["__ord", "doc_id"],
+        budget=10000,
+    )
+    return out.select("doc_id", "n_tokens", "cum_tokens")
 
 
 @q("samp_pack_sequences", None)

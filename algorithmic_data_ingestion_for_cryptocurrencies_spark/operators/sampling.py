@@ -161,6 +161,148 @@ def pack_sequences(
     return staged.groupBy("__shard").applyInPandas(pack, schema=schema)
 
 
+def mixture_rates(
+    df: DataFrame,
+    *,
+    stratum_col: str,
+    tokens_col: str,
+    target_shares: Mapping[str, float],
+) -> DataFrame:
+    """Per-stratum sampling rates that realize a target token mixture
+    (the 'data mixing' step of corpus assembly: e.g. 40% en / 20% each
+    de/fr/es by TOKENS, not documents).
+
+    With downsampling only, the largest achievable corpus fixes the
+    binding stratum at rate ~1.0: ``T* = min_s(tokens_s / share_s)``
+    over the target strata, then ``rate_s = share_s * T* / tokens_s``.
+    Strata absent from ``target_shares`` are excluded (rate row absent
+    -> inner join in :func:`mixture_sample` drops them).
+
+    Entirely inside the plan — one map-side-combined ``groupBy``
+    (stratum grain, rows = #strata) and a single-row cross join for
+    T*; no driver collect, no literal thresholds baked at build time.
+    """
+    share = F.lit(None).cast("double")
+    for value, s in sorted(target_shares.items()):
+        share = F.when(F.col(stratum_col) == value, F.lit(float(s))).otherwise(share)
+    tok = df.groupBy(stratum_col).agg(
+        F.sum(tokens_col).cast("double").alias("__tok")
+    )
+    rated = tok.withColumn("__share", share).filter(F.col("__share").isNotNull())
+    tstar = rated.agg(F.min(F.col("__tok") / F.col("__share")).alias("__tstar"))
+    return rated.crossJoin(F.broadcast(tstar)).select(
+        stratum_col,
+        ((F.col("__share") * F.col("__tstar")) / F.col("__tok")).alias("rate"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    id_col: str,
+    stratum_col: str,
+    tokens_col: str,
+    target_shares: Mapping[str, float],
+) -> DataFrame:
+    """Deterministic token-mixture sample: compute
+    :func:`mixture_rates` from the data, then keep each row iff its
+    md5(id) hex prefix falls under the stratum's rate threshold.
+
+    The rate -> threshold rendering happens IN the plan (``'g'``
+    keep-all sentinel at rate >= 1.0, else ``lpad(hex(floor(rate *
+    2^32)))``; FLOOR, not round — IEEE-deterministic on every engine,
+    no banker's-rounding knife edge), so an external engine computing
+    the same rates reproduces the sample row-for-row. The rates frame
+    is one row per *target* stratum — broadcast by construction; the
+    inner join drops non-target strata and doubles as the filter
+    pushdown point.
+    """
+    rates = mixture_rates(
+        df, stratum_col=stratum_col, tokens_col=tokens_col,
+        target_shares=target_shares,
+    )
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)))),
+            8,
+            "0",
+        )
+    )
+    return (
+        df.join(F.broadcast(rates.withColumn("__thr", thr)), stratum_col)
+        .filter(_hash_hex8(id_col) < F.col("__thr"))
+        .drop("rate", "__thr")
+    )
+
+
+def global_cumsum(
+    df: DataFrame,
+    *,
+    val_col: str,
+    order_cols: Sequence,
+    out: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum in ``order_cols`` order WITHOUT a
+    single-partition window — the scale-safe form of
+    ``SUM(x) OVER (ORDER BY ...)``.
+
+    Shape: range-repartition on the order (contiguous sorted ranges
+    per partition), per-partition prefix sums (window partitioned by
+    the physical partition id), then one tiny aggregate of
+    per-partition totals (rows = #partitions, bounded) whose exclusive
+    prefix — the only 'global window' left — runs over that bounded
+    frame and broadcasts back. One wide shuffle + one broadcast join
+    total; no stage ever sorts more than its partition.
+
+    ``order_cols`` MUST be a total order (append a unique id): rows
+    tying on a range boundary may land in either partition, and only a
+    total order makes the cumulative sum independent of that (and of
+    the sampled, run-varying boundaries themselves).
+    """
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = (
+        df.repartitionByRange(n, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_in = Window.partitionBy("__pid").orderBy(*cols)
+    d = d.withColumn("__incum", F.sum(val_col).over(w_in))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("__pid")
+        .agg(F.sum(val_col).alias("__ptot"))
+        .withColumn("__off", F.coalesce(F.sum("__ptot").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out, F.col("__incum") + F.col("__off"))
+        .drop("__pid", "__incum")
+    )
+
+
+def take_token_budget(
+    df: DataFrame,
+    *,
+    tokens_col: str,
+    order_cols: Sequence,
+    budget: int,
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Budget-bounded corpus selection: walk the rows in
+    ``order_cols`` order (quality-descending, or a seeded shuffle key
+    for a random subset) and keep documents while the running token
+    total stays within ``budget`` — the standard 'take the best N
+    tokens' corpus cut. Built on :func:`global_cumsum`, so the global
+    ordering never serializes through one task."""
+    return global_cumsum(
+        df, val_col=tokens_col, order_cols=order_cols, out=cum_col
+    ).filter(F.col(cum_col) <= budget)
+
+
 def hash_top_n_per_group(
     df: DataFrame,
     *,

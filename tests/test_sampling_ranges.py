@@ -308,3 +308,76 @@ def test_pack_sequences_oversized_doc_gets_own_bin(spark):
     ).toPandas()
     big_bin = out.loc[out.doc_id == 2, "bin"].iloc[0]
     assert (out[out.bin == big_bin].doc_id == 2).all(), "oversized doc is alone in its bin"
+
+
+def test_mixture_sample_hits_target_token_shares(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    # en hugely overrepresented; de is the binding stratum (kept ~whole)
+    rows = (
+        [(i, "en", 100) for i in range(4000)]
+        + [(10_000 + i, "de", 100) for i in range(500)]
+        + [(20_000 + i, "xx", 100) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = mixture_sample(
+        df, id_col="doc_id", stratum_col="lang", tokens_col="n_tokens",
+        target_shares={"en": 0.5, "de": 0.5},
+    ).toPandas()
+    tok = out.groupby("lang")["n_tokens"].sum()
+    assert "xx" not in tok.index, "non-target strata are dropped"
+    assert tok["de"] == 500 * 100, "binding stratum is kept whole"
+    # en downsampled to ~its target share (md5 sampling noise ~sqrt(n))
+    assert abs(tok["en"] - 500 * 100) < 0.15 * 500 * 100
+    out2 = mixture_sample(
+        df.repartition(13), id_col="doc_id", stratum_col="lang",
+        tokens_col="n_tokens", target_shares={"en": 0.5, "de": 0.5},
+    ).toPandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id), "deterministic"
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        global_cumsum,
+    )
+    from pyspark.sql import Window
+
+    df = (
+        spark.range(0, 5000).withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") * 37 % 101).cast("long"))
+        .withColumn("ord", F.md5(F.col("k").cast("string")))
+        .repartition(11)
+    )
+    got = (
+        global_cumsum(df, val_col="v", order_cols=["ord", "k"], out="cum",
+                      num_partitions=7)
+        .select("k", "cum").toPandas().sort_values("k").reset_index(drop=True)
+    )
+    w = Window.orderBy("ord", "k")
+    want = (
+        df.withColumn("cum", F.sum("v").over(w))
+        .select("k", "cum").toPandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_take_token_budget_respects_budget_and_is_monotonic(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        take_token_budget,
+    )
+
+    df = (
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        .withColumn("n_tokens", (F.col("doc_id") % 97 + 1).cast("long"))
+        .withColumn("ord", F.md5(F.col("doc_id").cast("string")))
+    )
+    small = take_token_budget(
+        df, tokens_col="n_tokens", order_cols=["ord", "doc_id"], budget=5_000
+    ).toPandas()
+    large = take_token_budget(
+        df, tokens_col="n_tokens", order_cols=["ord", "doc_id"], budget=20_000
+    ).toPandas()
+    assert small.n_tokens.sum() <= 5_000 < small.n_tokens.sum() + 98
+    assert set(small.doc_id) <= set(large.doc_id), "budget growth only adds docs"
