@@ -2451,6 +2451,55 @@ def st8_ttl(spark, sf_dir):
     return live.select("ts_epoch", "value")
 
 
+@q(
+    "st11_rollup_incremental",
+    """SELECT user_id, bucket_ts, n_value, min_value, max_value,
+              mean_value, std_value FROM (
+  SELECT user_id,
+         CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 86400) * 86400
+              AS BIGINT) AS bucket_ts,
+         COUNT(value) AS n_value,
+         MIN(CAST(value AS DOUBLE)) AS min_value,
+         MAX(CAST(value AS DOUBLE)) AS max_value,
+         SUM(CAST(value AS DOUBLE)) / COUNT(value) AS mean_value,
+         SQRT(GREATEST(
+           SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) / COUNT(value)
+           - (SUM(CAST(value AS DOUBLE)) / COUNT(value))
+             * (SUM(CAST(value AS DOUBLE)) / COUNT(value)), 0.0)) AS std_value
+  FROM events GROUP BY 1, 2)""",
+    cols=["user_id", "bucket_ts", "n_value", "min_value", "max_value",
+          "mean_value", "std_value"],
+    fcols=["min_value", "max_value", "mean_value", "std_value"],
+)
+def st11_rollup(spark, sf_dir):
+    """Continuous-aggregate round trip: ingest events as TWO
+    increments (split at the time midpoint), REPLAY the second batch
+    (read-side dedup must count it once), compact, and serve the
+    finalized daily per-user stats. The oracle computes the same
+    stats from raw events in one pass — merged partial states must
+    agree with the direct aggregate."""
+    import tempfile
+
+    from .store.rollup import RollupStore
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    # mid-DAY split: the boundary bucket's state is genuinely merged
+    # across the two batches, not just unioned
+    mid = "2024-01-16 12:00:00"
+    store = RollupStore(
+        spark, tempfile.mkdtemp(prefix="adi_rollup_") + "/t",
+        keys=["user_id"], val_cols=["value"], bucket_seconds=86400,
+    )
+    store.upsert_rollup(ev.filter(F.col("ts") < mid), ts_col="ts", batch_id="b1")
+    store.upsert_rollup(ev.filter(F.col("ts") >= mid), ts_col="ts", batch_id="b2")
+    store.upsert_rollup(ev.filter(F.col("ts") >= mid), ts_col="ts", batch_id="b2")
+    store.compact_rollup()
+    return store.read_rollup(finalize=True).select(
+        "user_id", "bucket_ts", "n_value", "min_value", "max_value",
+        "mean_value", "std_value",
+    )
+
+
 @q("u_media_features", None)
 def u_media(spark, sf_dir):
     # multimodal plumbing: binary payload column -> mapInPandas Arrow

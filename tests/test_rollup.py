@@ -1,0 +1,96 @@
+"""Continuous-aggregate rollup invariants: incremental == one-shot,
+batch replay counts once, compaction preserves results."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.rollup import (
+    RollupStore,
+    finalize_rollup,
+    merge_rollup_states,
+    rollup_state,
+)
+
+
+def _raw(spark, n=5000, seed=5):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 10 * 86400, n), unit="s"),
+            "v": rng.normal(100.0, 5.0, n),
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def _direct(spark, df):
+    """One-shot reference aggregate over the raw rows."""
+    state = rollup_state(
+        df, keys=["k"], ts_col="ts", bucket_seconds=3600, val_cols=["v"],
+        batch_id="all",
+    )
+    return finalize_rollup(
+        merge_rollup_states(state, keys=["k"], val_cols=["v"]), val_cols=["v"]
+    )
+
+
+def _sorted(pdf):
+    return pdf.sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+
+
+def test_incremental_rollup_equals_one_shot_and_survives_replay(spark, tmp_path):
+    df = _raw(spark)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    # three increments split mid-bucket (hour grain, day splits → many
+    # buckets span increments), plus a replay of the middle batch
+    b1 = df.filter(F.col("ts") < "2024-03-04 07:30:00")
+    b2 = df.filter(
+        (F.col("ts") >= "2024-03-04 07:30:00") & (F.col("ts") < "2024-03-07 13:10:00")
+    )
+    b3 = df.filter(F.col("ts") >= "2024-03-07 13:10:00")
+    for bid, b in (("b1", b1), ("b2", b2), ("b2", b2), ("b3", b3)):
+        store.upsert_rollup(b, ts_col="ts", batch_id=bid)
+
+    got = _sorted(store.read_rollup().toPandas())
+    want = _sorted(_direct(spark, df).toPandas())
+    assert got.n_v.equals(want.n_v) and got.k.equals(want.k)
+    for c in ("min_v", "max_v", "mean_v", "std_v"):
+        np.testing.assert_allclose(got[c], want[c], rtol=1e-12)
+
+    # compaction: one state row per (k, bucket), same finalized values
+    store.compact_rollup()
+    states = spark.read.parquet(store.path).toPandas()
+    assert states.batch_id.unique().tolist() == ["__compacted"]
+    assert len(states) == len(want)
+    after = _sorted(store.read_rollup().toPandas())
+    for c in ("n_v", "min_v", "max_v", "mean_v", "std_v"):
+        np.testing.assert_allclose(after[c], got[c], rtol=1e-12)
+
+    # post-compaction increments keep working
+    extra = _raw(spark, n=500, seed=9)
+    store.upsert_rollup(extra, ts_col="ts", batch_id="b4")
+    final = _sorted(store.read_rollup().toPandas())
+    full = _sorted(_direct(spark, df.unionByName(extra)).toPandas())
+    np.testing.assert_allclose(final.mean_v, full.mean_v, rtol=1e-12)
+    assert final.n_v.equals(full.n_v)
+
+
+def test_rollup_state_shuffles_one_row_per_bucket(spark):
+    df = _raw(spark, n=2000)
+    state = rollup_state(
+        df.repartition(8), keys=["k"], ts_col="ts", bucket_seconds=86400,
+        val_cols=["v"], batch_id="x",
+    )
+    # partial aggregation: the exchange carries bucket-grain rows, so
+    # the plan must place HashAggregate below the shuffle
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2, plan
+    assert state.count() == df.select("k", (F.col("ts").cast("long") / 86400).cast("long")).distinct().count()
