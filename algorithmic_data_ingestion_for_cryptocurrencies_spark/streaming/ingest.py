@@ -91,6 +91,39 @@ def start_market_ingest(
     )
 
 
+def start_rollup_ingest(
+    stream_df: DataFrame,
+    *,
+    rollup_store,
+    ts_col: str,
+    checkpoint: str,
+):
+    """Streaming continuous aggregate: each micro-batch is aggregated
+    to per-bucket partial states and appended to the
+    :class:`..store.rollup.RollupStore` with ``batch_id = the
+    checkpointed micro-batch id``. A batch replayed after a crash
+    re-appends under the SAME id, and the store's read-side dedup
+    counts it once — end-to-end exactly-once for the aggregate without
+    transactional sinks. This is the engine-native version of a
+    Timescale continuous aggregate fed by a live stream; the batch
+    :meth:`~..store.rollup.RollupStore.compact_rollup` runs on the
+    scheduler cadence to bound read amplification."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup_store.upsert_rollup(
+            batch_df, ts_col=ts_col, batch_id=f"stream-{batch_id}"
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_periodic_ingest(
     stream_df: DataFrame,
     *,

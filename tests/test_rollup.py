@@ -94,3 +94,43 @@ def test_rollup_state_shuffles_one_row_per_bucket(spark):
     plan = state._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2, plan
     assert state.count() == df.select("k", (F.col("ts").cast("long") / 86400).cast("long")).distinct().count()
+
+
+def test_streaming_rollup_ingest_exactly_once(spark, tmp_path):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.ingest import (
+        read_file_stream,
+        start_rollup_ingest,
+    )
+
+    df = _raw(spark, n=3000)
+    src = tmp_path / "src"
+    # three source files → three micro-batches at maxFilesPerTrigger=1
+    pdf = df.toPandas()
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[i * 1000:(i + 1) * 1000]).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f{i}"))
+    store = RollupStore(
+        spark, str(tmp_path / "roll"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    stream = read_file_stream(
+        spark, str(src) + "/*", df.schema, max_files_per_trigger=1
+    )
+    q = start_rollup_ingest(
+        stream, rollup_store=store, ts_col="ts",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = _sorted(store.read_rollup().toPandas())
+    want = _sorted(_direct(spark, df).toPandas())
+    assert got.n_v.equals(want.n_v)
+    np.testing.assert_allclose(got.mean_v, want.mean_v, rtol=1e-12)
+
+    # crash-replay: re-appending a micro-batch under its original
+    # batch_id must not change the aggregate (read-side dedup)
+    replay = spark.createDataFrame(pdf.iloc[1000:2000])
+    store.upsert_rollup(replay, ts_col="ts", batch_id="stream-1")
+    again = _sorted(store.read_rollup().toPandas())
+    assert again.n_v.equals(want.n_v)
+    np.testing.assert_allclose(again.mean_v, want.mean_v, rtol=1e-12)
