@@ -65,6 +65,7 @@ from .operators.indicators import (
 from .operators.joins import expected_grid, find_gaps, range_interval_join, spine_join
 from .operators.sampling import (
     hash_bernoulli_sample,
+    hash_split,
     hash_top_n_per_group,
     mixture_sample,
     pack_sequences,
@@ -1983,6 +1984,31 @@ def samp_budget(spark, sf_dir):
         budget=10000,
     )
     return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
+_SPLIT_T1 = rate_to_threshold(0.8)
+_SPLIT_T2 = rate_to_threshold(0.8 + 0.1)
+
+
+@q(
+    "samp_split_groups",
+    f"""SELECT doc_id, source,
+        CASE WHEN SUBSTRING(MD5('sp1:' || source), 1, 8) < '{_SPLIT_T1}' THEN 'train'
+             WHEN SUBSTRING(MD5('sp1:' || source), 1, 8) < '{_SPLIT_T2}' THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents""",
+    cols=["doc_id", "source", "split"],
+)
+def samp_split(spark, sf_dir):
+    """Group-aware deterministic 80/10/10 split keyed on the source
+    domain: every document from one source lands in the same split
+    (the anti-leakage guard). Thresholds are Python-literal md5
+    ranges, identical in both engines."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(
+        docs, id_col="doc_id", group_col="source", seed="sp1",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
 
 
 @q("samp_pack_sequences", None)

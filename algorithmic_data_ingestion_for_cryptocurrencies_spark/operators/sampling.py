@@ -161,6 +161,47 @@ def pack_sequences(
     return staged.groupBy("__shard").applyInPandas(pack, schema=schema)
 
 
+def hash_split(
+    df: DataFrame,
+    *,
+    id_col: str,
+    weights: Mapping[str, float],
+    seed: str = "s0",
+    group_col: str | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the
+    split whose cumulative md5-threshold range its hash falls in.
+    Pure narrow projection — no shuffle, reproducible across reruns,
+    engines, and repartitioning.
+
+    ``group_col`` makes the split GROUP-AWARE: hashing the group key
+    (source domain, URL host, near-dup cluster_id from
+    :func:`..dedup.connected_components`) instead of the row id puts
+    every member of a group in the same split — the standard guard
+    against train/test leakage through near-duplicates.
+
+    Weights must sum to ~1; the last split (in insertion order) takes
+    the remainder range up to the keep-all sentinel, so coverage is
+    exactly total."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    key = group_col or id_col
+    h = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string"))), 1, 8
+    )
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for i, name in enumerate(names):
+        cum += weights[name]
+        thr = "g" if i == len(names) - 1 else rate_to_threshold(cum)
+        cond = h < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out, expr)
+
+
 def mixture_rates(
     df: DataFrame,
     *,

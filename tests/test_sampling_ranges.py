@@ -381,3 +381,31 @@ def test_take_token_budget_respects_budget_and_is_monotonic(spark):
     ).toPandas()
     assert small.n_tokens.sum() <= 5_000 < small.n_tokens.sum() + 98
     assert set(small.doc_id) <= set(large.doc_id), "budget growth only adds docs"
+
+
+def test_hash_split_group_aware_and_calibrated(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = (
+        spark.range(0, 20_000).withColumnRenamed("id", "doc_id")
+        .withColumn("grp", (F.col("doc_id") % 1000).cast("string"))
+    )
+    out = hash_split(
+        df, id_col="doc_id", group_col="grp", seed="t1",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).toPandas()
+    # group-aware: one split per group, always
+    assert (out.groupby("grp")["split"].nunique() == 1).all()
+    # calibrated at the group level (1000 groups, ~sqrt noise)
+    shares = out.drop_duplicates("grp")["split"].value_counts(normalize=True)
+    assert abs(shares["train"] - 0.8) < 0.05
+    assert abs(shares["val"] - 0.1) < 0.04
+    # complete coverage and determinism under repartitioning
+    assert set(out.split) == {"train", "val", "test"}
+    out2 = hash_split(
+        df.repartition(13), id_col="doc_id", group_col="grp", seed="t1",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).toPandas()
+    assert out.sort_values("doc_id").split.tolist() == out2.sort_values("doc_id").split.tolist()
