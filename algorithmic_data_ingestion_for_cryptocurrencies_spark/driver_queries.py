@@ -2089,7 +2089,9 @@ def sim_topk(spark, sf_dir):
 def sim_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return knn_join(queries, emb, k=5, id_col="vec_id", vec_col="embedding")
+    return knn_join(
+        queries, emb, k=5, id_col="vec_id", vec_col="embedding", dim=64
+    )
 
 
 @q(
@@ -2104,7 +2106,7 @@ def sim_knn(spark, sf_dir):
 def sim_near_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_pairs(
-        emb, threshold=0.3, id_col="vec_id", vec_col="embedding"
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding", dim=64
     )
 
 
@@ -2844,7 +2846,7 @@ def sim_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_topk(
         queries, emb, k=5, id_col="vec_id", vec_col="embedding",
-        n_centroids=16, nprobe=8,
+        n_centroids=16, nprobe=8, dim=64,
     )
 
 

@@ -14,9 +14,22 @@ import math
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def dot(a: Column | str, b: Column | str) -> Column:
+def dot(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
+    """Dot product. With ``dim`` given, unrolls to an ``element_at``
+    multiply-add chain — plain codegen'd expressions; Spark's
+    higher-order functions (``zip_with``/``aggregate``) are
+    CodegenFallback, i.e. each element evaluates through an
+    interpreted lambda closure (same finding as the shingle pipeline
+    in :mod:`.dedup`). Bit-identical to the HOF tier: same
+    left-to-right accumulation from 0.0, same float-multiply-then-
+    double-cast per element."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            acc = acc + (F.element_at(a, i) * F.element_at(b, i)).cast("double")
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -24,16 +37,23 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def norm(a: Column | str) -> Column:
+def norm(a: Column | str, *, dim: int | None = None) -> Column:
+    """L2 norm; ``dim`` unrolls exactly like :func:`dot`."""
     a = F.col(a) if isinstance(a, str) else a
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i)
+            acc = acc + (x * x).cast("double")
+        return F.sqrt(acc)
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
     )
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / F.nullif(
-        norm(a) * norm(b), F.lit(0.0)
+def cosine(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
+    return dot(a, b, dim=dim) / F.nullif(
+        norm(a, dim=dim) * norm(b, dim=dim), F.lit(0.0)
     )
 
 
@@ -48,10 +68,11 @@ def cosine_topk(
     """Exact top-k by cosine against a literal query vector: one scan,
     one narrow projection, then a global top-k (``orderBy.limit`` —
     Spark executes it as per-partition top-k + driver merge of k·p
-    rows, no full sort materialization)."""
+    rows, no full sort materialization). The query's length fixes
+    ``dim``, so the score always takes the unrolled codegen tier."""
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
-        F.col(id_col), cosine(F.col(vec_col), q).alias("cosine")
+        F.col(id_col), cosine(F.col(vec_col), q, dim=len(query)).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
 
@@ -63,27 +84,30 @@ def knn_join(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force k-NN join: broadcast the (small) query set against
     the corpus, rank per query. Exact; O(|Q|·|C|) scored pairs but
     never materializes beyond the ranked window. Norms are staged once
-    per vector (not once per pair) — same doubles, 3x less work."""
+    per vector (not once per pair) — same doubles, 3x less work. Pass
+    ``dim`` to run the per-pair dot on the unrolled codegen tier
+    (bit-identical; the HOF tier interprets a lambda per element)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        norm(F.col(vec_col)).alias("__qn"),
+        norm(F.col(vec_col), dim=dim).alias("__qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        norm(F.col(vec_col)).alias("__cn"),
+        norm(F.col(vec_col), dim=dim).alias("__cn"),
     )
     scored = F.broadcast(q).crossJoin(c).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        (dot("__qvec", "__cvec")
+        (dot("__qvec", "__cvec", dim=dim)
          / F.nullif(F.col("__qn") * F.col("__cn"), F.lit(0.0))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -125,7 +149,10 @@ def with_lsh_bucket(
     ``(1 - θ/π)^n_planes``."""
     planes = _hyperplanes(dim, n_planes, seed)
     bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1))
+        F.when(
+            dot(F.col(vec_col), F.array(*[F.lit(x) for x in p]), dim=dim) >= 0,
+            F.lit(1),
+        )
         .otherwise(F.lit(0))
         for p in planes
     ]
@@ -184,7 +211,7 @@ def ann_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine("__qvec", "__cvec").alias("cosine"),
+            cosine("__qvec", "__cvec", dim=dim).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -228,12 +255,12 @@ def embedding_near_pairs(
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
-        norm(F.col(vec_col)).alias("__na"),
+        norm(F.col(vec_col), dim=dim).alias("__na"),
     )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
-        norm(F.col(vec_col)).alias("__nb"),
+        norm(F.col(vec_col), dim=dim).alias("__nb"),
     )
     if use_lsh:
         if dim is None:
@@ -246,7 +273,8 @@ def embedding_near_pairs(
     return (
         pairs.withColumn(
             "cosine",
-            dot("__va", "__vb") / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+            dot("__va", "__vb", dim=dim)
+            / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -280,7 +308,7 @@ def kmeans_centroids(
     for _ in range(iterations):
         assigned = (
             df.crossJoin(F.broadcast(centroids))
-            .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+            .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dims))
             .groupBy(id_col, vec_col)
             .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
         )
@@ -311,6 +339,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     nprobe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF approximate k-NN — the inverted-file scale path (the other
     standard construction next to LSH): corpus vectors are listed
@@ -323,7 +352,7 @@ def ivf_topk(
 
     corpus_l = (
         corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
         .groupBy(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
         .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
     )
@@ -333,7 +362,7 @@ def ivf_topk(
     query_probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
         .crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid"), dim=dim))
         .withColumn("__pr", F.row_number().over(w_probe))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", "centroid_id")
@@ -341,7 +370,10 @@ def ivf_topk(
     scored = (
         query_probes.join(corpus_l, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine("__qvec", "__cvec").alias("cosine"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine("__qvec", "__cvec", dim=dim).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
