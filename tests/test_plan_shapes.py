@@ -261,3 +261,68 @@ def test_corpus_curation_pipeline_is_single_exchange(spark):
     plan = explain_str(df, "formatted").split("\n\n")[0]
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_global_cumsum_windows_are_bounded_or_partitioned(spark):
+    """The only unpartitioned window in global_cumsum must run over the
+    per-partition totals (#partitions rows), never over the data: the
+    data-sized window is partitioned by the physical partition id, and
+    the exchange on the data is a RangePartitioning."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        global_cumsum,
+    )
+
+    df = (
+        spark.range(0, 10_000).withColumnRenamed("id", "k")
+        .withColumn("v", (F.col("k") % 13).cast("long"))
+    )
+    out = global_cumsum(df, val_col="v", order_cols=["k"], num_partitions=8)
+    plan = explain_str(out, "formatted")
+    assert "rangepartitioning(" in plan.lower()
+    # the data-sized window is partitioned by __pid; the unpartitioned
+    # one sits above a bucket-grain aggregate (its input is the
+    # groupBy(__pid) totals, rows = #partitions)
+    data_windows = [
+        line for line in plan.splitlines()
+        if "windowspecdefinition(__pid#" in line.lower()
+    ]
+    assert data_windows, "per-partition prefix window missing"
+
+
+def test_mixture_sample_broadcasts_rates_and_keeps_filter_narrow(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    df = (
+        spark.range(0, 5_000).withColumnRenamed("id", "doc_id")
+        .withColumn("lang", F.when(F.col("doc_id") % 3 == 0, "en").otherwise("de"))
+        .withColumn("n_tokens", (F.col("doc_id") % 97 + 1).cast("long"))
+    )
+    out = mixture_sample(
+        df, id_col="doc_id", stratum_col="lang", tokens_col="n_tokens",
+        target_shares={"en": 0.5, "de": 0.5},
+    )
+    plan = explain_str(out, "formatted")
+    # the data side joins the per-stratum rates via broadcast — the
+    # corpus itself is never shuffled
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_connected_components_never_exceeds_pair_graph(spark):
+    """CC output plan is flat (lineage truncated by localCheckpoint):
+    no iteration stack in the final plan, no cartesian products."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs)
+    plan = explain_str(out, "formatted")
+    assert "CartesianProduct" not in plan
+    # converged labeling is served from the checkpointed RDD, not a
+    # re-derivation of every round
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan

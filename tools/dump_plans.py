@@ -76,6 +76,31 @@ SECTIONS = {
         "Within-doc duplicate-ngram ratio entirely in array expressions: "
         "no explode, no shuffle, whole-stage codegen end to end."
     ),
+    "samp_token_budget": (
+        "Global running sum WITHOUT a single-partition window over the data: "
+        "RangePartitioning exchange on the order key, per-partition prefix "
+        "sums windowed by the physical partition id, and the only "
+        "unpartitioned window runs over the BOUNDED per-partition totals "
+        "(rows = #partitions) that broadcast back — the data-sized stages "
+        "all run at full parallelism."
+    ),
+    "samp_split_groups": (
+        "Group-aware split assignment is a pure narrow projection: zero "
+        "exchanges, seeded-md5 CASE ranges directly over the scan."
+    ),
+    "st11_rollup_incremental": (
+        "Continuous-aggregate read: the state-table scan merges per-batch "
+        "partial states with ONE hash aggregate (map-side combined); "
+        "incremental maintenance appended bucket-grain rows, never "
+        "rewriting history."
+    ),
+    "dedup_cluster_survivors": (
+        "Pairs -> connected components -> survivors: the iterative CC "
+        "rounds run on the PAIR graph (tiny vs the corpus, lineage "
+        "truncated per round); the corpus-sized work is one LEFT equi-join "
+        "against the labeling plus a bucket-grain size aggregate — nothing "
+        "quadratic, nothing driver-side."
+    ),
 }
 
 
