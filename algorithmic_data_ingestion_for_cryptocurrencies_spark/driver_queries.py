@@ -2089,9 +2089,9 @@ def sim_topk(spark, sf_dir):
 def sim_knn(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return knn_join(
-        queries, emb, k=5, id_col="vec_id", vec_col="embedding", dim=64
-    )
+    # no dim= : the HOF scoring tier wins at dim=64 (r4 regression
+    # reverted; see UNROLL_MAX_DIM in operators/similarity.py)
+    return knn_join(queries, emb, k=5, id_col="vec_id", vec_col="embedding")
 
 
 @q(
@@ -2105,6 +2105,9 @@ def sim_knn(spark, sf_dir):
 )
 def sim_near_pairs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
+    # dim=64 here is ONLY the LSH fail-over routing hint for the
+    # O(n^2) cap guard; scoring runs the HOF tier (dim > UNROLL_MAX_DIM
+    # in operators/similarity.py — the r4 unrolled-tier regression)
     return embedding_near_pairs(
         emb, threshold=0.3, id_col="vec_id", vec_col="embedding", dim=64
     )
@@ -2844,9 +2847,10 @@ def sim_ivf(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
+    # no dim= : HOF scoring tier (r4 unrolled-tier regression reverted)
     return ivf_topk(
         queries, emb, k=5, id_col="vec_id", vec_col="embedding",
-        n_centroids=16, nprobe=8, dim=64,
+        n_centroids=16, nprobe=8,
     )
 
 

@@ -13,19 +13,37 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+#: Measured crossover for the unrolled ``element_at`` expression tier
+#: (tools/bench_unroll_dim.py, pairwise-scoring workload, min-of-3):
+#: dim=4 the unrolled chain wins (0.40x the HOF tier); dim>=8 it LOSES
+#: 8-10x — the generated whole-stage method (~3 element_at ops per
+#: term across dot + two norms) blows past the JIT inlining /
+#: huge-method limit and runs deoptimized, while the
+#: interpreted-but-tight ArrayAggregate loop stays fast. The round-4
+#: driver bench confirmed the same cliff end-to-end at dim=64
+#: (sim_near_pairs 13.1s -> 41.6s). Above this threshold ``dim`` is
+#: accepted as a routing/metadata hint but the HOF tier is used.
+UNROLL_MAX_DIM = 4
+
 
 def dot(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
-    """Dot product. With ``dim`` given, unrolls to an ``element_at``
-    multiply-add chain — plain codegen'd expressions; Spark's
-    higher-order functions (``zip_with``/``aggregate``) are
-    CodegenFallback, i.e. each element evaluates through an
-    interpreted lambda closure (same finding as the shingle pipeline
-    in :mod:`.dedup`). Bit-identical to the HOF tier: same
-    left-to-right accumulation from 0.0, same float-multiply-then-
-    double-cast per element."""
+    """Dot product. ``dim`` (when given AND <= :data:`UNROLL_MAX_DIM`)
+    unrolls to an ``element_at`` multiply-add chain — plain codegen'd
+    expressions. Spark's higher-order functions
+    (``zip_with``/``aggregate``) are CodegenFallback (each element
+    evaluates through an interpreted lambda closure), but the HOF tier
+    still WINS above tiny dims: the unrolled chain deoptimizes the
+    whole generated stage (see :data:`UNROLL_MAX_DIM`). Both tiers are
+    bit-identical: same left-to-right accumulation from 0.0, same
+    float-multiply-then-double-cast per element.
+
+    Invariant (unrolled tier only): ``dim`` must equal the exact array
+    length — smaller truncates the sum silently, larger yields NULL
+    elements under non-ANSI mode and a NULL score. The HOF tier always
+    uses the full array; guarded by tests/test_similarity.py."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_MAX_DIM:
         acc = F.lit(0.0)
         for i in range(1, dim + 1):
             acc = acc + (F.element_at(a, i) * F.element_at(b, i)).cast("double")
@@ -38,9 +56,9 @@ def dot(a: Column | str, b: Column | str, *, dim: int | None = None) -> Column:
 
 
 def norm(a: Column | str, *, dim: int | None = None) -> Column:
-    """L2 norm; ``dim`` unrolls exactly like :func:`dot`."""
+    """L2 norm; same tiering and invariant as :func:`dot`."""
     a = F.col(a) if isinstance(a, str) else a
-    if dim is not None:
+    if dim is not None and dim <= UNROLL_MAX_DIM:
         acc = F.lit(0.0)
         for i in range(1, dim + 1):
             x = F.element_at(a, i)
@@ -68,8 +86,9 @@ def cosine_topk(
     """Exact top-k by cosine against a literal query vector: one scan,
     one narrow projection, then a global top-k (``orderBy.limit`` —
     Spark executes it as per-partition top-k + driver merge of k·p
-    rows, no full sort materialization). The query's length fixes
-    ``dim``, so the score always takes the unrolled codegen tier."""
+    rows, no full sort materialization). The query's length is passed
+    as ``dim``, so the score takes the unrolled codegen tier exactly
+    when it wins (dim <= UNROLL_MAX_DIM) and the HOF tier otherwise."""
     q = F.array(*[F.lit(float(x)) for x in query])
     scored = df.select(
         F.col(id_col), cosine(F.col(vec_col), q, dim=len(query)).alias("cosine")
@@ -89,9 +108,10 @@ def knn_join(
     """Brute-force k-NN join: broadcast the (small) query set against
     the corpus, rank per query. Exact; O(|Q|·|C|) scored pairs but
     never materializes beyond the ranked window. Norms are staged once
-    per vector (not once per pair) — same doubles, 3x less work. Pass
-    ``dim`` to run the per-pair dot on the unrolled codegen tier
-    (bit-identical; the HOF tier interprets a lambda per element)."""
+    per vector (not once per pair) — same doubles, 3x less work.
+    ``dim`` engages the unrolled scoring tier only when it wins
+    (dim <= UNROLL_MAX_DIM; above that the guard keeps the HOF tier —
+    the r4 dim=64 unroll was a measured 3-5x regression)."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),

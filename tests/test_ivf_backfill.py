@@ -181,3 +181,65 @@ def test_exact_near_pairs_cap_guard_never_goes_quadratic(spark):
     # under the cap: exact all-pairs allowed (and is the oracle tier)
     exact = embedding_near_pairs(emb, 0.3)
     assert exact.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_unroll_guard_keeps_hof_tier_above_threshold(spark):
+    """r4 regression guard: dim above UNROLL_MAX_DIM must NOT unroll
+    (the 64-term element_at chain measured 3-5x slower than the HOF
+    tier — tools/bench_unroll_dim.py); at or below the threshold the
+    unrolled tier must be bit-identical to the HOF tier."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        UNROLL_MAX_DIM,
+        cosine,
+        dot,
+        norm,
+    )
+
+    # above threshold: expression contains aggregate(), no element_at
+    big = str(dot(F.col("a"), F.col("b"), dim=64)._jc)
+    assert "aggregate" in big and "element_at" not in big
+    assert "element_at" not in str(norm(F.col("a"), dim=64)._jc)
+
+    # at/below threshold: unrolled, and values match HOF bit-exactly
+    df = spark.range(50).select(
+        F.array(
+            *[(F.col("id") * (i + 1) % 13).cast("float") / 13.0 for i in range(UNROLL_MAX_DIM)]
+        ).alias("a"),
+        F.array(
+            *[(F.col("id") * (i + 3) % 7).cast("float") / 7.0 for i in range(UNROLL_MAX_DIM)]
+        ).alias("b"),
+    )
+    small = str(dot(F.col("a"), F.col("b"), dim=UNROLL_MAX_DIM)._jc)
+    assert "element_at" in small
+    rows = df.select(
+        cosine("a", "b").alias("hof"),
+        cosine("a", "b", dim=UNROLL_MAX_DIM).alias("unrolled"),
+    ).collect()
+    assert all(r["hof"] == r["unrolled"] for r in rows)  # bit-identical
+
+
+def test_unrolled_dim_mismatch_surfaces_not_silent(spark):
+    """ADVICE r4: the unrolled tier's dim must equal the array length.
+    Larger dim makes element_at return NULL (non-ANSI) so the score
+    goes NULL — rows must surface as NULL, never as a wrong number;
+    the HOF tier is immune (always full array)."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        UNROLL_MAX_DIM,
+        dot,
+    )
+
+    short = UNROLL_MAX_DIM - 1
+    df = spark.range(5).select(
+        F.array(*[F.lit(1.0).cast("float")] * short).alias("a"),
+        F.array(*[F.lit(1.0).cast("float")] * short).alias("b"),
+    )
+    out = df.select(
+        dot("a", "b", dim=UNROLL_MAX_DIM).alias("over"),
+        dot("a", "b").alias("hof"),
+    ).collect()
+    assert all(r["over"] is None for r in out)   # surfaces as NULL
+    assert all(r["hof"] == float(short) for r in out)
