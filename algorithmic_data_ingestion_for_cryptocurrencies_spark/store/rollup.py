@@ -23,10 +23,41 @@ Design (append + compact, the log-structured shape that scales):
   (sum/sum/min/max/sum — one aggregate over the state table, which is
   ~#buckets × #batches-since-compaction rows, not raw-data-sized) and
   optionally finalizes.
-- :func:`compact_rollup` collapses the accumulated batch states into
-  one ``__compacted`` state per bucket (staged write + swap), bounding
+- :func:`RollupStore.compact_rollup` collapses the accumulated batch
+  states into one ``__compacted_g{N}`` state per bucket, bounding
   read-side merge work; run it on the scheduler cadence
   (:mod:`..streaming.scheduler`).
+
+Compaction commit protocol (r4 advice: the old read→delete→swap lost
+concurrent appends and double-counted batches replayed after
+compaction). Compaction never rewrites the directory in place:
+
+1. snapshot = the data files present at compaction start;
+2. the merged state is written under a NEW generation tag
+   (``__compacted_g{N}``) and its files are MOVED INTO the table dir
+   alongside the old ones — appends racing past the snapshot are
+   other files and are never touched;
+3. the sidecar manifest (``_rollup_manifest.json`` — underscore
+   prefix, invisible to parquet readers) is atomically renamed into
+   place recording the new generation AND every batch_id folded into
+   it. **The manifest rename is the commit point**: readers keep only
+   the manifest's generation of compacted rows and drop any row whose
+   batch_id the manifest lists as folded — so a crash before the
+   rename leaves the old state fully live (new-gen rows invisible),
+   a crash after it leaves the new state fully live (snapshot files'
+   rows all dropped), and a micro-batch REPLAYED after compaction
+   (crash between the parquet append and the streaming checkpoint
+   commit) re-appends rows that the read side discards;
+4. only then are the snapshot files deleted — a crash mid-delete
+   leaves garbage files whose rows the manifest already filters out,
+   swept by the next compaction.
+
+In-process, :class:`RollupStore` serializes upserts against
+compaction with an instance lock (the streaming ``foreachBatch`` and
+the scheduled compaction share the driver). Multi-driver writers need
+external coordination — same caveat as ``sources.lake.compact_lake``
+(and manifest-rename atomicity is filesystem-level: local FS/HDFS
+yes, bare object stores need their conditional-put primitive).
 
 No counterpart in the reference (its Redis store keeps only final
 feature values — ``redis_store.py`` — and recomputes aggregates from
@@ -35,11 +66,14 @@ raw on every backfill); this is the beyond-reference scale surface.
 
 from __future__ import annotations
 
+import json
+import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-COMPACTED_BATCH = "__compacted"
+COMPACTED_PREFIX = "__compacted"
+MANIFEST_NAME = "_rollup_manifest.json"
 
 
 def _state_cols(c: str) -> list[str]:
@@ -135,28 +169,108 @@ class RollupStore:
         self.keys = list(keys)
         self.val_cols = list(val_cols)
         self.bucket_seconds = bucket_seconds
+        # serializes in-process ingest vs compaction: without it a
+        # compaction snapshot can catch HALF of an in-flight append's
+        # files, fold a partial batch, and record its batch_id as
+        # compacted — silently dropping the other half on read
+        self._lock = threading.Lock()
+
+    # -- manifest -----------------------------------------------------
+
+    def _fs(self):
+        jvm = self.spark.sparkContext._jvm
+        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        Path = jvm.org.apache.hadoop.fs.Path
+        return Path(self.path).getFileSystem(conf), Path
+
+    def _read_manifest(self) -> dict:
+        fs, Path = self._fs()
+        p = Path(self.path.rstrip("/") + "/" + MANIFEST_NAME)
+        if not fs.exists(p):
+            return {"generation": 0, "compacted_batch_ids": []}
+        stream = fs.open(p)
+        try:
+            data = []
+            while True:
+                b = stream.read()
+                if b < 0:
+                    break
+                data.append(b)
+            return json.loads(bytes(data).decode("utf-8"))
+        finally:
+            stream.close()
+
+    def _write_manifest(self, manifest: dict) -> None:
+        """Write-then-rename: the rename IS the compaction commit."""
+        fs, Path = self._fs()
+        base = self.path.rstrip("/")
+        tmp = Path(base + "/." + MANIFEST_NAME + ".tmp")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        finally:
+            out.close()
+        final = Path(base + "/" + MANIFEST_NAME)
+        if fs.exists(final):
+            fs.delete(final, False)
+        fs.rename(tmp, final)
+
+    def _data_files(self) -> list[str]:
+        """Visible parquet part files currently in the table dir."""
+        fs, Path = self._fs()
+        root = Path(self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+        return out
+
+    def _live_states(self, df: DataFrame, manifest: dict) -> DataFrame:
+        """Filter a raw state scan down to the committed view: only the
+        manifest's generation of compacted rows (uncommitted/stale
+        generations are invisible), no batch the manifest already
+        folded (post-compaction replays count zero), exact-duplicate
+        appends count once."""
+        gen_tag = f"{COMPACTED_PREFIX}_g{manifest['generation']}"
+        live = df.filter(
+            (~F.col("batch_id").startswith(COMPACTED_PREFIX))
+            | (F.col("batch_id") == F.lit(gen_tag))
+        )
+        folded = manifest["compacted_batch_ids"]
+        if folded:
+            live = live.filter(~F.col("batch_id").isin(folded))
+        return live.dropDuplicates([*self.keys, "bucket_ts", "batch_id"])
+
+    # -- public surface ----------------------------------------------
 
     def upsert_rollup(
         self, increment: DataFrame, *, ts_col: str, batch_id: str
     ) -> None:
         """Aggregate the raw increment to states and append. Safe to
-        re-run with the same ``batch_id`` (read-side dedup)."""
-        state = rollup_state(
-            increment,
-            keys=self.keys,
-            ts_col=ts_col,
-            bucket_seconds=self.bucket_seconds,
-            val_cols=self.val_cols,
-            batch_id=batch_id,
-        )
-        state.write.mode("append").parquet(self.path)
+        re-run with the same ``batch_id`` — before OR after a
+        compaction folded it (read-side dedup + manifest filter)."""
+        with self._lock:
+            if batch_id in self._read_manifest()["compacted_batch_ids"]:
+                return  # replay of an already-compacted batch: no-op
+            state = rollup_state(
+                increment,
+                keys=self.keys,
+                ts_col=ts_col,
+                bucket_seconds=self.bucket_seconds,
+                val_cols=self.val_cols,
+                batch_id=batch_id,
+            )
+            state.write.mode("append").parquet(self.path)
 
     def read_rollup(self, *, finalize: bool = True) -> DataFrame:
-        """Merged (optionally finalized) per-bucket stats. Dedup on
-        (keys, bucket_ts, batch_id) first so replayed batches count
-        once."""
-        states = self.spark.read.parquet(self.path).dropDuplicates(
-            [*self.keys, "bucket_ts", "batch_id"]
+        """Merged (optionally finalized) per-bucket stats over the
+        committed view (see :meth:`_live_states`)."""
+        manifest = self._read_manifest()
+        states = self._live_states(
+            self.spark.read.parquet(self.path), manifest
         )
         merged = merge_rollup_states(
             states, keys=self.keys, val_cols=self.val_cols
@@ -166,29 +280,66 @@ class RollupStore:
         return finalize_rollup(merged, val_cols=self.val_cols)
 
     def compact_rollup(self) -> None:
-        """Collapse all batch states into one ``__compacted`` state per
-        bucket. Staged write + swap (same local-FS caveats as
-        ``sources.lake.compact_lake``: the swap window is not atomic on
-        object stores)."""
-        merged = self.read_rollup(finalize=False).withColumn(
-            "batch_id", F.lit(COMPACTED_BATCH)
-        )
-        tmp = self.path.rstrip("/") + "__compact_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        jvm_fs_swap(self.spark, src=tmp, dst=self.path)
+        """Collapse the current snapshot's batch states into one
+        ``__compacted_g{N}`` state per bucket. Crash-safe at every
+        boundary and append-concurrent (module docstring, steps 1-4):
+        files landing after the snapshot listing are never read,
+        rewritten, or deleted."""
+        with self._lock:
+            manifest = self._read_manifest()
+            snapshot = self._data_files()
+            if not snapshot:
+                return
+            raw = self.spark.read.parquet(*snapshot)
+            # the new generation must exceed every generation ON DISK,
+            # not just the committed one: an uncommitted generation
+            # orphaned by a crashed compaction would otherwise collide
+            # with this attempt's tag and spring back to life (double
+            # count) the moment the manifest commits it
+            max_disk_gen = raw.select(
+                F.max(
+                    F.when(
+                        F.col("batch_id").startswith(COMPACTED_PREFIX),
+                        F.regexp_extract("batch_id", r"_g(\d+)$", 1).cast("int"),
+                    )
+                ).alias("g")
+            ).first()["g"] or 0
+            gen = max(manifest["generation"], max_disk_gen) + 1
+            gen_tag = f"{COMPACTED_PREFIX}_g{gen}"
 
+            states = self._live_states(raw, manifest)
+            folded = [
+                r["batch_id"]
+                for r in states.select("batch_id").distinct().collect()
+                if not r["batch_id"].startswith(COMPACTED_PREFIX)
+            ]
+            merged = merge_rollup_states(
+                states, keys=self.keys, val_cols=self.val_cols
+            ).withColumn("batch_id", F.lit(gen_tag))
 
-def jvm_fs_swap(spark: SparkSession, *, src: str, dst: str) -> None:
-    """Replace ``dst`` with ``src`` via Hadoop-FS renames (delete old,
-    rename new). Local-FS semantics; see ``compact_lake`` for the
-    recovery discussion."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs = Path(dst).getFileSystem(conf)
-    bak = Path(dst + "__pre_compact")
-    if fs.exists(bak):
-        fs.delete(bak, True)
-    fs.rename(Path(dst), bak)
-    fs.rename(Path(src), Path(dst))
-    fs.delete(bak, True)
+            # stage the new generation, then move its part files INTO
+            # the live dir (rows stay invisible: readers filter on the
+            # manifest generation until the commit below)
+            base = self.path.rstrip("/")
+            tmp = base + f"__compact_g{gen}_tmp"
+            merged.write.mode("overwrite").parquet(tmp)
+            fs, Path = self._fs()
+            for st in fs.listStatus(Path(tmp)):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    fs.rename(st.getPath(), Path(base + "/" + name))
+            fs.delete(Path(tmp), True)
+
+            # COMMIT: new generation + folded batch ids become visible
+            self._write_manifest({
+                "generation": gen,
+                "compacted_batch_ids": sorted(
+                    set(manifest["compacted_batch_ids"]) | set(folded)
+                ),
+            })
+
+            # sweep superseded files (their live rows are all in the
+            # new generation; a crash here only leaves garbage that
+            # the manifest filters and the next compaction deletes)
+            for f in snapshot:
+                fs.delete(Path(f), False)

@@ -102,9 +102,12 @@ def start_rollup_ingest(
     to per-bucket partial states and appended to the
     :class:`..store.rollup.RollupStore` with ``batch_id = the
     checkpointed micro-batch id``. A batch replayed after a crash
-    re-appends under the SAME id, and the store's read-side dedup
-    counts it once — end-to-end exactly-once for the aggregate without
-    transactional sinks. This is the engine-native version of a
+    re-appends under the SAME id and counts once: the store's
+    read-side dedup covers replays before compaction, and its manifest
+    of folded batch_ids covers replays AFTER a compaction swallowed
+    the original append (r4 advice) — end-to-end exactly-once for the
+    aggregate without transactional sinks, including across the
+    compaction window. This is the engine-native version of a
     Timescale continuous aggregate fed by a live stream; the batch
     :meth:`~..store.rollup.RollupStore.compact_rollup` runs on the
     scheduler cadence to bound read amplification."""

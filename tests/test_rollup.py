@@ -68,7 +68,7 @@ def test_incremental_rollup_equals_one_shot_and_survives_replay(spark, tmp_path)
     # compaction: one state row per (k, bucket), same finalized values
     store.compact_rollup()
     states = spark.read.parquet(store.path).toPandas()
-    assert states.batch_id.unique().tolist() == ["__compacted"]
+    assert states.batch_id.unique().tolist() == ["__compacted_g1"]
     assert len(states) == len(want)
     after = _sorted(store.read_rollup().toPandas())
     for c in ("n_v", "min_v", "max_v", "mean_v", "std_v"):
@@ -134,3 +134,84 @@ def test_streaming_rollup_ingest_exactly_once(spark, tmp_path):
     again = _sorted(store.read_rollup().toPandas())
     assert again.n_v.equals(want.n_v)
     np.testing.assert_allclose(again.mean_v, want.mean_v, rtol=1e-12)
+
+
+def test_replay_after_compaction_counts_once(spark, tmp_path):
+    """r4 advice (medium): a micro-batch replayed AFTER compaction
+    folded it (crash between the parquet append and the streaming
+    checkpoint commit, compaction running before restart) must not be
+    double-counted — the manifest records folded batch_ids and both
+    the upsert and the read side drop re-appends."""
+    df = _raw(spark, n=2000)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    b1 = df.filter(F.col("ts") < "2024-03-05")
+    b2 = df.filter(F.col("ts") >= "2024-03-05")
+    store.upsert_rollup(b1, ts_col="ts", batch_id="b1")
+    store.upsert_rollup(b2, ts_col="ts", batch_id="b2")
+    store.compact_rollup()
+
+    # replay b2 post-compaction: upsert must no-op entirely
+    files_before = sorted(store._data_files())
+    store.upsert_rollup(b2, ts_col="ts", batch_id="b2")
+    assert sorted(store._data_files()) == files_before
+
+    # even a raw re-append under a folded batch_id is read-side inert
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.rollup import (
+        rollup_state,
+    )
+
+    rollup_state(
+        b2, keys=["k"], ts_col="ts", bucket_seconds=3600, val_cols=["v"],
+        batch_id="b2",
+    ).write.mode("append").parquet(store.path)
+
+    got = _sorted(store.read_rollup().toPandas())
+    want = _sorted(_direct(spark, df).toPandas())
+    assert got.n_v.equals(want.n_v)
+    np.testing.assert_allclose(got.mean_v, want.mean_v, rtol=1e-12)
+
+
+def test_compaction_crash_before_commit_is_invisible(spark, tmp_path):
+    """The manifest rename is the commit point: new-generation state
+    files that landed WITHOUT a manifest update (crash mid-compaction)
+    must not change what readers see, and the next compaction must
+    sweep them."""
+    df = _raw(spark, n=1500)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    store.upsert_rollup(df, ts_col="ts", batch_id="b1")
+    want = _sorted(store.read_rollup().toPandas())
+
+    # simulate a crash after step 2 (uncommitted generation-1 files in
+    # the live dir, manifest still at generation 0)
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.rollup import (
+        merge_rollup_states,
+        rollup_state,
+    )
+
+    orphan = merge_rollup_states(
+        rollup_state(
+            df, keys=["k"], ts_col="ts", bucket_seconds=3600,
+            val_cols=["v"], batch_id="x",
+        ),
+        keys=["k"], val_cols=["v"],
+    ).withColumn("batch_id", F.lit("__compacted_g1"))
+    orphan.write.mode("append").parquet(store.path)
+
+    got = _sorted(store.read_rollup().toPandas())
+    assert got.n_v.equals(want.n_v)
+    np.testing.assert_allclose(got.mean_v, want.mean_v, rtol=1e-12)
+
+    # recovery: the next compaction commits generation 2 and sweeps
+    # the orphaned generation-1 files
+    store.compact_rollup()
+    after = _sorted(store.read_rollup().toPandas())
+    assert after.n_v.equals(want.n_v)
+    np.testing.assert_allclose(after.mean_v, want.mean_v, rtol=1e-12)
+    tags = spark.read.parquet(store.path).select("batch_id").distinct()
+    assert [r["batch_id"] for r in tags.collect()] == ["__compacted_g2"]
