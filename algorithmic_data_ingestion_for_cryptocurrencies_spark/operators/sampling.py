@@ -183,14 +183,19 @@ def hash_split(
 
     Weights must sum to ~1; the last split (in insertion order) takes
     the remainder range up to the keep-all sentinel, so coverage is
-    exactly total."""
+    exactly total.
+
+    NULL keys: the key is coalesced to a sentinel before hashing, so
+    NULL-key rows get a real (deterministic) split instead of falling
+    through the when-chain unassigned, and a NULL group stays together
+    as one group rather than scattering (r4 advice: md5(NULL) is NULL
+    and every NULL comparison dropped such rows from every split)."""
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"weights must sum to 1, got {total}")
     key = group_col or id_col
-    h = F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col(key).cast("string"))), 1, 8
-    )
+    key_str = F.coalesce(F.col(key).cast("string"), F.lit("\x00null"))
+    h = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key_str)), 1, 8)
     names = list(weights)
     cum = 0.0
     expr = None
@@ -283,6 +288,7 @@ def global_cumsum(
     order_cols: Sequence,
     out: str = "cum",
     num_partitions: int | None = None,
+    pin: bool = True,
 ) -> DataFrame:
     """Global running sum in ``order_cols`` order WITHOUT a
     single-partition window — the scale-safe form of
@@ -311,6 +317,17 @@ def global_cumsum(
     )
     w_in = Window.partitionBy("__pid").orderBy(*cols)
     d = d.withColumn("__incum", F.sum(val_col).over(w_in))
+    # PIN the range-partitioned frame before branching (r4 advice):
+    # the row-level prefix and the per-partition totals below both
+    # consume this exchange, and RangePartitioning BOUNDARIES ARE
+    # SAMPLED PER EXECUTION — correctness would otherwise ride on
+    # ReuseExchange deduplicating the two branches (wrong sums with
+    # spark.sql.exchange.reuse off, or any plan change that defeats
+    # reuse). localCheckpoint materializes one partitioning that both
+    # branches read (same pattern as dedup.connected_components).
+    # ``pin=False`` exposes the raw two-branch plan for shape tests.
+    if pin:
+        d = d.localCheckpoint(eager=False)
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = (
         d.groupBy("__pid")

@@ -276,7 +276,9 @@ def test_global_cumsum_windows_are_bounded_or_partitioned(spark):
         spark.range(0, 10_000).withColumnRenamed("id", "k")
         .withColumn("v", (F.col("k") % 13).cast("long"))
     )
-    out = global_cumsum(df, val_col="v", order_cols=["k"], num_partitions=8)
+    # pin=False exposes the raw two-branch plan (production pins the
+    # exchange with localCheckpoint, which truncates the visible plan)
+    out = global_cumsum(df, val_col="v", order_cols=["k"], num_partitions=8, pin=False)
     plan = explain_str(out, "formatted")
     assert "rangepartitioning(" in plan.lower()
     # the data-sized window is partitioned by __pid; the unpartitioned

@@ -409,3 +409,67 @@ def test_hash_split_group_aware_and_calibrated(spark):
         weights={"train": 0.8, "val": 0.1, "test": 0.1},
     ).toPandas()
     assert out.sort_values("doc_id").split.tolist() == out2.sort_values("doc_id").split.tolist()
+
+
+def test_global_cumsum_correct_without_exchange_reuse(spark):
+    """r4 advice: the row-prefix and per-partition-offset branches both
+    consume the repartitionByRange exchange, whose boundaries are
+    sampled per execution. The pinned (localCheckpoint) frame must keep
+    the cumsum exact even when ReuseExchange cannot deduplicate the
+    branches."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        global_cumsum,
+    )
+
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        df = (
+            spark.range(0, 20_000).withColumnRenamed("id", "k")
+            .withColumn("v", (F.col("k") % 13).cast("long"))
+        )
+        got = {
+            r["k"]: r["cum"]
+            for r in global_cumsum(
+                df, val_col="v", order_cols=["k"], num_partitions=8
+            ).collect()
+        }
+        run = 0
+        for k in range(20_000):
+            run += k % 13
+            assert got[k] == run, f"wrong cumsum at k={k}"
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+
+
+def test_hash_split_null_keys_assigned_and_grouped(spark):
+    """r4 advice: NULL split keys must land in a real split (not fall
+    through the when-chain unassigned), and a NULL group must stay
+    together in ONE split."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        hash_split,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, F.lit(None)).otherwise(
+            (F.col("id") % 7).cast("string")
+        ).alias("grp"),
+    )
+    out = hash_split(
+        df, id_col="doc_id", group_col="grp",
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    rows = out.collect()
+    assert all(r["split"] in {"train", "val", "test"} for r in rows)
+    null_splits = {r["split"] for r in rows if r["grp"] is None}
+    assert len(null_splits) == 1  # NULL group sticks together
+
+    # NULL id without group_col: still assigned, deterministically
+    df2 = spark.createDataFrame([(None,), ("a",)], "doc_id string")
+    out2 = hash_split(df2, id_col="doc_id", weights={"x": 0.5, "y": 0.5})
+    assert all(r["split"] in {"x", "y"} for r in out2.collect())
