@@ -66,11 +66,14 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
                  side_col: str = "side", price_col: str = "price",
                  amount_col: str = "amount", keys=(),
                  tiebreak_cols=(), pre_partition: int | None = None,
-                 strategy: str = "object") -> DataFrame:
+                 strategy: str = "window") -> DataFrame:
     """Top-N levels per (keys, ts, side) pivoted to ``bid_depth_i`` /
     ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
+    Both physical tiers below are single-shuffle; book depth per
+    (ts, side) is bounded (exchange levels), so the shape holds at
+    100-TB scale.
 
-    Spark shape: ONE ``groupBy(keys, ts)`` whose aggregate collects
+    ``"object"`` tier shape: ONE ``groupBy(keys, ts)`` whose aggregate collects
     each side's levels as a list of structs, sorted in-aggregate with
     ``sort_array`` and sliced with ``element_at`` — a single shuffle;
     no rank window (which needs a full sort exchange on (keys, ts,
@@ -95,34 +98,71 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
     ``spark.sql.shuffle.partitions``; the explicit partition count
     keeps AQE from byte-coalescing this CPU-heavy, small-bytes stage.
 
-    ``strategy`` picks the physical tier — the crossover is measured,
-    not guessed:
+    ``strategy`` picks the physical tier — measured, not guessed
+    (tools/bench_depth_tiers.py, min-of-7, r5):
 
-    - ``"object"`` (default): the single-shuffle collect/sort_array
-      aggregate above. Wins at moderate volume (0.82 s vs 1.46 s at
-      sf0.1) where one exchange beats two.
-    - ``"window"``: rank via ``row_number`` over (keys, ts, side),
-      filter to N, pivot with conditional ``max`` — two exchanges but
-      whole-stage codegen end to end, no JVM object churn; Spark's
-      WindowGroupLimit prunes past rank N during the sort. Wins at
-      scale (1.46 s vs 2.44 s at sf1-equivalent; the gap widens with
-      volume as object-aggregate GC pressure grows), and its sorts
-      spill gracefully — prefer it on a real cluster.
+    - ``"window"`` (default): the r5 FUSED single-exchange rank tier —
+      one window over (keys, ts) ordered side-major ('ask' < 'bid', so
+      ask level = row_number and bid level = row_number − n_ask, with
+      n_ask an unbounded-frame sum in the SAME window spec → one
+      Window operator), then the conditional-max pivot reuses the
+      window's (keys, ts) partitioning: rank, filter, and pivot all in
+      the single post-shuffle stage. Ties the object tier at sf0.1 and
+      sf1-equivalent (0.55 s / 0.99 s) with none of its JVM object
+      churn, and its sort spills gracefully — the default for a real
+      cluster. (The r4 two-exchange variant — per-(keys,ts,side)
+      window + separate pivot shuffle — lost at both scales, 1.33 s /
+      1.13 s, despite map-side WindowGroupLimit pruning: at bounded
+      book depth the second sort+exchange stage costs more than the
+      prune saves. For pathologically deep books where shipping all
+      levels dominates, that shape would win the wire — resurrect it
+      from the bench script if that regime ever materializes.)
+    - ``"object"``: the single-shuffle collect/sort_array aggregate
+      above. Same measured speed, kept as the fallback where window
+      memory for huge (keys, ts) groups is a concern.
 
     Both tiers produce identical rows for any input (same deterministic
     tiebreak ordering; pytest-asserted).
     """
     keys = list(keys)
+    n_shuffle = pre_partition or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     if strategy == "window":
+        # SINGLE-exchange rank tier (r5; the r4 variant partitioned the
+        # window by (keys, ts, side) and paid a second exchange for the
+        # (keys, ts) pivot). One window over (keys, ts) ordered with
+        # side FIRST ('ask' < 'bid' lexicographically, so asks rank
+        # 1..n_ask and a bid's per-side level is rn - n_ask, with
+        # n_ask an unordered count over the same partitioning — same
+        # sort, no extra exchange). The explicit repartition on
+        # (keys, ts) satisfies the window's required distribution AND
+        # the pivot groupBy's, so rank, filter, and the conditional-max
+        # pivot all run inside the one post-shuffle stage; the pinned
+        # partition count keeps AQE from byte-coalescing this
+        # CPU-heavy, small-bytes stage (same reasoning as the object
+        # tier below).
         sort_key = F.when(
             F.col(side_col) == "bid", -F.col(price_col)
         ).otherwise(F.col(price_col))
-        w = Window.partitionBy(*keys, ts_col, side_col).orderBy(
-            sort_key, *[F.col(c) for c in tiebreak_cols], F.col(amount_col)
+        df = df.filter(F.col(side_col).isin("bid", "ask")).repartition(
+            n_shuffle, *[F.col(c) for c in (*keys, ts_col)]
         )
-        ranked = df.withColumn("__lvl", F.row_number().over(w)).filter(
-            F.col("__lvl") <= n_levels
+        w_rn = Window.partitionBy(*keys, ts_col).orderBy(
+            F.col(side_col), sort_key,
+            *[F.col(c) for c in tiebreak_cols], F.col(amount_col),
         )
+        # same partitioning AND ordering as w_rn (frame differs) so
+        # Spark evaluates rank and count in ONE Window operator pass
+        n_ask = F.sum(
+            F.when(F.col(side_col) == "ask", 1).otherwise(0)
+        ).over(
+            w_rn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        lvl = F.row_number().over(w_rn) - F.when(
+            F.col(side_col) == "bid", n_ask
+        ).otherwise(F.lit(0))
+        ranked = df.withColumn("__lvl", lvl).filter(F.col("__lvl") <= n_levels)
         return ranked.groupBy(*keys, ts_col).agg(*[
             F.max(
                 F.when(
@@ -135,9 +175,6 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         ])
     if strategy != "object":
         raise ValueError(f"unknown strategy: {strategy!r}")
-    n_shuffle = pre_partition or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
     df = df.repartition(n_shuffle, *[F.col(c) for c in (*keys, ts_col)])
 
     def side_entries(side: str) -> F.Column:

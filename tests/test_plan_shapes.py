@@ -176,10 +176,10 @@ def test_resample_pre_cluster_shares_exchange_with_windows(spark):
 
 
 def test_depth_series_single_exchange_before_aggregate(spark):
-    """Top-N depth: exactly one exchange, and it must sit BELOW the
-    object aggregation (exchange-first shape) — a map-side partial
-    collect_list reduces nothing and serializes the aggregation onto
-    the scan splits (r3 verdict: 12.6x DuckDB from exactly that)."""
+    """Top-N depth object tier: exactly one exchange, and it must sit
+    BELOW the object aggregation (exchange-first shape) — a map-side
+    partial collect_list reduces nothing and serializes the aggregation
+    onto the scan splits (r3 verdict: 12.6x DuckDB from exactly that)."""
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
         depth_series,
     )
@@ -188,7 +188,7 @@ def test_depth_series_single_exchange_before_aggregate(spark):
         [(1, 10.0, 1.0, "bid"), (1, 11.0, 2.0, "ask"), (1, 9.5, 3.0, "bid")],
         ["ts", "price", "amount", "side"],
     )
-    out = depth_series(df, 2)
+    out = depth_series(df, 2, strategy="object")
     plan = explain_str(out, "formatted").split("\n\n")[0]
     assert plan.count("Exchange") == 1
     # tree prints top-down: every aggregate node is ABOVE the exchange
@@ -214,8 +214,10 @@ def test_chunk_prep_pipeline_is_single_dedup_exchange(spark):
 
 def test_depth_series_window_tier_matches_object_tier(spark):
     """The two physical tiers must be row-identical on tied prices
-    (deterministic tiebreaks), and the window tier must be pure
-    codegen (no ObjectHashAggregate) with a WindowGroupLimit prune."""
+    (deterministic tiebreaks), and the fused window tier must be a
+    SINGLE exchange (rank, filter, and pivot all share the (keys, ts)
+    partitioning) with no ObjectHashAggregate and exactly one Window
+    operator (rank + n_ask fold into one window spec)."""
     import random
 
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
@@ -243,7 +245,9 @@ def test_depth_series_window_tier_matches_object_tier(spark):
         depth_series(df, 3, strategy="window", **kw), "formatted"
     ).split("\n\n")[0]
     assert "ObjectHashAggregate" not in plan
-    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1, plan
+    win_ops = [ln for ln in plan.splitlines() if ln.lstrip("+- *(0123456789) ").startswith("Window")]
+    assert len(win_ops) == 1, plan
 
     with pytest.raises(ValueError):
         depth_series(df, 3, strategy="nope", **kw)
