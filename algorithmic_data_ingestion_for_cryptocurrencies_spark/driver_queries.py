@@ -95,7 +95,14 @@ from .operators.rolling import (
     with_global_zscore,
     with_rolling_volatility,
 )
-from .operators.similarity import ann_topk, cosine_topk, embedding_near_pairs, knn_join
+from .operators.similarity import (
+    _hyperplanes,
+    ann_topk,
+    cosine_topk,
+    embedding_near_pairs,
+    embedding_near_pairs_capped,
+    knn_join,
+)
 from .operators import text as textops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2110,6 +2117,52 @@ def sim_near_pairs(spark, sf_dir):
     # in operators/similarity.py — the r4 unrolled-tier regression)
     return embedding_near_pairs(
         emb, threshold=0.3, id_col="vec_id", vec_col="embedding", dim=64
+    )
+
+
+def _lsh_bucket_sql(vec: str, *, dim: int, n_planes: int, seed: int = 42) -> str:
+    """Mirror of similarity.with_lsh_bucket for DuckDB: same LCG
+    hyperplane literals (repr round-trips the exact doubles), same
+    FLOAT-times-DOUBLE products accumulated sequentially in DOUBLE, so
+    the sign bits — and therefore the buckets — match bit-for-bit."""
+    bits = []
+    for p in _hyperplanes(dim, n_planes, seed):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        d = (f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({vec}) + 1), "
+             f"i -> CAST({vec}[i] * ({lit})[i] AS DOUBLE)), (acc, v) -> acc + v)")
+        bits.append(f"CASE WHEN {d} >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+@q(
+    "sim_near_pairs_capped",
+    f"""WITH b AS (
+  SELECT vec_id, embedding, {_lsh_bucket_sql('embedding', dim=64, n_planes=4)} AS lsh_bucket
+  FROM embeddings
+), capped AS (
+  SELECT vec_id, embedding, lsh_bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY lsh_bucket
+      ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 8), vec_id
+    ) AS rn FROM b) WHERE rn <= 200
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       {_cos_sql('a.embedding', 'c.embedding')} AS cosine
+FROM capped a JOIN capped c
+  ON a.lsh_bucket = c.lsh_bucket AND a.vec_id < c.vec_id
+WHERE {_cos_sql('a.embedding', 'c.embedding')} >= 3e-1""",
+    cols=["id_a", "id_b", "cosine"],
+    fcols=["cosine"],
+)
+def sim_near_pairs_capped(spark, sf_dir):
+    """Budget-bounded near-pairs — the similarity family's scale row:
+    single-table LSH buckets, md5-capped occupancy (200), exact
+    within-bucket cosine. Work is 2^4 * 200^2 / 2 pairs max at ANY
+    corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_pairs_capped(
+        emb, threshold=0.3, id_col="vec_id", vec_col="embedding",
+        dim=64, n_planes=4, cap=200,
     )
 
 

@@ -301,6 +301,57 @@ def embedding_near_pairs(
     )
 
 
+def embedding_near_pairs_capped(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_planes: int = 4,
+    cap: int = 200,
+    seed: int = 42,
+) -> DataFrame:
+    """BUDGETED near-duplicate pairs: LSH-bucket the corpus (single
+    table, so each vector lands in exactly one bucket and no pair is
+    emitted twice), deterministically cap each bucket at ``cap``
+    vectors (md5-ordered, :func:`..sampling.hash_top_n_per_group` —
+    a uniform 'random' survivor set that is reproducible across
+    engines), then exact within-bucket pairs.
+
+    This is the scale grade for the near-pairs family: total scored
+    pairs are bounded by ``2^n_planes * cap^2 / 2`` REGARDLESS of
+    corpus size — at 100 TB the work per bucket is constant and the
+    bucket count is a knob, where the exact tier is O(n²) and even
+    plain LSH grows with the square of the bucket occupancy. The cost
+    is recall: pairs beyond the per-bucket budget are not scored —
+    the standard budget/recall trade of a capped near-dup sweep.
+    Fully oracle-expressible (deterministic hyperplanes + md5 cap +
+    sequential-accumulation cosine), unlike the multi-table ANN path.
+    """
+    b = with_lsh_bucket(
+        df, vec_col=vec_col, dim=dim, n_planes=n_planes, seed=seed
+    )
+    from .sampling import hash_top_n_per_group
+
+    capped = hash_top_n_per_group(
+        b, id_col=id_col, group_cols=["lsh_bucket"], n=cap
+    )
+    a = capped.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_bucket"
+    )
+    c = capped.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "lsh_bucket"
+    )
+    return (
+        a.join(c, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine("__va", "__vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,

@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_knn_join",
     "sim_near_pairs",
     "sim_near_pairs_arrow",
+    "sim_near_pairs_capped",
     "text_quality",
     "training_matrix",
 ]

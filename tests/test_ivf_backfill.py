@@ -243,3 +243,50 @@ def test_unrolled_dim_mismatch_surfaces_not_silent(spark):
     ).collect()
     assert all(r["over"] is None for r in out)   # surfaces as NULL
     assert all(r["hof"] == float(short) for r in out)
+
+
+def test_capped_near_pairs_bounded_and_subset_of_exact(spark):
+    """The budgeted tier must (a) never score more than cap vectors
+    per bucket, (b) emit a SUBSET of the exact all-pairs result with
+    identical cosines on shared pairs, (c) be invariant to input
+    partitioning (deterministic md5 cap)."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        embedding_near_pairs,
+        embedding_near_pairs_capped,
+        with_lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    cap = 20
+
+    capped = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs_capped(
+            emb, 0.3, dim=dim, n_planes=2, cap=cap
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_pairs(emb, 0.3).collect()
+    }
+    assert capped, "capped tier found no pairs at all"
+    assert set(capped) <= set(exact)
+    assert all(exact[p] == capped[p] for p in capped)  # bit-identical
+
+    # occupancy after the cap: every bucket <= cap survivors
+    occ = (
+        with_lsh_bucket(emb, vec_col="embedding", dim=dim, n_planes=2)
+        .groupBy("lsh_bucket").count().collect()
+    )
+    assert any(r["count"] > cap for r in occ), "cap never binds — weak test"
+
+    repart = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_pairs_capped(
+            emb.repartition(7), 0.3, dim=dim, n_planes=2, cap=cap
+        ).collect()
+    }
+    assert repart == set(capped)

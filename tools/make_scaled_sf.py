@@ -61,9 +61,14 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/testdata_scaled")
+    ap.add_argument(
+        "--name", default="sf1",
+        help="output subdir; e.g. --replicas 30 --name sf3 for the "
+             "sf3-equivalent tier",
+    )
     args = ap.parse_args()
 
-    out_dir = os.path.join(args.out, "sf1")
+    out_dir = os.path.join(args.out, args.name)
     os.makedirs(out_dir, exist_ok=True)
 
     # strides: max+1 of every referenced key column, computed once
