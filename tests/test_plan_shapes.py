@@ -332,3 +332,19 @@ def test_connected_components_never_exceeds_pair_graph(spark):
     # converged labeling is served from the checkpointed RDD, not a
     # re-derivation of every round
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_knn_join_prunes_topk_map_side(spark):
+    """Plan rule D: the brute-force kNN rank filter stays literally
+    row_number() <= k, so InsertWindowGroupLimit prunes on BOTH sides
+    of the exchange — only k rows per (query, mapper) cross the wire
+    instead of the full scored corpus."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        knn_join,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = explain_str(knn_join(q, emb, k=5), "formatted").split("\n\n")[0]
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan

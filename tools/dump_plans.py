@@ -54,11 +54,22 @@ SECTIONS = {
         "score aggregates on the doc id that rode the explode projection."
     ),
     "a4_depth": (
-        "Exchange-FIRST object aggregation (r4): collect-style partials "
-        "reduce nothing, so the one shuffle is an explicit repartition on "
-        "the group keys that the aggregate reuses — the CPU-heavy "
-        "sort_array/collect_list work runs at full reduce parallelism "
-        "instead of on however few splits the scan produced."
+        "FUSED single-exchange rank tier (r5): one window over (keys, ts) "
+        "ordered side-major — ask level = row_number, bid level = "
+        "row_number - n_ask with n_ask an unbounded-frame sum in the SAME "
+        "window spec (one Window operator) — and the conditional-max pivot "
+        "reuses the window's partitioning, so rank, filter, and pivot all "
+        "run in the single post-shuffle stage. Replaced the r4 two-exchange "
+        "per-(keys,ts,side) window + pivot shuffle (1.33s/1.13s vs "
+        "0.55s/0.99s at sf0.1/sf1; see Plan rules B/C below)."
+    ),
+    "sim_near_pairs_capped": (
+        "Budgeted near-pairs (r5): LSH bucket projection (narrow), "
+        "md5-ordered per-bucket cap (one window exchange on the bucket key, "
+        "WindowGroupLimit-pruned), then a within-bucket self equi-join — "
+        "total scored pairs bounded by 2^n_planes * cap^2 / 2 at ANY corpus "
+        "size. The similarity family's answer to 'what survives 100 TB': "
+        "work per bucket is constant and the bucket count is a knob."
     ),
     "training_matrix": (
         "Single-exchange spine (r4): resample(pre_cluster=symbol) "
@@ -103,6 +114,70 @@ SECTIONS = {
     ),
 }
 
+# Generalized, measured plan-shape rules (r4 verdict #6). Each rule is
+# guarded by a pytest named in-line; numbers are min-of-N on local[32].
+EPILOGUE = """\
+## Plan rules — when each shape wins (measured)
+
+**A. Aggregation exchange placement.** TRUE reducing aggregates
+(sum/count/min/max/avg) keep Catalyst's map-side partial: the partial
+shrinks every group to one row per mapper, so the exchange carries
+group-grain data — never fight this default. COLLECT-style aggregates
+(`collect_list`/`collect_set`) are the exception: the partial reduces
+NOTHING (every element still crosses the wire, boxed), and on a compact
+scan it serializes the object work onto however few splits the scan
+produced — so put the exchange FIRST (explicit repartition on the group
+keys, which the aggregate then reuses; still one shuffle) and run the
+object aggregation at full reduce parallelism. Measured: a4_depth
+object tier 12.6x -> ~2x DuckDB (r3->r4). Guarded by
+`test_depth_series_single_exchange_before_aggregate`.
+
+**B. Fuse a window with its downstream aggregation by partition
+alignment.** When a rank-then-pivot (or rank-then-groupBy) pipeline
+windows on a SUPERSET of the aggregation keys, it pays two exchanges.
+Partition the window by exactly the downstream group keys and push the
+extra distinction into the ORDER BY instead (a4_depth: side-major
+ordering, ask level = row_number, bid level = row_number - n_ask) —
+the aggregate then reuses the window's partitioning and the whole
+pipeline is one exchange. Measured: 0.55s/0.99s (sf0.1/sf1) vs
+1.33s/1.13s for the two-exchange shape. Guarded by
+`test_depth_series_window_tier_matches_object_tier`.
+
+**C. One Window operator per (partitionBy, orderBy) spec.** Window
+expressions sharing partitioning AND ordering evaluate in a single
+Window pass even with different frames — derive auxiliary per-group
+scalars (counts, totals) as unbounded-frame aggregates over the SAME
+ordered spec rather than a separate unordered window, which plans a
+second operator. Guarded by the one-Window assertion in
+`test_depth_series_window_tier_matches_object_tier`.
+
+**D. Keep top-k filters literally `row_number() <= k`.** Spark's
+InsertWindowGroupLimit only fires on a filter over the raw rank
+function; it then prunes MAP-SIDE, so only k rows per (group, mapper)
+reach the exchange — the difference between shipping |corpus| rows and
+shipping k*P rows in knn_join. A filter on a DERIVED rank expression
+(like rule B's `rn - n_ask`) does not prune; rule B trades that prune
+for an exchange, which wins at bounded group sizes (order-book levels)
+and loses for unbounded groups — pick per operator. Guarded by
+`test_knn_join_prunes_topk_map_side`.
+
+**E. Repartition once on the key subset shared by a pipeline.** When
+an aggregate and later windows/joins all key on a subset (symbol,
+bucket), one explicit repartition on that subset satisfies every
+downstream distribution (resample `pre_cluster`, the training_matrix
+single-exchange spine). Guarded by
+`test_resample_pre_cluster_shares_exchange_with_windows`.
+
+**F. Higher-order functions beat unrolled expression chains above tiny
+widths.** An `element_at` multiply-add chain stays inside whole-stage
+codegen but blows the JIT inlining/huge-method limit almost
+immediately: measured 0.40x (faster) at dim=4, 8-10x SLOWER at
+dim>=8, 3-5x slower end-to-end at dim=64 (the r4 regression). The
+interpreted-but-tight ArrayAggregate loop is the right default;
+unrolling is gated at `UNROLL_MAX_DIM = 4`. Guarded by
+`test_unroll_guard_keeps_hof_tier_above_threshold`.
+"""
+
 
 def main() -> None:
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
@@ -123,6 +198,7 @@ def main() -> None:
         plan = explain_str(fn(spark, sf), "formatted")
         head = plan.split("\n\n")[0]
         out.append(f"## {name}\n\n{why}\n\n```\n{head}\n```\n")
+    out.append(EPILOGUE)
     with open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md"), "w") as f:
         f.write("\n".join(out))
 
