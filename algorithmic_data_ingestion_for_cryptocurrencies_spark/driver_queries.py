@@ -1650,6 +1650,37 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@q(
+    "text_bigram_lm",
+    f"""WITH toks AS (SELECT doc_id, {_WORDS} AS __w FROM documents),
+  bg AS (SELECT doc_id, __w[CAST(i AS INT)] AS w1, __w[CAST(i AS INT) + 1] AS w2
+         FROM (SELECT doc_id, __w,
+                      UNNEST(RANGE(1, GREATEST(LEN(__w) - 1, 0) + 1)) AS i
+               FROM toks)),
+  tbg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+  ctx AS (SELECT w1, SUM(c2) AS c1 FROM tbg GROUP BY 1),
+  voc AS (SELECT COUNT(DISTINCT t) AS vs
+          FROM (SELECT UNNEST(__w) AS t FROM toks WHERE doc_id % 2 = 0))
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       AVG(LN((COALESCE(t.c2, 0) + 0.5) / (COALESCE(c.c1, 0) + 0.5 * vs))) AS avg_logp
+FROM bg b LEFT JOIN tbg t ON b.w1 = t.w1 AND b.w2 = t.w2
+          LEFT JOIN ctx c ON b.w1 = c.w1, voc
+GROUP BY b.doc_id""",
+    cols=["doc_id", "n_bigrams", "avg_logp"],
+    fcols=["avg_logp"],
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram-LM quality scoring (CCNet-style): train add-alpha bigram
+    counts on HALF the corpus (even doc_ids — so the held-out half
+    exercises the OOV smoothing path), score every document by mean
+    bigram log-likelihood."""
+    from .operators.text import bigram_lm, bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = bigram_lm(docs.filter(F.col("doc_id") % 2 == 0), text_col="text")
+    return bigram_lm_score(docs, lm, id_col="doc_id", text_col="text", alpha=0.5)
+
+
 _URL_RE = textops.URL_PATTERN
 _EMAIL_RE = textops.EMAIL_PATTERN
 

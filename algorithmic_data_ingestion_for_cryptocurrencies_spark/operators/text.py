@@ -308,3 +308,84 @@ def rolling_hash_fingerprint(
         lambda i: _h(F.concat_ws(" ", F.slice(words, i, window))),
     )
     return F.array_min(window_hashes)
+
+
+def bigram_pairs(col: Column | str) -> Column:
+    """Adjacent word-token pairs as ``array<struct<w1,w2>>``. Built
+    with ``transform(sequence(...))`` + a null-w2 filter so short
+    texts (0-1 tokens) yield an empty, correctly-typed array without
+    CASE-branch type juggling."""
+    toks = word_tokens(col)
+    return F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+
+
+def bigram_lm(
+    train: DataFrame, *, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a bigram language model (the CCNet/KenLM-style cheap
+    quality signal, model-free): returns ``(bigram_counts(w1, w2, c2),
+    context_counts(w1, c1), vocab(vs))``.
+
+    Scale shape: one explode + two map-side-combined aggregates; the
+    context counts derive FROM the bigram counts (no second pass over
+    the corpus), and the vocabulary size stays a one-row DataFrame
+    that downstream scoring broadcast-joins — no driver-side action
+    at train time."""
+    bg = train.select(F.explode(bigram_pairs(text_col)).alias("b")).select(
+        "b.w1", "b.w2"
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        train.select(F.explode(word_tokens(text_col)).alias("t"))
+        .agg(F.count_distinct("t").alias("vs"))
+    )
+    return c2, c1, vocab
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    lm: tuple[DataFrame, DataFrame, DataFrame],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-likelihood under ``lm`` with
+    add-alpha smoothing: ``ln((c(w1,w2)+a) / (c(w1)+a*V))`` averaged
+    over the doc's bigrams — the standard perplexity-style quality
+    score (low = unusual text: boilerplate, garbled OCR, wrong
+    language). Docs with <2 tokens have no bigrams and drop out.
+
+    Scale shape: explode -> shuffle join on (w1, w2) -> join on w1 ->
+    one per-doc aggregate; the one-row vocab broadcasts. Hot tokens
+    skew the w1 join — AQE skew-join handles it, or pre-salt with
+    :mod:`..skew` for pathological vocabularies."""
+    c2, c1, vocab = lm
+    bg = docs.select(F.col(id_col), F.explode(bigram_pairs(text_col)).alias("b")) \
+        .select(id_col, "b.w1", "b.w2")
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("vs"))
+            ).alias("__logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__logp").alias("avg_logp"),
+    )

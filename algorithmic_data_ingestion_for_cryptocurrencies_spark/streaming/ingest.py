@@ -42,9 +42,15 @@ def read_kafka_stream(
     """The production source line (S4): exchange websocket fan-in lands
     on a Kafka topic; everything downstream of this reader is identical
     to the file-stream test path. Requires the spark-sql-kafka
-    connector on the classpath (not bundled in the test container —
-    the stream will fail at start() without it, which is why tests use
-    :func:`read_file_stream`)."""
+    connector on the classpath (re-verified absent from this
+    container's pyspark jars in r5, and no broker/network to test
+    against — the stream will fail at start() without it, which is why
+    tests use :func:`read_file_stream`). Unblocking checklist when a
+    connector exists: (1) parse-path parity is already covered — the
+    from_json projection below is the same code the file-stream tests
+    exercise; (2) run start_market_ingest against an embedded broker
+    with the same schema; (3) assert checkpoint/replay semantics match
+    the availableNow cursor tests in tests/test_ingest_roundtrip.py."""
     from pyspark.sql import functions as F
 
     raw = (

@@ -156,3 +156,36 @@ def test_bm25_ranking_properties(spark):
     assert out[1].bm25 > out[3].bm25 > out[2].bm25
     with _pytest.raises(ValueError):
         textops.bm25_scores(df, [], id_col="doc_id", text_col="text")
+
+
+def test_bigram_lm_scores_flag_unusual_text(spark):
+    """In-domain text must score higher (less negative mean bigram
+    log-likelihood) than out-of-vocabulary gibberish, and short docs
+    (<2 tokens) drop out."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        bigram_lm,
+        bigram_lm_score,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat ran") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    lm = bigram_lm(train, text_col="text")
+    test = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),   # in-domain
+            (101, "zxq vbn qwe rty uio plm"),  # full OOV
+            (102, "one"),                      # no bigrams -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(test, lm, id_col="doc_id", text_col="text").collect()
+    }
+    assert set(rows) == {100, 101}
+    assert rows[100]["avg_logp"] > rows[101]["avg_logp"]
+    assert rows[100]["n_bigrams"] == 5
