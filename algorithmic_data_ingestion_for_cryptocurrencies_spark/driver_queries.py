@@ -1651,6 +1651,48 @@ def text_repetition(spark, sf_dir):
 
 
 @q(
+    "text_html_strip",
+    """WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style>' ||
+         '<script type="x">var a=1;</script></head>' ||
+         '<body><!-- nav --><p class="c">' ||
+         REPLACE(SUBSTRING(text, 1, 200), ' ', '&nbsp;') ||
+         '</p><div>&amp;lt;tail&gt;</div></body></html>' AS html
+  FROM documents)
+SELECT doc_id,
+  TRIM(REGEXP_REPLACE(
+    REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(REPLACE(
+      REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(html,
+        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\\s+', ' ', 'g')) AS clean_text
+FROM h""",
+    cols=["doc_id", "clean_text"],
+)
+def text_html_strip(spark, sf_dir):
+    """HTML boilerplate removal: wrap each document in a deterministic
+    HTML shell (tags + script/style payloads + comment + entities) and
+    strip it back to text — proving drop/strip/decode end to end on
+    real corpus data. Pure narrow projection."""
+    from .operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p{color:red}</style>'
+              '<script type="x">var a=1;</script></head>'
+              '<body><!-- nav --><p class="c">'),
+        F.replace(F.substring(F.col("text"), 1, 200), F.lit(" "), F.lit("&nbsp;")),
+        F.lit("</p><div>&amp;lt;tail&gt;</div></body></html>"),
+    )
+    return docs.select("doc_id", html_to_text(html).alias("clean_text"))
+
+
+@q(
     "text_bigram_lm",
     f"""WITH toks AS (SELECT doc_id, {_WORDS} AS __w FROM documents),
   bg AS (SELECT doc_id, __w[CAST(i AS INT)] AS w1, __w[CAST(i AS INT) + 1] AS w2

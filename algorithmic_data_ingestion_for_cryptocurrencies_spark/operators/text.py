@@ -389,3 +389,36 @@ def bigram_lm_score(
         F.count("*").alias("n_bigrams"),
         F.avg("__logp").alias("avg_logp"),
     )
+
+
+# HTML entity decode table, applied AFTER tag stripping; '&amp;' must
+# decode LAST so '&amp;lt;' yields the literal text '&lt;' (single
+# decode), matching the standard entity-decode contract.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Crawl-pipeline HTML -> text: drop script/style payloads and
+    comments, strip tags, decode the common entities, collapse
+    whitespace. Pure column expressions, zero exchanges — cleaning a
+    100 TB crawl costs exactly one read.
+
+    Patterns are deliberately RE2-compatible (no backreferences:
+    script and style get separate alternatives instead of
+    ``<(script|style)>.*?</\\1>``) so a DuckDB/RE2 oracle evaluates
+    the identical regexes; same discipline as :func:`scrub_text`."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

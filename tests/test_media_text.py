@@ -189,3 +189,24 @@ def test_bigram_lm_scores_flag_unusual_text(spark):
     assert set(rows) == {100, 101}
     assert rows[100]["avg_logp"] > rows[101]["avg_logp"]
     assert rows[100]["n_bigrams"] == 5
+
+
+def test_html_to_text_strips_payloads_and_decodes_entities(spark):
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        html_to_text,
+    )
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<script>alert('x')</script>keep<style>a{}</style>", "keep"),
+        ("<SCRIPT foo=1>\nmulti\nline\n</SCRIPT>after", "after"),
+        ("<!-- c1 --><div>a</div><!-- c2\nc2 -->b", "a b"),
+        ("x &amp;lt; y &lt; z &nbsp; &quot;q&quot; &#39;s&#39;", "x &lt; y < z \"q\" 's'"),
+        ("  spaced\t\tout\n\n ", "spaced out"),
+    ]
+    df = spark.createDataFrame(cases, ["html", "want"])
+    rows = df.select(html_to_text("html").alias("got"), "want").collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["got"], r["want"])
