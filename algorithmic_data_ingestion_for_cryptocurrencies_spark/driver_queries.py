@@ -1859,6 +1859,30 @@ SELECT DISTINCT doc_id, shingle FROM (
                        i -> ARRAY_TO_STRING(__w[i:i+2], ' '))) AS shingle
   FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))"""
 
+@q(
+    "dedup_cross_doc_repetition",
+    f"""WITH sh AS ({_SHINGLES_SQL}),
+        freq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY 1)
+        SELECT sh.doc_id, COUNT(*) AS n_shingles,
+               COUNT(CASE WHEN dfc >= 2 THEN 1 END) AS n_repeated,
+               COUNT(CASE WHEN dfc >= 2 THEN 1 END) / COUNT(*) AS repeated_frac
+        FROM sh JOIN freq USING (shingle)
+        GROUP BY sh.doc_id""",
+    cols=["doc_id", "n_shingles", "n_repeated", "repeated_frac"],
+    fcols=["repeated_frac"],
+)
+def dedup_cross_doc_repetition_q(spark, sf_dir):
+    """Corpus boilerplate scan: share of each doc's distinct 3-gram
+    shingles that also occur in another document (headers/footers/
+    chrome detection; linear pipeline, no pair stage)."""
+    from .operators.dedup import cross_doc_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_doc_repetition(
+        docs, id_col="doc_id", text_col="text", n=3, min_docs=2
+    )
+
+
 # stop-shingle document-frequency cutoff, mirrored on both engines
 # (see jaccard_similar_pairs(max_doc_freq=...): bounds the join skew)
 _JACCARD_MAX_DF = 50

@@ -570,3 +570,44 @@ def simhash_near_pairs(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming"
         )
     )
+
+
+def cross_doc_repetition(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate signal (the bounded cousin of
+    substring dedup a la 'Deduplicating Training Data Makes Language
+    Models Better'): for each document, the fraction of its distinct
+    word n-gram shingles that appear in at least ``min_docs`` OTHER
+    documents too — headers, footers, navigation chrome, and license
+    blocks score high; original prose scores low. Downstream filters
+    drop or de-prioritize high-``repeated_frac`` docs.
+
+    Scale shape, all linear: distinct (doc, shingle) rows (the
+    explode's partial dedup completes map-side because a document
+    never crosses a partition — see :func:`exploded_shingles`), one
+    shingle-keyed doc-frequency aggregate, one equi-join back, one
+    per-doc aggregate. Hot boilerplate shingles skew the join key the
+    same way they do in :func:`jaccard_similar_pairs` — AQE skew
+    splitting applies; there is no quadratic pair stage here at all.
+
+    Returns (id_col, n_shingles, n_repeated, repeated_frac).
+    """
+    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__dfc"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count(F.when(F.col("__dfc") >= min_docs, 1)).alias("n_repeated"),
+        )
+        .withColumn(
+            "repeated_frac", F.col("n_repeated") / F.col("n_shingles")
+        )
+    )

@@ -129,3 +129,29 @@ def test_dedup_survivors_keeps_min_per_cluster_and_singletons(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in out}
     # survivors: 0 (cluster {0,3,5}), 1 (cluster {1,2}), singletons 4,6,7
     assert rows == {0: (0, 3), 1: (1, 2), 4: (4, 1), 6: (6, 1), 7: (7, 1)}
+
+
+def test_cross_doc_repetition_flags_boilerplate(spark):
+    """Shared header/footer shingles must push repeated_frac up for
+    every doc carrying them; a fully original doc scores 0."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.dedup import (
+        cross_doc_repetition,
+    )
+
+    header = "subscribe to our newsletter for daily updates"
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon"),
+        (2, header + " zeta eta theta iota kappa"),
+        (3, "completely original prose nothing shared here at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in cross_doc_repetition(
+            df, id_col="doc_id", text_col="text", n=3, min_docs=2
+        ).collect()
+    }
+    assert got[3]["repeated_frac"] == 0.0
+    assert got[1]["repeated_frac"] > 0.3 and got[2]["repeated_frac"] > 0.3
+    # the header contributes the same number of shared shingles to both
+    assert got[1]["n_repeated"] == got[2]["n_repeated"]
