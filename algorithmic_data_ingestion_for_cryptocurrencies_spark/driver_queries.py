@@ -1131,6 +1131,31 @@ def j3(spark, sf_dir):
 
 
 @q(
+    "j3b_asof_forward",
+    f"""SELECT m.suppkey, m.ts, m.okey, m.lnum, w.weekly_max AS weekly_next
+        FROM ({MARKET_SQL}) m
+        ASOF LEFT JOIN ({_WEEKLY_SQL}) w
+          ON m.suppkey = w.suppkey AND m.ts <= w.ts""",
+    cols=IDS + ["weekly_next"],
+    fcols=["weekly_next"],
+)
+def j3b(spark, sf_dir):
+    """Forward as-of: each bar attaches the NEXT weekly rollup at or
+    after it (label-style alignment — 'what happens next' joins use
+    exactly this direction)."""
+    m = _market(spark, sf_dir)
+    weekly = resample(
+        m, "1w", {"weekly_max": F.max("close")}, ts_col="ts",
+        keys=["suppkey"], bucket_out="ts",
+    )
+    out = asof_join(
+        m, weekly, on="ts", keys=["suppkey"], value_cols=["weekly_max"],
+        suffix="_fwd", direction="forward",
+    )
+    return out.select(*IDS, F.col("weekly_max_fwd").alias("weekly_next"))
+
+
+@q(
     "j4_find_gaps",
     """SELECT u.user_id, g.expected_ts
        FROM (SELECT DISTINCT user_id FROM events) u

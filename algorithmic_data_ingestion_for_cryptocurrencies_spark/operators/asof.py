@@ -27,10 +27,15 @@ def asof_join(
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
     allow_global: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` within the same ``keys`` (pandas
-    ``merge_asof`` direction='backward' semantics).
+    """For each left row, attach the nearest right row within the same
+    ``keys`` — ``direction="backward"`` (default) takes the latest
+    right row with ``right.on <= left.on`` (pandas ``merge_asof``
+    default), ``direction="forward"`` the earliest with
+    ``right.on >= left.on``. Exact-timestamp ties match in both
+    directions. (``"nearest"`` is deliberately not offered: compose
+    both directions and pick per-row if that semantic is needed.)
 
     ``value_cols`` default to every right column not in keys/on; they
     are staged under internal names, so a left column with the same
@@ -62,28 +67,41 @@ def asof_join(
     for c in left_extra:
         build = build.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     unioned = probe.unionByName(build.select(*probe.columns))
-    # right rows sort before left rows at an equal timestamp so an
-    # exact-tie match is visible to the probe row (merge_asof default)
-    w = (
-        Window.partitionBy(*[F.col(k) for k in keys])
-        .orderBy(F.col(on), F.col("__is_left"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # tie handling: the right row at an equal timestamp must fall
+    # INSIDE the probe row's frame — backward frames end at the
+    # current row, so right (0) sorts before left (1) ascending;
+    # forward frames start at the current row, so the sort flips
+    sort_side = (
+        F.col("__is_left") if direction == "backward"
+        else F.col("__is_left").desc()
     )
-    payload = F.last(
-        F.when(
-            F.col("__is_left") == 0,
-            F.struct(
-                *[F.col(staged[c]).alias(c) for c in value_cols],
-                F.col(on).alias("__asof_ts"),
-            ),
+    base_w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(on), sort_side
+    )
+    payload_struct = F.when(
+        F.col("__is_left") == 0,
+        F.struct(
+            *[F.col(staged[c]).alias(c) for c in value_cols],
+            F.col(on).alias("__asof_ts"),
         ),
-        ignorenulls=True,
-    ).over(w)
+    )
+    if direction == "backward":
+        payload = F.last(payload_struct, ignorenulls=True).over(
+            base_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        payload = F.first(payload_struct, ignorenulls=True).over(
+            base_w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
     filled = unioned.withColumn("__payload", payload)
     out = filled.filter(F.col("__is_left") == 1)
     if tolerance_seconds is not None:
         age = F.col(on).cast("double") - F.col("__payload.__asof_ts").cast("double")
+        if direction == "forward":
+            age = -age
         out = out.withColumn(
             "__payload",
             F.when(age <= F.lit(float(tolerance_seconds)), F.col("__payload")),

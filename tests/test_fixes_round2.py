@@ -165,3 +165,44 @@ def test_asof_join_rejects_empty_keys(spark):
     df = spark.range(3).withColumn("t", F.col("id"))
     with pytest.raises(ValueError):
         asof_join(df, df, on="t", keys=[])
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    """Forward as-of: earliest right row at-or-after the probe, exact
+    ties match, tolerance bounds the look-ahead, and unknown
+    directions raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 10), ("a", 15), ("a", 30), ("b", 10)], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 20, 2.0), ("b", 50, 9.0)], ["k", "ts", "v"]
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_fwd"]
+        for r in asof_join(
+            left, right, on="ts", keys=["k"], value_cols=["v"],
+            suffix="_fwd", direction="forward",
+        ).collect()
+    }
+    assert out[("a", 10)] == 1.0      # exact tie matches
+    assert out[("a", 15)] == 2.0      # next at 20
+    assert out[("a", 30)] is None     # nothing after
+    assert out[("b", 10)] == 9.0
+
+    tol = {
+        (r["k"], r["ts"]): r["v_fwd"]
+        for r in asof_join(
+            left, right, on="ts", keys=["k"], value_cols=["v"],
+            suffix="_fwd", direction="forward", tolerance_seconds=5,
+        ).collect()
+    }
+    assert tol[("a", 15)] == 2.0      # 5s look-ahead: 20-15 <= 5
+    assert tol[("b", 10)] is None     # 50-10 > 5
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="ts", keys=["k"], direction="nearest")
