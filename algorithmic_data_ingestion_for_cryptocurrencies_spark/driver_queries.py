@@ -3029,6 +3029,23 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+@q("sim_ivf_index_topk", None)
+def sim_ivf_index(spark, sf_dir):
+    # persisted-IVF serving path: build the partitioned index once,
+    # query with partition-pruned list scans (kmeans assignment has no
+    # DuckDB twin -> rows-only; recall + pruning plan-asserted in
+    # tests/test_ivf_backfill.py)
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="adi_ivf_") + "/idx"
+    build_ivf_index(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_index_topk(spark, path, queries, k=5, nprobe=8)
+
+
 @q(
     "a6b_robust_stats",
     """SELECT okey, lnum,

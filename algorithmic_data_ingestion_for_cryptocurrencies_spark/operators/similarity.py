@@ -519,3 +519,99 @@ def embedding_near_pairs_arrow(
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cosine double"
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 3,
+) -> None:
+    """Persist an IVF index as a lake layout: ``<path>/centroids``
+    (tiny) plus ``<path>/lists`` PARTITIONED BY centroid_id — the
+    inverted lists ARE parquet partitions, so querying nprobe lists is
+    plain partition pruning (the scan touches ~nprobe/n_centroids of
+    the corpus bytes; plan-asserted in tests). This is the storage
+    twin of :func:`ivf_topk`: build once over 100 TB, serve many
+    queries without rescanning or re-clustering."""
+    cents = kmeans_centroids(
+        corpus, n_centroids, vec_col=vec_col, id_col=id_col,
+        iterations=iterations,
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+        .groupBy(F.col(id_col), F.col(vec_col))
+        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+    )
+    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(path.rstrip("/") + "/lists")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: probe-list selection happens
+    against the broadcast centroids, and the list scan carries an
+    ``isin(probed_lists)`` partition filter — Spark prunes every
+    unprobed inverted list at planning time, which is the entire point
+    of the layout. Exact rerank within the probed lists.
+
+    The probed-list set is collected to the driver (bounded:
+    ``<= n_queries * nprobe`` ints) so the filter is a LITERAL the
+    planner can prune partitions with; a join would scan everything.
+    For huge query batches, group queries by probe signature and issue
+    per-group reads instead."""
+    cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__d").desc(), F.col("centroid_id")
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid")))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+    probed_lists = sorted(
+        {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+    )
+    lists = spark.read.parquet(path.rstrip("/") + "/lists").filter(
+        F.col("centroid_id").isin(probed_lists)
+    )
+    scored = (
+        probes.join(
+            lists.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+                "centroid_id",
+            ),
+            "centroid_id",
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine("__qvec", "__cvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

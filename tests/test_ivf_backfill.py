@@ -290,3 +290,31 @@ def test_capped_near_pairs_bounded_and_subset_of_exact(spark):
         ).collect()
     }
     assert repart == set(capped)
+
+
+def test_persisted_ivf_index_prunes_partitions_and_recalls(spark, tmp_path):
+    """The stored IVF layout's probe must be PLAIN PARTITION PRUNING:
+    the lists scan carries a centroid_id partition filter (asserted in
+    the plan), and recall vs exact kNN stays high."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=16)
+
+    q = emb.filter(F.col("vec_id") < 20)
+    out = ivf_index_topk(spark, path, q, k=5, nprobe=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan, plan
+
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_join(q, emb, k=5).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
