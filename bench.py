@@ -57,27 +57,20 @@ def main() -> None:
     headline = [q for q in HEADLINE if q not in skip]
 
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
-    from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
 
-    spark = get_spark("adi-bench")
-    # JVM warmup outside the timed region
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # BENCH_SPARK=0 skips the Spark side entirely (used with
+    # BENCH_ORACLE=1 to time DuckDB in its own process/window for the
+    # long scaled tiers; the driver never sets it, so the default
+    # contract is unchanged)
+    run_spark = os.environ.get("BENCH_SPARK", "1") != "0"
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    if run_spark:
+        from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
 
-    # Per-query warmup at the smallest SF: runs every headline plan
-    # end-to-end once so each generated WholeStageCodegen class is
-    # compiled (and the Python plan-building / Arrow paths are hot)
-    # before timing.  The timed run below therefore measures
-    # steady-state throughput — the number that scales to a long-lived
-    # cluster job — not one-time driver-side compilation (~0.5-1.5 s
-    # per distinct plan, measured round 3).
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for name in headline:
-            fn, _sql = REGISTRY[name]
-            try:
-                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
-            except Exception:
-                pass  # the timed run below surfaces the error
+        spark = get_spark("adi-bench")
+        # JVM warmup outside the timed region
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     # min over N repetitions: the box shows ±50% run-to-run variance
     # under shared load, and the minimum is the standard
@@ -88,29 +81,44 @@ def main() -> None:
     # shared box (1.4x-2.9x across r3 reruns); min-of-5 pins them
     runs_override = {"dedup_jaccard_pairs": max(runs, 5),
                      "dedup_minhash_pairs": max(runs, 5)}
-    times: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in headline:
-        fn, _sql = REGISTRY[name]
-        best: float | None = None
-        for _ in range(runs_override.get(name, runs)):
-            t0 = time.perf_counter()
-            try:
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            except Exception as e:  # one failing query must not null the bench
-                errors[name] = str(e)[:200]
-                break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is not None:
-            times[name] = round(best, 3)
+    if run_spark:
+        # Per-query warmup at the smallest SF: runs every headline plan
+        # end-to-end once so each generated WholeStageCodegen class is
+        # compiled (and the Python plan-building / Arrow paths are hot)
+        # before timing.  The timed run below therefore measures
+        # steady-state throughput — the number that scales to a
+        # long-lived cluster job — not one-time driver-side compilation
+        # (~0.5-1.5 s per distinct plan, measured round 3).
+        warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+        if os.path.isdir(warm_dir):
+            for name in headline:
+                fn, _sql = REGISTRY[name]
+                try:
+                    fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+                except Exception:
+                    pass  # the timed run below surfaces the error
+
+        for name in headline:
+            fn, _sql = REGISTRY[name]
+            best: float | None = None
+            for _ in range(runs_override.get(name, runs)):
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                except Exception as e:  # one failing query must not null the bench
+                    errors[name] = str(e)[:200]
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if best is not None:
+                times[name] = round(best, 3)
 
     out = {
         "metric": "headline_total",
         # A crashed query would make the summed total look *faster*, so
         # the headline value is only reported when every query ran
         # (ADVICE r2); per-query times + errors stay inspectable.
-        "value": round(sum(times.values()), 3) if not errors else None,
+        "value": round(sum(times.values()), 3) if run_spark and not errors else None,
         "unit": "sec",
         "queries": times,
         "sf": sf,
