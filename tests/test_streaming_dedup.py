@@ -141,3 +141,63 @@ def test_normalize_covalent_scaling(spark):
     row = df.first()
     assert row["value"] == 12.5  # balance / 10**decimals
     assert row["metric"] == "USDC" and row["contract_name"] == "USD Coin"
+
+
+def test_stream_stream_join_bounded_lag(spark, tmp_path):
+    """Two real file streams joined with event-time bounds: only right
+    events within [left_ts - 5 min, left_ts] match, and the batch
+    result equals the same join run statically (streaming == batch)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    trades = pd.DataFrame({
+        "sym": ["BTC", "BTC", "ETH", "BTC"],
+        "ts": [base, base + pd.Timedelta("10min"), base, base + pd.Timedelta("20min")],
+        "qty": [1.0, 2.0, 3.0, 4.0],
+    })
+    quotes = pd.DataFrame({
+        "sym": ["BTC", "BTC", "ETH", "BTC"],
+        "ts": [base - pd.Timedelta("2min"),          # matches trade@0 (2min lag)
+               base + pd.Timedelta("9min"),          # matches trade@10 (1min lag)
+               base - pd.Timedelta("30min"),         # too old for ETH@0
+               base + pd.Timedelta("21min")],        # AFTER trade@20 -> no match
+        "px": [100.0, 101.0, 200.0, 102.0],
+    })
+    (tmp_path / "t").mkdir(); (tmp_path / "q").mkdir()
+    spark.createDataFrame(trades).coalesce(1).write.parquet(str(tmp_path / "t" / "f"))
+    spark.createDataFrame(quotes).coalesce(1).write.parquet(str(tmp_path / "q" / "f"))
+
+    t_schema = spark.read.parquet(str(tmp_path / "t" / "f")).schema
+    q_schema = spark.read.parquet(str(tmp_path / "q" / "f")).schema
+    t_stream = spark.readStream.schema(t_schema).parquet(str(tmp_path / "t") + "/*")
+    q_stream = spark.readStream.schema(q_schema).parquet(str(tmp_path / "q") + "/*")
+
+    joined = stream_stream_join(
+        t_stream, q_stream, keys=["sym"], left_ts="ts", right_ts="ts",
+        watermark="1 hour", max_lag="5 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sym"], r["qty"], r["r_px"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert got == {("BTC", 1.0, 100.0), ("BTC", 2.0, 101.0)}
+
+    # streaming == batch: same operator on static frames
+    static = stream_stream_join(
+        spark.createDataFrame(trades), spark.createDataFrame(quotes),
+        keys=["sym"], left_ts="ts", right_ts="ts",
+        watermark="1 hour", max_lag="5 minutes",
+    )
+    got_static = {(r["sym"], r["qty"], r["r_px"]) for r in static.collect()}
+    assert got_static == got
