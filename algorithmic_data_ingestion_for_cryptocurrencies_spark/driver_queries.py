@@ -1717,6 +1717,68 @@ def text_html_strip(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("clean_text"))
 
 
+_PII_URL = textops.URL_PATTERN
+_PII_EMAIL = textops.EMAIL_PATTERN
+_PII_PHONE = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"
+_PII_IP = (r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+           r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
+_PII_CARD = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
+
+
+@q(
+    "text_scrub_pii",
+    f"""WITH p AS (
+  SELECT doc_id,
+         SUBSTRING(text, 1, 150) ||
+         ' call +1 (555) 123-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) ||
+         '.7 card 4111 1111 1111 1111 mail a.b@example.com' AS t
+  FROM documents),
+ s1 AS (SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(t, '{_PII_URL}')) AS n_urls,
+               REGEXP_REPLACE(t, '{_PII_URL}', '<URL>', 'g') AS t FROM p),
+ s2 AS (SELECT doc_id, n_urls,
+               LEN(REGEXP_EXTRACT_ALL(t, '{_PII_EMAIL}')) AS n_emails,
+               REGEXP_REPLACE(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t FROM s1),
+ s3 AS (SELECT doc_id, n_urls, n_emails,
+               LEN(REGEXP_EXTRACT_ALL(t, '{_PII_CARD}')) AS n_cards,
+               REGEXP_REPLACE(t, '{_PII_CARD}', '<CARD>', 'g') AS t FROM s2),
+ s4 AS (SELECT doc_id, n_urls, n_emails, n_cards,
+               LEN(REGEXP_EXTRACT_ALL(t, '{_PII_PHONE}')) AS n_phones,
+               REGEXP_REPLACE(t, '{_PII_PHONE}', '<PHONE>', 'g') AS t FROM s3),
+ s5 AS (SELECT doc_id, n_urls, n_emails, n_cards, n_phones,
+               LEN(REGEXP_EXTRACT_ALL(t, '{_PII_IP}')) AS n_ips,
+               REGEXP_REPLACE(t, '{_PII_IP}', '<IP>', 'g') AS t FROM s4)
+SELECT doc_id, CAST(n_urls AS INT) AS n_urls, CAST(n_emails AS INT) AS n_emails,
+       CAST(n_cards AS INT) AS n_cards, CAST(n_phones AS INT) AS n_phones,
+       CAST(n_ips AS INT) AS n_ips,
+       TRIM(REGEXP_REPLACE(t, '\\s+', ' ', 'g')) AS clean_text
+FROM s5""",
+    cols=["doc_id", "n_urls", "n_emails", "n_cards", "n_phones", "n_ips",
+          "clean_text"],
+)
+def text_scrub_pii(spark, sf_dir):
+    """Extended PII sweep (URL/email/card/phone/IP with typed
+    placeholders + per-category counts) over documents salted with a
+    deterministic doc_id-derived PII tail, so every category binds and
+    varies with the data. Pure projection, zero exchanges."""
+    from .operators.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 150),
+            F.lit(" call +1 (555) 123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 card 4111 1111 1111 1111 mail a.b@example.com"),
+        ).alias("text"),
+    )
+    return scrub_pii(salted, text_col="text", out_col="clean_text")
+
+
 @q(
     "text_bigram_lm",
     f"""WITH toks AS (SELECT doc_id, {_WORDS} AS __w FROM documents),

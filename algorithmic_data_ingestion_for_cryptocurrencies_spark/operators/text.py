@@ -422,3 +422,50 @@ def html_to_text(col: Column | str) -> Column:
     for ent, rep in HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Extended PII patterns (RE2/Java-compatible: no backreferences or
+# lookbehind). Phone deliberately requires separators/prefix context
+# so plain 7-10 digit integers (ids, years) don't false-positive.
+PHONE_PATTERN = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"
+IPV4_PATTERN = (
+    r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"
+)
+CREDIT_CARD_PATTERN = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
+
+
+def scrub_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Full PII sweep: URLs, emails, phone numbers, IPv4 addresses,
+    and 16-digit card numbers redacted to typed placeholder tokens,
+    with per-category counts (the counts feed filter policy — a doc
+    that is mostly contact info is a directory page, not prose).
+
+    Extends :func:`scrub_text` (URL+email only, kept frozen for its
+    registry query) — same ordering discipline: URLs first (they can
+    contain email/phone-shaped substrings), then emails, then cards
+    BEFORE phones (a card number's 4-4-4-4 shape would otherwise
+    half-match the phone pattern), then IPs. Pure projection, zero
+    exchanges."""
+    c = F.col(text_col)
+    out = df
+    stages = [
+        ("n_urls", URL_PATTERN, "<URL>"),
+        ("n_emails", EMAIL_PATTERN, "<EMAIL>"),
+        ("n_cards", CREDIT_CARD_PATTERN, "<CARD>"),
+        ("n_phones", PHONE_PATTERN, "<PHONE>"),
+        ("n_ips", IPV4_PATTERN, "<IP>"),
+    ]
+    cur = c
+    for cnt_col, pat, token in stages:
+        out = out.withColumn(
+            cnt_col, F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        )
+        nxt = F.regexp_replace(cur, pat, token)
+        cur = nxt
+    return out.withColumn(out_col, F.trim(F.regexp_replace(cur, r"\s+", " ")))

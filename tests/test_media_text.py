@@ -210,3 +210,33 @@ def test_html_to_text_strips_payloads_and_decodes_entities(spark):
     rows = df.select(html_to_text("html").alias("got"), "want").collect()
     for r in rows:
         assert r["got"] == r["want"], (r["got"], r["want"])
+
+
+def test_scrub_pii_categories_and_ordering(spark):
+    """Each PII category redacts to its typed token with a correct
+    count; card numbers must be consumed BEFORE the phone pattern can
+    half-match them; plain integers never false-positive as phones."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "visit https://x.io/a?b=1 or mail bob@x.io now"),
+        (2, "pay 4111 1111 1111 1111 or call +1 (555) 123-4567"),
+        (3, "host 192.168.0.1 and 999.1.1.1 are different"),
+        (4, "year 2024 and id 1234567 stay untouched"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in scrub_pii(df, text_col="text").collect()}
+
+    assert got[1]["n_urls"] == 1 and got[1]["n_emails"] == 1
+    assert "<URL>" in got[1]["clean_text"] and "<EMAIL>" in got[1]["clean_text"]
+
+    assert got[2]["n_cards"] == 1 and got[2]["n_phones"] == 1
+    assert "<CARD>" in got[2]["clean_text"] and "<PHONE>" in got[2]["clean_text"]
+    assert "4111" not in got[2]["clean_text"]
+
+    assert got[3]["n_ips"] == 1                      # 999.x is not an IP
+    assert got[3]["clean_text"].count("<IP>") == 1
+
+    assert got[4]["n_phones"] == 0 and got[4]["clean_text"] == rows[3][1]
