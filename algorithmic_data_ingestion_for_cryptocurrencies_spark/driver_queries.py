@@ -1717,6 +1717,29 @@ def text_html_strip(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("clean_text"))
 
 
+@q(
+    "text_token_entropy",
+    f"""WITH t AS (SELECT doc_id, UNNEST({_WORDS}) AS tok FROM documents),
+ c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+       LN(CAST(SUM(c) AS DOUBLE))
+         - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / SUM(c) AS token_entropy,
+       COUNT(*) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio
+FROM c GROUP BY doc_id""",
+    cols=["doc_id", "n_tokens", "n_distinct", "token_entropy",
+          "type_token_ratio"],
+    fcols=["token_entropy", "type_token_ratio"],
+)
+def text_token_entropy(spark, sf_dir):
+    """Unigram entropy + type-token ratio per document (lexical
+    diversity — the cheap compression-ratio proxy for boilerplate /
+    keyword-stuffing filters)."""
+    from .operators.text import token_entropy_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy_stats(docs, id_col="doc_id", text_col="text")
+
+
 _PII_URL = textops.URL_PATTERN
 _PII_EMAIL = textops.EMAIL_PATTERN
 _PII_PHONE = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"

@@ -469,3 +469,43 @@ def scrub_pii(
         nxt = F.regexp_replace(cur, pat, token)
         cur = nxt
     return out.withColumn(out_col, F.trim(F.regexp_replace(cur, r"\s+", " ")))
+
+
+def token_entropy_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical-diversity quality signals: unigram Shannon entropy (in
+    nats) over the doc's token frequency distribution, distinct-token
+    count, and type-token ratio. Low entropy at non-trivial length =
+    keyword stuffing / generated boilerplate / log spam — the cheap
+    proxy for the compression-ratio filters in Gopher-style pipelines.
+
+    Scale shape: token explode (the doc's word array rides one
+    projection, so the (doc, token) count completes its partial
+    map-side — same property as :func:`..dedup.exploded_shingles`),
+    then one per-doc aggregate computing H = ln(n) - sum(c*ln(c))/n
+    from the raw counts — a single pass, no per-token probability
+    column needed. Docs with zero tokens drop out."""
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(text_col)).alias("__t")
+    )
+    counts = toks.groupBy(id_col, "__t").agg(F.count("*").alias("__c"))
+    n = F.sum("__c")
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            (
+                F.log(n.cast("double"))
+                - F.sum(F.col("__c").cast("double") * F.log(F.col("__c").cast("double"))) / n
+            ).alias("token_entropy"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.col("n_distinct") / F.col("n_tokens").cast("double"),
+        )
+    )

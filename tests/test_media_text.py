@@ -240,3 +240,28 @@ def test_scrub_pii_categories_and_ordering(spark):
     assert got[3]["clean_text"].count("<IP>") == 1
 
     assert got[4]["n_phones"] == 0 and got[4]["clean_text"] == rows[3][1]
+
+
+def test_token_entropy_orders_diversity(spark):
+    """Repetitive text must score below diverse text; single-token doc
+    has exactly zero entropy and TTR reflects distinct share."""
+    import math
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        token_entropy_stats,
+    )
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam"),
+        (2, "eight totally different words appear in this sentence"),
+        (3, "word"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in token_entropy_stats(df).collect()}
+
+    assert got[1]["token_entropy"] == 0.0        # one type -> H = 0
+    assert got[3]["token_entropy"] == 0.0
+    assert got[2]["token_entropy"] > 1.5
+    assert abs(got[2]["token_entropy"] - math.log(8)) < 1e-12  # uniform
+    assert got[1]["type_token_ratio"] == 1 / 8
+    assert got[2]["n_distinct"] == 8 and got[2]["n_tokens"] == 8
