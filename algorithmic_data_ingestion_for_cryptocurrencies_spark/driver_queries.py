@@ -1717,6 +1717,117 @@ def text_html_strip(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("clean_text"))
 
 
+_PII_URL = textops.URL_PATTERN
+_PII_EMAIL = textops.EMAIL_PATTERN
+_PII_PHONE = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"
+_PII_IP = (r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+           r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
+_PII_CARD = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
+
+
+@q(
+    "pipeline_sft_prep",
+    f"""WITH ent AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         LN(CAST(SUM(c) AS DOUBLE))
+           - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / SUM(c) AS token_entropy
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST({_WORDS}) AS tok FROM documents)
+        GROUP BY 1, 2)
+  GROUP BY doc_id),
+ scrubbed AS (
+  SELECT doc_id,
+         TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+             REGEXP_REPLACE(text, '{_PII_URL}', '<URL>', 'g'),
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_CARD}', '<CARD>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM documents),
+ gated AS (
+  SELECT s.doc_id, s.clean, e.n_tokens, e.token_entropy
+  FROM scrubbed s JOIN ent e USING (doc_id)
+  WHERE e.token_entropy >= 2.9 AND e.n_tokens >= 30),
+ rendered AS (
+  SELECT doc_id, n_tokens, token_entropy,
+         '<|user|>' || CHR(10) || SUBSTRING(clean, 1, 120) || CHR(10) ||
+         '<|assistant|>' || CHR(10) || SUBSTRING(clean, 121, 400) || '<|end|>'
+           AS r
+  FROM gated)
+SELECT doc_id, n_tokens, token_entropy,
+       CAST(LENGTH(r) AS INT) AS rendered_chars
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY r ORDER BY doc_id) AS rn
+      FROM rendered)
+WHERE rn = 1""",
+    cols=["doc_id", "n_tokens", "token_entropy", "rendered_chars"],
+    fcols=["token_entropy"],
+)
+def pipeline_sft_prep(spark, sf_dir):
+    """SFT-prep capstone #3: PII scrub -> lexical-diversity gate
+    (entropy + length) -> chat-template render -> exact dedup of the
+    rendered string (deterministic survivor). Shape: the entropy side
+    is two map-side-combined aggregates (token explode keeps each doc
+    in one partition), one doc_id join back, the render is a pure
+    projection, and the dedup survivor is one rank shuffle on the
+    rendered content — ~3 exchanges end to end, nothing quadratic."""
+    from .operators.text import render_chat, scrub_pii, token_entropy_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    clean = scrub_pii(docs.select("doc_id", "text"), text_col="text") \
+        .select("doc_id", "clean_text")
+    ent = token_entropy_stats(docs, id_col="doc_id", text_col="text") \
+        .select("doc_id", "n_tokens", "token_entropy")
+    gated = clean.join(ent, "doc_id").filter(
+        (F.col("token_entropy") >= 2.9) & (F.col("n_tokens") >= 30)
+    )
+    pairs = gated.select(
+        "doc_id", "n_tokens", "token_entropy",
+        F.substring("clean_text", 1, 120).alias("prompt"),
+        F.substring("clean_text", 121, 400).alias("completion"),
+    )
+    rendered = render_chat(pairs, prompt_col="prompt", completion_col="completion")
+    w = Window.partitionBy("rendered").orderBy("doc_id")
+    return (
+        rendered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "n_tokens", "token_entropy",
+                F.col("rendered_chars").alias("rendered_chars"))
+    )
+
+
+@q(
+    "text_render_chat",
+    """SELECT doc_id,
+       '<|system|>' || CHR(10) || 'You are a helpful assistant.' || CHR(10) ||
+       '<|user|>' || CHR(10) || SUBSTRING(text, 1, 120) || CHR(10) ||
+       '<|assistant|>' || CHR(10) || SUBSTRING(text, 121, 400) || '<|end|>'
+         AS rendered,
+       CAST(LENGTH('<|system|>' || CHR(10) || 'You are a helpful assistant.'
+         || CHR(10) || '<|user|>' || CHR(10) || SUBSTRING(text, 1, 120)
+         || CHR(10) || '<|assistant|>' || CHR(10) || SUBSTRING(text, 121, 400)
+         || '<|end|>') AS INT) AS rendered_chars
+       FROM documents""",
+    cols=["doc_id", "rendered", "rendered_chars"],
+)
+def text_render_chat(spark, sf_dir):
+    """SFT-export rendering: split each document into a
+    (prompt, completion) pair and render the fixed chat template —
+    deterministic, reproducible, zero exchanges."""
+    from .operators.text import render_chat
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 120).alias("prompt"),
+        F.substring("text", 121, 400).alias("completion"),
+    )
+    return render_chat(
+        docs, prompt_col="prompt", completion_col="completion",
+        system="You are a helpful assistant.",
+    ).select("doc_id", "rendered", "rendered_chars")
+
+
 @q(
     "text_token_entropy",
     f"""WITH t AS (SELECT doc_id, UNNEST({_WORDS}) AS tok FROM documents),
@@ -1738,14 +1849,6 @@ def text_token_entropy(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return token_entropy_stats(docs, id_col="doc_id", text_col="text")
-
-
-_PII_URL = textops.URL_PATTERN
-_PII_EMAIL = textops.EMAIL_PATTERN
-_PII_PHONE = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"
-_PII_IP = (r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-           r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
-_PII_CARD = r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"
 
 
 @q(

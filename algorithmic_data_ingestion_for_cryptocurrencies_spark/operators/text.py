@@ -509,3 +509,32 @@ def token_entropy_stats(
             F.col("n_distinct") / F.col("n_tokens").cast("double"),
         )
     )
+
+
+def render_chat(
+    df: DataFrame,
+    *,
+    prompt_col: str,
+    completion_col: str,
+    system: str | None = None,
+    out_col: str = "rendered",
+) -> DataFrame:
+    """Render (prompt, completion) rows into a single training string
+    under a fixed chat template — the SFT-export step that turns
+    curated rows into tokenizer-ready text. Template markers follow
+    the common ``<|role|>`` convention; swap the literals for the
+    target tokenizer's special tokens at fine-tune time.
+
+    Pure projection (zero exchanges); deterministic, so the rendered
+    corpus is reproducible and exact-dedupable downstream."""
+    parts = []
+    if system is not None:
+        parts += [F.lit(f"<|system|>\n{system}\n")]
+    parts += [
+        F.lit("<|user|>\n"), F.col(prompt_col),
+        F.lit("\n<|assistant|>\n"), F.col(completion_col), F.lit("<|end|>"),
+    ]
+    rendered = F.concat(*parts)
+    return df.withColumn(out_col, rendered).withColumn(
+        f"{out_col}_chars", F.length(rendered)
+    )
