@@ -1717,6 +1717,60 @@ def text_html_strip(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("clean_text"))
 
 
+@q(
+    "f_scaler_fit_transform",
+    f"""SELECT m.suppkey, m.ts, m.okey, m.lnum,
+       (m.close - s.mean_close) / NULLIF(s.std_close, 0.0) AS close_z
+FROM ({MARKET_SQL}) m JOIN (
+  SELECT suppkey, AVG(close) AS mean_close, STDDEV_POP(close) AS std_close
+  FROM ({MARKET_SQL}) WHERE ts < TIMESTAMP '1996-01-01'
+  GROUP BY suppkey) s USING (suppkey)""",
+    cols=IDS + ["close_z"],
+    fcols=["close_z"],
+)
+def f_scaler_fit_transform(spark, sf_dir):
+    """Leakage-correct scaling: fit per-symbol mean/std on the
+    pre-cutoff training slice ONLY, broadcast the tiny stats table,
+    standardize every row with the training statistics (the
+    fit/transform split that keeps val/test statistics out of the
+    features)."""
+    from .operators.sampling import apply_standardizer, fit_standardizer
+
+    m = _market(spark, sf_dir)
+    stats = fit_standardizer(
+        m.filter(F.col("ts") < "1996-01-01"), cols=["close"], keys=["suppkey"]
+    )
+    out = apply_standardizer(m, stats, cols=["close"], keys=["suppkey"])
+    return out.select(*IDS, F.col("close_z"))
+
+
+@q(
+    "samp_purged_folds",
+    """WITH b AS (SELECT MIN(EPOCH(ts)) AS lo, MAX(EPOCH(ts)) AS hi FROM events),
+ f AS (SELECT event_id, EPOCH(ts) AS t,
+              COALESCE(LEAST(5, CAST(FLOOR((EPOCH(ts) - lo)
+                    / NULLIF(hi - lo, 0.0) * 5) AS INT) + 1), 1) AS fold_id
+       FROM events, b),
+ v AS (SELECT MIN(t) AS vlo, MAX(t) AS vhi FROM f WHERE fold_id = 3)
+SELECT event_id, fold_id, fold_id = 3 AS is_val,
+       (fold_id <> 3) AND NOT (t >= vlo - 86400 AND t <= vhi + 86400) AS is_train
+FROM f, v""",
+    cols=["event_id", "fold_id", "is_val", "is_train"],
+)
+def samp_purged_folds(spark, sf_dir):
+    """Purged walk-forward CV: 5 contiguous time folds over events,
+    fold 3 as validation, 1-day embargo on both sides — training rows
+    inside the embargo are neither train nor val, so serially
+    correlated features cannot leak across the fold boundary."""
+    from .operators.sampling import purged_train_mask
+
+    ev = _t(spark, sf_dir, "events")
+    out = purged_train_mask(
+        ev, ts_col="ts", n_folds=5, val_fold=3, embargo_seconds=86400.0
+    )
+    return out.select("event_id", "fold_id", "is_val", "is_train")
+
+
 _PII_URL = textops.URL_PATTERN
 _PII_EMAIL = textops.EMAIL_PATTERN
 _PII_PHONE = r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}"

@@ -386,3 +386,124 @@ def hash_top_n_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def fit_standardizer(
+    df: DataFrame,
+    *,
+    cols: Sequence[str],
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """FIT half of a leakage-correct feature scaler: per-``keys``
+    (or global) mean and population std for each feature column,
+    computed on the TRAINING slice only. The result is a tiny stats
+    table (rows = key cardinality) meant to be persisted next to the
+    model and broadcast at transform time — the fit/transform split
+    is what keeps validation/test statistics out of the features
+    (train-serving skew and leakage both die here).
+
+    One map-side-combined aggregate; nothing else."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.avg(c).alias(f"mean_{c}"),
+            F.stddev_pop(c).alias(f"std_{c}"),
+        ]
+    if keys:
+        return df.groupBy(*keys).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def apply_standardizer(
+    df: DataFrame,
+    stats: DataFrame,
+    *,
+    cols: Sequence[str],
+    keys: Sequence[str] = (),
+    suffix: str = "_z",
+) -> DataFrame:
+    """TRANSFORM half: broadcast-join the fitted stats and emit
+    ``(x - mean) / std`` per feature (NULL where the training slice
+    had zero variance — surfaced, not silently passed through).
+    Narrow after the broadcast; applies unchanged to train, val,
+    test, and live serving."""
+    keys = list(keys)
+    joined = (
+        df.join(F.broadcast(stats), keys)
+        if keys
+        else df.crossJoin(F.broadcast(stats))
+    )
+    for c in cols:
+        joined = joined.withColumn(
+            f"{c}{suffix}",
+            (F.col(c) - F.col(f"mean_{c}"))
+            / F.nullif(F.col(f"std_{c}"), F.lit(0.0)),
+        )
+    return joined.drop(*[f"mean_{c}" for c in cols], *[f"std_{c}" for c in cols])
+
+
+def with_time_fold(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    n_folds: int,
+    out: str = "fold_id",
+) -> DataFrame:
+    """Contiguous time-based CV folds: the [min, max] span splits into
+    ``n_folds`` equal intervals and each row gets its interval index
+    (1..n_folds; the max timestamp folds into the last). Time-ordered
+    folds — NOT random — are the correct CV geometry for serially
+    correlated data. The global min/max is a two-value aggregate
+    broadcast back (no global window)."""
+    bounds = df.agg(
+        F.min(F.col(ts_col).cast("double")).alias("__lo"),
+        F.max(F.col(ts_col).cast("double")).alias("__hi"),
+    )
+    t = F.col(ts_col).cast("double")
+    span = F.col("__hi") - F.col("__lo")
+    fold = F.least(
+        F.lit(n_folds),
+        (F.floor((t - F.col("__lo")) / F.nullif(span, F.lit(0.0)) * n_folds) + 1)
+        .cast("int"),
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(out, F.coalesce(fold, F.lit(1)))
+        .drop("__lo", "__hi")
+    )
+
+
+def purged_train_mask(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    n_folds: int,
+    val_fold: int,
+    embargo_seconds: float = 0.0,
+    fold_col: str = "fold_id",
+    out: str = "is_train",
+) -> DataFrame:
+    """Purged walk-forward mask: rows in ``val_fold`` are validation;
+    training excludes the validation interval PLUS an embargo margin
+    on both sides, so serially-correlated features (rolling windows,
+    labels looking ``horizon`` ahead) cannot leak across the boundary
+    — the purged/embargoed CV construction from the financial-ML
+    literature. Adds ``fold_id``, ``is_val``, and ``is_train``
+    (embargo rows are neither)."""
+    d = with_time_fold(df, ts_col=ts_col, n_folds=n_folds, out=fold_col)
+    bounds = d.filter(F.col(fold_col) == val_fold).agg(
+        F.min(F.col(ts_col).cast("double")).alias("__vlo"),
+        F.max(F.col(ts_col).cast("double")).alias("__vhi"),
+    )
+    t = F.col(ts_col).cast("double")
+    is_val = F.col(fold_col) == val_fold
+    in_embargo = (
+        (t >= F.col("__vlo") - embargo_seconds)
+        & (t <= F.col("__vhi") + embargo_seconds)
+    )
+    return (
+        d.crossJoin(F.broadcast(bounds))
+        .withColumn("is_val", is_val)
+        .withColumn(out, ~is_val & ~in_embargo)
+        .drop("__vlo", "__vhi")
+    )

@@ -473,3 +473,60 @@ def test_hash_split_null_keys_assigned_and_grouped(spark):
     df2 = spark.createDataFrame([(None,), ("a",)], "doc_id string")
     out2 = hash_split(df2, id_col="doc_id", weights={"x": 0.5, "y": 0.5})
     assert all(r["split"] in {"x", "y"} for r in out2.collect())
+
+
+def test_purged_folds_embargo_and_coverage(spark):
+    """Folds tile the time span; the validation fold is contiguous;
+    embargo rows adjacent to it are neither train nor val; everything
+    far from the boundary trains."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        purged_train_mask,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+    )
+    out = purged_train_mask(
+        df, ts_col="ts", n_folds=5, val_fold=3, embargo_seconds=600
+    ).collect()
+    by_id = {r["rid"]: r for r in out}
+    assert {r["fold_id"] for r in out} == {1, 2, 3, 4, 5}
+    val_ids = sorted(r["rid"] for r in out if r["is_val"])
+    assert val_ids == list(range(val_ids[0], val_ids[-1] + 1))  # contiguous
+    # embargo: the 10 rows (600s/60s) on each side are excluded from train
+    for rid in range(val_ids[0] - 10, val_ids[0]):
+        assert not by_id[rid]["is_train"] and not by_id[rid]["is_val"]
+    for rid in range(val_ids[-1] + 1, val_ids[-1] + 11):
+        assert not by_id[rid]["is_train"] and not by_id[rid]["is_val"]
+    assert by_id[0]["is_train"] and by_id[999]["is_train"]
+
+
+def test_standardizer_fit_transform_no_leakage(spark):
+    """Transform must use the TRAINING statistics everywhere: applying
+    train-fitted stats to a shifted test slice yields nonzero mean in
+    z-space (the leak-free behavior), and zero-variance features
+    surface as NULL."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        apply_standardizer,
+        fit_standardizer,
+    )
+
+    train = spark.createDataFrame(
+        [("a", float(v), 5.0) for v in (1, 2, 3, 4)], ["k", "x", "const"]
+    )
+    test = spark.createDataFrame(
+        [("a", float(v), 9.0) for v in (11, 12, 13, 14)], ["k", "x", "const"]
+    )
+    stats = fit_standardizer(train, cols=["x", "const"], keys=["k"])
+    z = apply_standardizer(test, stats, cols=["x", "const"], keys=["k"]).collect()
+    import statistics
+
+    mean_train, std_train = 2.5, statistics.pstdev([1, 2, 3, 4])
+    for r in z:
+        assert abs(r["x_z"] - (r["x"] - mean_train) / std_train) < 1e-12
+        assert r["const_z"] is None  # zero variance surfaces as NULL
