@@ -1718,6 +1718,86 @@ def text_html_strip(spark, sf_dir):
 
 
 @q(
+    "u5b_triple_barrier",
+    f"""WITH m AS (SELECT *, ROW_NUMBER() OVER (
+                     PARTITION BY suppkey ORDER BY ts, okey, lnum, pkey) AS rn
+               FROM ({MARKET_SQL})),
+ fut AS (SELECT a.suppkey, a.ts, a.okey, a.lnum, a.close,
+                b.rn - a.rn AS dt, CAST(b.close AS DOUBLE) AS fclose
+         FROM m a JOIN m b ON a.suppkey = b.suppkey
+                          AND b.rn > a.rn AND b.rn <= a.rn + 10),
+ hits AS (SELECT suppkey, ts, okey, lnum,
+                 MIN(CASE WHEN fclose >= CAST(close AS DOUBLE) * 1.02
+                          THEN dt END) AS t_up,
+                 MIN(CASE WHEN fclose <= CAST(close AS DOUBLE) * 0.98
+                          THEN dt END) AS t_dn
+          FROM fut GROUP BY 1, 2, 3, 4)
+SELECT m.suppkey, m.ts, m.okey, m.lnum,
+       CASE WHEN t_up IS NOT NULL AND (t_dn IS NULL OR t_up <= t_dn) THEN 1
+            WHEN t_dn IS NOT NULL THEN -1 ELSE 0 END AS tb_label,
+       CAST(LEAST(t_up, t_dn) AS INT) AS tb_t_hit
+FROM m LEFT JOIN hits USING (suppkey, ts, okey, lnum)""",
+    cols=IDS + ["tb_label", "tb_t_hit"],
+)
+def u5b_triple_barrier(spark, sf_dir):
+    """Triple-barrier labels over the market series: +-2% horizontal
+    barriers, 10-bar vertical barrier. The oracle walks the same
+    future window via a bounded self-join; Spark rides a
+    rowsBetween(1, 10) frame — no self-join, no pair explosion."""
+    from .operators.labels import triple_barrier_labels
+
+    m = _market(spark, sf_dir)
+    out = triple_barrier_labels(
+        m, "close", keys=KEYS, order=ORDER,
+        horizon=10, up_pct=0.02, dn_pct=0.02,
+    )
+    return out.select(*IDS, "tb_label", "tb_t_hit")
+
+
+_PSI_BIN = """COALESCE(LEAST(10, GREATEST(1,
+    CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - lo)
+         / NULLIF(hi - lo, 0.0) * 10) AS INT) + 1)), 1)"""
+
+
+@q(
+    "f_psi_drift",
+    f"""WITH b AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS lo,
+                         MAX(CAST(l_extendedprice AS DOUBLE)) AS hi
+                  FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'),
+ base AS (SELECT l_returnflag AS k, {_PSI_BIN} AS bin, COUNT(*) AS n_base
+          FROM lineitem, b WHERE l_shipdate < TIMESTAMP '1996-01-01'
+          GROUP BY 1, 2),
+ cur AS (SELECT l_returnflag AS k, {_PSI_BIN} AS bin, COUNT(*) AS n_cur
+         FROM lineitem, b WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         GROUP BY 1, 2),
+ j AS (SELECT k, bin, COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+       FROM base FULL OUTER JOIN cur USING (k, bin)),
+ pq AS (SELECT k,
+               GREATEST(n_base / SUM(n_base) OVER (PARTITION BY k), 1e-6) AS p,
+               GREATEST(n_cur / SUM(n_cur) OVER (PARTITION BY k), 1e-6) AS q
+        FROM j)
+SELECT k AS l_returnflag, SUM((p - q) * LN(p / q)) AS psi,
+       COUNT(*) AS n_bins_hit
+FROM pq GROUP BY k""",
+    cols=["l_returnflag", "psi", "n_bins_hit"],
+    fcols=["psi"],
+)
+def f_psi_drift(spark, sf_dir):
+    """Feature-drift monitor: PSI of l_extendedprice per return flag,
+    baseline = pre-1996 slice (bins fixed from ITS min/max), current
+    = the rest. Bin-grain aggregates only; the one unpartitioned-ish
+    window runs over <= n_bins rows per key."""
+    from .operators.sampling import psi_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_shipdate") < "1996-01-01")
+    cur = li.filter(F.col("l_shipdate") >= "1996-01-01")
+    return psi_drift(
+        base, cur, col="l_extendedprice", n_bins=10, keys=["l_returnflag"]
+    )
+
+
+@q(
     "f_scaler_fit_transform",
     f"""SELECT m.suppkey, m.ts, m.okey, m.lnum,
        (m.close - s.mean_close) / NULLIF(s.std_close, 0.0) AS close_z

@@ -507,3 +507,65 @@ def purged_train_mask(
         .withColumn(out, ~is_val & ~in_embargo)
         .drop("__vlo", "__vhi")
     )
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    *,
+    col: str,
+    n_bins: int = 10,
+    keys: Sequence[str] = (),
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline slice (training
+    distribution) and a current slice (serving window) for one
+    feature: equal-width bins over the BASELINE's [min, max], per-bin
+    proportions on both sides, ``PSI = sum((p-q) * ln(p/q))`` with
+    ``eps``-floored proportions (the standard drift monitor; rule of
+    thumb: <0.1 stable, 0.1-0.25 shifting, >0.25 drifted).
+
+    Bin edges come from the baseline ONLY (current-side values outside
+    the baseline range clamp into the edge bins), so the monitor
+    detects the current slice leaving the training distribution rather
+    than silently re-binning around it. Shape: one two-value aggregate
+    on the baseline (broadcast), one bin-grain aggregate per side, one
+    bin join — everything map-side-combinable, output rows =
+    ``|keys| x 1``."""
+    keys = list(keys)
+    bounds = baseline.agg(
+        F.min(F.col(col).cast("double")).alias("__lo"),
+        F.max(F.col(col).cast("double")).alias("__hi"),
+    )
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        t = F.col(col).cast("double")
+        span = F.nullif(F.col("__hi") - F.col("__lo"), F.lit(0.0))
+        b = F.least(
+            F.lit(n_bins),
+            F.greatest(
+                F.lit(1),
+                (F.floor((t - F.col("__lo")) / span * n_bins) + 1).cast("int"),
+            ),
+        )
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .withColumn("__bin", F.coalesce(b, F.lit(1)))
+            .groupBy(*keys, "__bin")
+            .agg(F.count("*").alias(f"__n_{side}"))
+        )
+
+    base = binned(baseline, "base")
+    cur = binned(current, "cur")
+    joined = base.join(cur, [*keys, "__bin"], "full_outer").fillna(
+        {"__n_base": 0, "__n_cur": 0}
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    p = F.greatest(F.col("__n_base") / F.sum("__n_base").over(w), F.lit(eps))
+    q = F.greatest(F.col("__n_cur") / F.sum("__n_cur").over(w), F.lit(eps))
+    term = (p - q) * F.log(p / q)
+    return (
+        joined.withColumn("__term", term)
+        .groupBy(*keys)
+        .agg(F.sum("__term").alias("psi"), F.count("*").alias("n_bins_hit"))
+    )

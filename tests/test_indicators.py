@@ -207,3 +207,45 @@ def test_build_market_features_full_parity(spark, ohlcv_sdf, ohlcv_pdf):
     # schema contract: column order matches the declared feature schema
     assert out.columns[:6] == ["timestamp", "dt", "symbol", "exchange", "timeframe", "feature_version"]
     assert set(out.columns[6:]) == set(cols)
+
+
+def test_triple_barrier_label_semantics(spark):
+    """Upper-first tie convention, timeout at the vertical barrier,
+    bars-to-hit, and horizon truncation at series end."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.labels import (
+        triple_barrier_labels,
+    )
+
+    # prices: 100 ->(t1) 99 ->(t2) 103 : lower (98) never hit, upper
+    # (102) hit at t=2. Then a crash bar for the -1 case, and a flat
+    # tail for timeouts.
+    prices = [100.0, 99.0, 103.0, 101.0, 90.0, 90.1, 90.2, 90.05]
+    rows = [("s", i, p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(rows, ["sym", "t", "close"])
+    out = {
+        r["t"]: r
+        for r in triple_barrier_labels(
+            df, "close", keys=["sym"], order="t",
+            horizon=3, up_pct=0.02, dn_pct=0.02,
+        ).collect()
+    }
+    assert out[0]["tb_label"] == 1 and out[0]["tb_t_hit"] == 2   # 103 >= 102
+    assert out[1]["tb_label"] == 1 and out[1]["tb_t_hit"] == 1   # 103 >= 100.98
+    assert out[3]["tb_label"] == -1 and out[3]["tb_t_hit"] == 1  # 90 <= 98.98
+    assert out[4]["tb_label"] == 0 and out[4]["tb_t_hit"] is None  # flat tail
+    assert out[7]["tb_label"] == 0 and out[7]["tb_t_hit"] is None  # no future
+
+    # tie bar: one future bar that crosses BOTH barriers -> upper wins
+    tie = spark.createDataFrame(
+        [("s", 0, 100.0), ("s", 1, 100.0)], ["sym", "t", "close"]
+    )
+    # craft: second bar 200 crosses up AND (trivially not down); use a
+    # degenerate dn_pct so both conditions trigger on the same value
+    t2 = triple_barrier_labels(
+        tie, "close", keys=["sym"], order="t",
+        horizon=2, up_pct=0.0, dn_pct=0.0,
+    ).collect()
+    first = [r for r in t2 if r["t"] == 0][0]
+    assert first["tb_label"] == 1  # x >= up checked before x <= dn
