@@ -1718,6 +1718,40 @@ def text_html_strip(spark, sf_dir):
 
 
 @q(
+    "a7_book_from_deltas",
+    f"""WITH d AS (SELECT symbol, ts, side, price,
+                  CASE WHEN amount % 7 = 0 THEN 0.0 ELSE amount END AS amount,
+                  okey, lnum
+           FROM ({BOOK_SQL}))
+SELECT symbol, side, price, amount, last_update_ts FROM (
+  SELECT symbol, side, price, amount, ts AS last_update_ts,
+         ROW_NUMBER() OVER (PARTITION BY symbol, side, price
+                            ORDER BY ts DESC, okey DESC, lnum DESC) AS rn
+  FROM d WHERE ts <= TIMESTAMP '1995-06-01')
+WHERE rn = 1 AND amount != 0""",
+    cols=["symbol", "side", "price", "amount", "last_update_ts"],
+    fcols=["price", "amount"],
+)
+def a7_book_from_deltas(spark, sf_dir):
+    """L2 book reconstruction from an incremental delta feed (beyond
+    the reference — its adapters only fetch full snapshots): each row
+    sets a level's absolute size, every 7th quantity is a level
+    removal, and the book is materialized as of 1995-06-01. One
+    max_by hash aggregate on the level key, filter pushed to the
+    scan."""
+    from .operators.orderbook import book_state_at
+
+    book = _book(spark, sf_dir).withColumn(
+        "amount",
+        F.when(F.col("amount") % 7 == 0, F.lit(0.0)).otherwise(F.col("amount")),
+    )
+    return book_state_at(
+        book, "1995-06-01", keys=["symbol"],
+        tiebreak_cols=["okey", "lnum"],
+    ).select("symbol", "side", "price", "amount", "last_update_ts")
+
+
+@q(
     "u5b_triple_barrier",
     f"""WITH m AS (SELECT *, ROW_NUMBER() OVER (
                      PARTITION BY suppkey ORDER BY ts, okey, lnum, pkey) AS rn

@@ -225,3 +225,44 @@ def batch_orderbook(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side"
          .otherwise(F.lit(0.0)).alias("imbalance"),
         (F.col("best_ask") - F.col("best_bid")).alias("spread"),
     )
+
+
+def book_state_at(
+    deltas: DataFrame,
+    as_of,
+    *,
+    ts_col: str = "ts",
+    side_col: str = "side",
+    price_col: str = "price",
+    amount_col: str = "amount",
+    keys=(),
+    tiebreak_cols=(),
+) -> DataFrame:
+    """Reconstruct the live order book AT a point in time from an
+    incremental L2 delta feed — the production exchange format the
+    reference never handles (its adapters fetch full snapshots;
+    ``orderbook_features.py`` assumes long-format snapshots). Each
+    delta row sets a (keys, side, price) level's absolute size;
+    ``amount = 0`` removes the level. The book at ``as_of`` is, per
+    level, the LAST delta at or before it, zeros dropped.
+
+    Shape: filter to ``ts <= as_of`` (pushed to the scan), one
+    ``max_by`` aggregate keyed on the level — level cardinality is
+    bounded (price grid), so this is a small-group hash aggregate,
+    never a window over history. Compose with :func:`depth_series` on
+    the result for top-N features of the reconstructed book."""
+    keys = list(keys)
+    # deterministic last-write-wins: order the max_by key by (ts,
+    # tiebreaks) as a struct — struct comparison is lexicographic
+    ord_key = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    state = (
+        deltas.filter(F.col(ts_col) <= F.lit(as_of))
+        .groupBy(*keys, side_col, price_col)
+        .agg(
+            F.max_by(F.col(amount_col), ord_key).alias(amount_col),
+            F.max(F.col(ts_col)).alias("last_update_ts"),
+        )
+    )
+    return state.filter(F.col(amount_col) != 0)

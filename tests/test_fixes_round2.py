@@ -206,3 +206,42 @@ def test_asof_forward_direction_and_tolerance(spark):
 
     with _pytest.raises(ValueError):
         asof_join(left, right, on="ts", keys=["k"], direction="nearest")
+
+
+def test_book_state_at_last_write_wins_and_removals(spark):
+    """Level updates apply last-write-wins at the as-of point; zero
+    amounts remove levels; later deltas are invisible."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
+        book_state_at,
+    )
+
+    rows = [
+        # (sym, ts, side, price, amount, seq)
+        ("X", 1, "bid", 100.0, 5.0, 1),
+        ("X", 2, "bid", 100.0, 7.0, 2),   # update same level
+        ("X", 3, "bid", 100.0, 0.0, 3),   # removal
+        ("X", 1, "ask", 101.0, 4.0, 4),
+        ("X", 2, "ask", 101.0, 6.0, 5),   # survives: last write at ts<=4
+        ("X", 9, "ask", 101.0, 1.0, 6),   # after as_of: invisible
+        ("X", 2, "ask", 102.0, 3.0, 7),
+    ]
+    df = spark.createDataFrame(
+        rows, ["symbol", "ts", "side", "price", "amount", "seq"]
+    )
+    got = {
+        (r["side"], r["price"]): (r["amount"], r["last_update_ts"])
+        for r in book_state_at(
+            df, 4, keys=["symbol"], tiebreak_cols=["seq"]
+        ).collect()
+    }
+    assert ("bid", 100.0) not in got            # removed at ts=3
+    assert got[("ask", 101.0)] == (6.0, 2)      # last write <= as_of
+    assert got[("ask", 102.0)] == (3.0, 2)
+
+    # same-ts duplicate deltas: tiebreak decides deterministically
+    dup = spark.createDataFrame(
+        [("X", 1, "bid", 99.0, 1.0, 1), ("X", 1, "bid", 99.0, 2.0, 2)],
+        ["symbol", "ts", "side", "price", "amount", "seq"],
+    )
+    r = book_state_at(dup, 1, keys=["symbol"], tiebreak_cols=["seq"]).collect()
+    assert r[0]["amount"] == 2.0
