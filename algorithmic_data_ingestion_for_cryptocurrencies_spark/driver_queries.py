@@ -1717,6 +1717,51 @@ def text_html_strip(spark, sf_dir):
     return docs.select("doc_id", html_to_text(html).alias("clean_text"))
 
 
+_PR_ITER = """
+ c{k} AS (SELECT e.dst AS node, SUM(r{j}.pr / CAST(deg.d AS DOUBLE)) AS m
+          FROM e JOIN deg USING (src) JOIN r{j} ON r{j}.node = e.src
+          GROUP BY 1),
+ r{k} AS (SELECT node,
+                 CAST(0.15 AS DOUBLE) / n
+                   + CAST(0.85 AS DOUBLE) * COALESCE(m, CAST(0.0 AS DOUBLE)) AS pr
+          FROM nodes LEFT JOIN c{k} USING (node), nn)"""
+
+
+@q(
+    "g1_pagerank",
+    f"""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                         's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ nn AS (SELECT COUNT(*) AS n FROM nodes),
+ deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+ r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS pr FROM nodes, nn),
+{_PR_ITER.format(k=1, j=0)},
+{_PR_ITER.format(k=2, j=1)},
+{_PR_ITER.format(k=3, j=2)}
+SELECT node, pr AS pagerank FROM r3""",
+    cols=["node", "pagerank"],
+    fcols=["pagerank"],
+)
+def g1_pagerank(spark, sf_dir):
+    """Interaction-graph authority: PageRank (3 fixed power
+    iterations, d=0.85, dangling mass dropped) over the bipartite
+    customer->supplier purchase graph. Each round is one src join +
+    one dst aggregate, localCheckpoint-pinned — linear in |E|."""
+    from .operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iterations=3, damping=0.85)
+
+
 @q(
     "a7_book_from_deltas",
     f"""WITH d AS (SELECT symbol, ts, side, price,

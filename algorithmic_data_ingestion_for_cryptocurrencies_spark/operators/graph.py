@@ -1,0 +1,75 @@
+"""Iterative graph scoring beyond connected components
+(:func:`.dedup.connected_components`): fixed-iteration PageRank for
+link/interaction authority — the standard crawl-curation signal
+(domain authority feeds quality weighting the way it does in
+production web pipelines).
+
+No counterpart in the reference; beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list, a FIXED number of
+    rounds (rank ordering stabilizes in a handful of iterations; a
+    fixed count keeps the computation deterministic and
+    oracle-expressible). Returns (node, pagerank).
+
+    Semantics: uniform start 1/N; each round
+    ``pr(v) = (1-d)/N + d * sum_{u->v} pr(u) / outdeg(u)``.
+    Dangling mass (nodes with no out-edges) is dropped, not
+    redistributed — ranks then need no global renormalization pass
+    per round, and relative ordering (the curation signal) is
+    unaffected; document-level convention, mirrored by the oracle.
+
+    Scale shape (the :func:`..dedup.connected_components` discipline):
+    every round is edges ⋈ ranks on the src key + one dst-keyed
+    aggregate — linear in |E|, shuffles only on graph keys; the rank
+    frame is ``localCheckpoint``-pinned per round so iteration k+1's
+    plan does not nest k join trees; out-degrees compute once. The
+    only driver-side values are scalar counts."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    e_w = e.join(deg, "src").localCheckpoint(eager=False)
+
+    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contrib = (
+            e_w.join(ranks, e_w["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("pagerank") / F.col("__deg")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base)
+                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+                 ).alias("pagerank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

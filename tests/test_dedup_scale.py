@@ -155,3 +155,22 @@ def test_cross_doc_repetition_flags_boilerplate(spark):
     assert got[1]["repeated_frac"] > 0.3 and got[2]["repeated_frac"] > 0.3
     # the header contributes the same number of shared shingles to both
     assert got[1]["n_repeated"] == got[2]["n_repeated"]
+
+
+def test_pagerank_authority_ordering_and_conservation(spark):
+    """A hub pointed to by everyone must outrank leaf nodes; ranks are
+    positive; a longer run changes values but keeps the ordering
+    (fixed-iteration stability)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("c", "b")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    pr3 = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=3).collect()}
+    assert pr3["hub"] == max(pr3.values())
+    assert all(v > 0 for v in pr3.values())
+    pr6 = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=6).collect()}
+    order3 = sorted(pr3, key=pr3.get)
+    order6 = sorted(pr6, key=pr6.get)
+    assert order3 == order6
