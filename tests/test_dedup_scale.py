@@ -158,19 +158,26 @@ def test_cross_doc_repetition_flags_boilerplate(spark):
 
 
 def test_pagerank_authority_ordering_and_conservation(spark):
-    """A hub pointed to by everyone must outrank leaf nodes; ranks are
-    positive; a longer run changes values but keeps the ordering
-    (fixed-iteration stability)."""
+    """A hub pointed to by everyone must outrank every other node (at
+    any iteration count); ranks are positive; nodes with equal
+    in-link structure tie exactly. (No cross-iteration ordering claim:
+    on cyclic funnel graphs power iteration legitimately oscillates —
+    e.g. hub -> single successor hands the whole hub mass over each
+    round.)"""
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.graph import (
         pagerank,
     )
 
-    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a"), ("c", "b")]
+    # hub is a sink for a, b, c; a also links b -> b > c expected;
+    # hub dangles (its mass drops, per the documented convention)
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("a", "b")]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    pr3 = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=3).collect()}
-    assert pr3["hub"] == max(pr3.values())
-    assert all(v > 0 for v in pr3.values())
-    pr6 = {r["node"]: r["pagerank"] for r in pagerank(df, iterations=6).collect()}
-    order3 = sorted(pr3, key=pr3.get)
-    order6 = sorted(pr6, key=pr6.get)
-    assert order3 == order6
+    for iters in (3, 6):
+        pr = {
+            r["node"]: r["pagerank"]
+            for r in pagerank(df, iterations=iters).collect()
+        }
+        assert pr["hub"] == max(pr.values())
+        assert all(v > 0 for v in pr.values())
+        assert pr["b"] > pr["c"]          # extra in-link
+        assert pr["a"] == pr["c"]         # identical in-link structure
