@@ -3430,6 +3430,36 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+@q("st12_rollup_distinct", None)
+def st12_rollup_distinct(spark, sf_dir):
+    # incremental approx-distinct per bucket via mergeable HLL sketch
+    # states (hll_sketch_agg/hll_union_agg have no cross-engine twin
+    # -> rows-only; 5% accuracy + merge==one-shot pytest-asserted)
+    import tempfile
+
+    from .store.rollup import RollupStore
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.select(
+        F.expr("percentile_approx(cast(ts as double), 0.5)")
+    ).first()[0]
+    store = RollupStore(
+        spark, tempfile.mkdtemp(prefix="adi_rollup_hll_") + "/t",
+        keys=["event_type"], val_cols=["value"], bucket_seconds=7 * 86400,
+        distinct_cols=["user_id"],
+    )
+    store.upsert_rollup(
+        ev.filter(F.col("ts").cast("double") < mid), ts_col="ts", batch_id="b1"
+    )
+    store.upsert_rollup(
+        ev.filter(F.col("ts").cast("double") >= mid), ts_col="ts", batch_id="b2"
+    )
+    store.compact_rollup()
+    return store.read_rollup(finalize=True).select(
+        "event_type", "bucket_ts", "n_value", "approx_distinct_user_id"
+    )
+
+
 @q("sim_ivf_index_topk", None)
 def sim_ivf_index(spark, sf_dir):
     # persisted-IVF serving path: build the partitioned index once,

@@ -88,10 +88,18 @@ def rollup_state(
     bucket_seconds: int,
     val_cols: Sequence[str],
     batch_id: str,
+    distinct_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Per-(keys, bucket_ts) mergeable aggregation state for each value
     column: count, sum, min, max, sum of squares. ``bucket_ts`` is the
-    bucket's start epoch second."""
+    bucket's start epoch second.
+
+    ``distinct_cols`` adds an incremental APPROX-DISTINCT state per
+    column: an HLL sketch (``hll_sketch_agg``, binary, ~1.5 KB at the
+    default lgConfigK) that merges across batches and compactions with
+    ``hll_union_agg`` exactly like the numeric states add — "unique
+    users per bucket maintained incrementally over the stream", which
+    no exact state can do without keeping the full value set."""
     b = (
         F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds))
         * F.lit(bucket_seconds)
@@ -106,6 +114,8 @@ def rollup_state(
             F.max(v).alias(f"max_{c}"),
             F.sum(v * v).alias(f"sumsq_{c}"),
         ]
+    for c in distinct_cols:
+        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     return (
         df.withColumn("bucket_ts", b)
         .groupBy(*keys, "bucket_ts")
@@ -115,11 +125,13 @@ def rollup_state(
 
 
 def merge_rollup_states(
-    states: DataFrame, *, keys: Sequence[str], val_cols: Sequence[str]
+    states: DataFrame, *, keys: Sequence[str], val_cols: Sequence[str],
+    distinct_cols: Sequence[str] = ()
 ) -> DataFrame:
     """Merge partial states across batches: counts/sums/sumsq add,
-    min/max combine. Associative + commutative, so any merge order
-    (and any partial compaction history) yields the same state."""
+    min/max combine, HLL sketches union. Associative + commutative, so
+    any merge order (and any partial compaction history) yields the
+    same state."""
     aggs: list[F.Column] = []
     for c in val_cols:
         aggs += [
@@ -129,15 +141,24 @@ def merge_rollup_states(
             F.max(f"max_{c}").alias(f"max_{c}"),
             F.sum(f"sumsq_{c}").alias(f"sumsq_{c}"),
         ]
+    for c in distinct_cols:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return states.groupBy(*keys, "bucket_ts").agg(*aggs)
 
 
 def finalize_rollup(
-    state: DataFrame, *, val_cols: Sequence[str]
+    state: DataFrame, *, val_cols: Sequence[str],
+    distinct_cols: Sequence[str] = ()
 ) -> DataFrame:
     """Finalize merged states into count/mean/min/max/std (population
-    std via E[x²]−E[x]², clamped at 0 against FP negatives)."""
+    std via E[x²]−E[x]², clamped at 0 against FP negatives) and HLL
+    sketches into approx-distinct estimates."""
     out = state
+    for c in distinct_cols:
+        out = out.withColumn(
+            f"approx_distinct_{c}",
+            F.hll_sketch_estimate(f"hll_{c}"),
+        ).drop(f"hll_{c}")
     for c in val_cols:
         n = F.col(f"n_{c}").cast("double")
         mean = F.col(f"sum_{c}") / n
@@ -163,11 +184,13 @@ class RollupStore:
         keys: Sequence[str],
         val_cols: Sequence[str],
         bucket_seconds: int,
+        distinct_cols: Sequence[str] = (),
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.val_cols = list(val_cols)
+        self.distinct_cols = list(distinct_cols)
         self.bucket_seconds = bucket_seconds
         # serializes in-process ingest vs compaction: without it a
         # compaction snapshot can catch HALF of an in-flight append's
@@ -262,6 +285,7 @@ class RollupStore:
                 bucket_seconds=self.bucket_seconds,
                 val_cols=self.val_cols,
                 batch_id=batch_id,
+                distinct_cols=self.distinct_cols,
             )
             state.write.mode("append").parquet(self.path)
 
@@ -273,11 +297,14 @@ class RollupStore:
             self.spark.read.parquet(self.path), manifest
         )
         merged = merge_rollup_states(
-            states, keys=self.keys, val_cols=self.val_cols
+            states, keys=self.keys, val_cols=self.val_cols,
+            distinct_cols=self.distinct_cols,
         )
         if not finalize:
             return merged
-        return finalize_rollup(merged, val_cols=self.val_cols)
+        return finalize_rollup(
+            merged, val_cols=self.val_cols, distinct_cols=self.distinct_cols
+        )
 
     def compact_rollup(self) -> None:
         """Collapse the current snapshot's batch states into one
@@ -314,7 +341,8 @@ class RollupStore:
                 if not r["batch_id"].startswith(COMPACTED_PREFIX)
             ]
             merged = merge_rollup_states(
-                states, keys=self.keys, val_cols=self.val_cols
+                states, keys=self.keys, val_cols=self.val_cols,
+                distinct_cols=self.distinct_cols,
             ).withColumn("batch_id", F.lit(gen_tag))
 
             # stage the new generation, then move its part files INTO

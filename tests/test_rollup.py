@@ -215,3 +215,61 @@ def test_compaction_crash_before_commit_is_invisible(spark, tmp_path):
     np.testing.assert_allclose(after.mean_v, want.mean_v, rtol=1e-12)
     tags = spark.read.parquet(store.path).select("batch_id").distinct()
     assert [r["batch_id"] for r in tags.collect()] == ["__compacted_g2"]
+
+
+def test_rollup_incremental_approx_distinct(spark, tmp_path):
+    """HLL distinct states must merge across batches and compaction:
+    the incremental approx-distinct equals the one-shot estimate on
+    the same data, stays within 5% of exact, and survives compaction
+    + a post-compaction replay unchanged."""
+    df = _raw(spark, n=4000, seed=11).withColumn(
+        "u", (F.abs(F.hash("v")) % 500).cast("long")
+    )
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=7 * 86400, distinct_cols=["u"],
+    )
+    b1 = df.filter(F.col("ts") < "2024-03-06")
+    b2 = df.filter(F.col("ts") >= "2024-03-06")
+    store.upsert_rollup(b1, ts_col="ts", batch_id="b1")
+    store.upsert_rollup(b2, ts_col="ts", batch_id="b2")
+
+    got = {
+        (r["k"], r["bucket_ts"]): r["approx_distinct_u"]
+        for r in store.read_rollup().collect()
+    }
+    one_shot = rollup_state(
+        df, keys=["k"], ts_col="ts", bucket_seconds=7 * 86400,
+        val_cols=["v"], batch_id="all", distinct_cols=["u"],
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.rollup import (
+        finalize_rollup as _fin,
+        merge_rollup_states as _mrg,
+    )
+
+    want = {
+        (r["k"], r["bucket_ts"]): r["approx_distinct_u"]
+        for r in _fin(
+            _mrg(one_shot, keys=["k"], val_cols=["v"], distinct_cols=["u"]),
+            val_cols=["v"], distinct_cols=["u"],
+        ).collect()
+    }
+    assert got == want  # HLL union is exact-deterministic on same data
+
+    exact = {
+        (r["k"], r["bucket_ts"]): r["x"]
+        for r in df.withColumn(
+            "bucket_ts",
+            (F.floor(F.col("ts").cast("long") / (7 * 86400)) * (7 * 86400)).cast("long"),
+        ).groupBy("k", "bucket_ts").agg(F.countDistinct("u").alias("x")).collect()
+    }
+    for key, est in got.items():
+        assert abs(est - exact[key]) / exact[key] < 0.05
+
+    store.compact_rollup()
+    store.upsert_rollup(b2, ts_col="ts", batch_id="b2")  # replay: inert
+    after = {
+        (r["k"], r["bucket_ts"]): r["approx_distinct_u"]
+        for r in store.read_rollup().collect()
+    }
+    assert after == got
