@@ -3430,6 +3430,32 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+@q(
+    "st13_sessionize_batch",
+    """SELECT event_id, user_id, session_id FROM (
+  SELECT event_id, user_id,
+         SUM(CASE WHEN prev IS NULL OR EPOCH(ts) - prev > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM (SELECT event_id, user_id, ts,
+               LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events))""",
+    cols=["event_id", "user_id", "session_id"],
+)
+def st13_sessionize_batch(spark, sf_dir):
+    """Gap-based sessionization of the historical event archive
+    (30-min gap) — the batch twin of the streaming session_window
+    aggregate, same gap semantics."""
+    from .operators.resample import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, keys=["user_id"], ts_col="ts", gap_seconds=1800,
+        tiebreak_cols=["event_id"],
+    ).select("event_id", "user_id", "session_id")
+
+
 @q("st12_rollup_distinct", None)
 def st12_rollup_distinct(spark, sf_dir):
     # incremental approx-distinct per bucket via mergeable HLL sketch

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.time_norm import floor_to_bar, timeframe_to_seconds
 
@@ -82,3 +82,41 @@ def resample_last(
     bucketed = df.withColumn(bucket_out, bucket_col(ts_col, timeframe))
     aggs = [F.max_by(F.col(c), F.col(ts_col)).alias(c) for c in value_cols]
     return bucketed.groupBy(*list(keys), bucket_out).agg(*aggs)
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: float,
+    out: str = "session_id",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch gap-based sessionization: within each key, a row starts a
+    new session when it arrives more than ``gap_seconds`` after the
+    previous row; ``out`` is the per-key session ordinal (1-based).
+    The batch twin of the streaming ``session_window`` aggregation —
+    use this to sessionize historical archives with the SAME gap
+    semantics the live pipeline applies.
+
+    One window over (keys, ts, tiebreaks) — pass ``tiebreak_cols``
+    to make the ordering total when timestamps can tie (the flag is
+    tie-insensitive but per-row ordinals need a total order to be
+    reproducible across engines). The new-session flag is a lag
+    comparison and the ordinal its running sum in the same window spec
+    (single Window operator, single exchange)."""
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col(ts_col), *[F.col(c) for c in tiebreak_cols]
+    )
+    t = F.col(ts_col).cast("double")
+    prev = F.lag(t).over(w)
+    new_s = F.when(
+        prev.isNull() | ((t - prev) > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        out,
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

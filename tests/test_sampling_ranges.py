@@ -530,3 +530,33 @@ def test_standardizer_fit_transform_no_leakage(spark):
     for r in z:
         assert abs(r["x_z"] - (r["x"] - mean_train) / std_train) < 1e-12
         assert r["const_z"] is None  # zero variance surfaces as NULL
+
+
+def test_sessionize_gap_semantics(spark):
+    """New session exactly when the gap strictly exceeds the
+    threshold; boundary-equal gaps continue the session; sessions are
+    per-key ordinals."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.resample import (
+        sessionize,
+    )
+
+    rows = [
+        ("u1", 0), ("u1", 100), ("u1", 1900),   # gap 1800 exactly: same session
+        ("u1", 3701),                            # gap 1801: new session
+        ("u2", 50),
+    ]
+    df = spark.createDataFrame(rows, ["user", "t"]).select(
+        "user", F.timestamp_seconds("t").alias("ts"), F.col("t")
+    )
+    got = {
+        (r["user"], r["t"]): r["session_id"]
+        for r in sessionize(
+            df, keys=["user"], ts_col="ts", gap_seconds=1800,
+            tiebreak_cols=["t"],
+        ).collect()
+    }
+    assert got[("u1", 0)] == got[("u1", 100)] == got[("u1", 1900)] == 1
+    assert got[("u1", 3701)] == 2
+    assert got[("u2", 50)] == 1
