@@ -210,3 +210,64 @@ def persist_raw(
     out = f"{base_path.rstrip('/')}/{source}/{symbol.replace('/', '-')}"
     df.write.mode("append").parquet(out)
     return out
+
+
+def zorder_key(
+    df,
+    cols,
+    *,
+    bits: int = 16,
+    out: str = "zorder_key",
+):
+    """Z-order (Morton) clustering key over 2-4 numeric/time columns:
+    each column min-max-quantizes to ``bits`` bits (range from a tiny
+    broadcast aggregate) and the bits interleave into one LONG.
+    Sorting by it before a partitioned/size-capped write co-locates
+    rows that are close in EVERY dimension, so parquet row-group
+    min/max stats stay tight on ALL the z-dimensions at once and
+    point/range scans over any of them skip most files — the
+    multi-column layout trick behind OPTIMIZE ZORDER, as a plain
+    column expression.
+
+    Use ``df.orderBy("zorder_key")`` (range-partitioned total sort)
+    into ``write_lake``/``maxRecordsPerFile`` — no new write path
+    needed. The interleave is a static shift/or expression tree
+    (``bits * len(cols)`` terms, codegen'd); NULLs quantize to cell 0
+    (sort first), documented rather than hidden.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols)
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key wants 2-4 columns")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*cols must fit a signed long, got {bits * len(cols)}")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+        ]
+    bounds = df.agg(*aggs)
+    staged = df.crossJoin(F.broadcast(bounds))
+    max_q = (1 << bits) - 1
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        x = F.col(c).cast("double")
+        span = F.nullif(F.col(f"__hi_{c}") - F.col(f"__lo_{c}"), F.lit(0.0))
+        q = F.least(
+            F.lit(max_q),
+            F.greatest(
+                F.lit(0),
+                F.floor((x - F.col(f"__lo_{c}")) / span * max_q).cast("long"),
+            ),
+        )
+        q = F.coalesce(q, F.lit(0))
+        for b in range(bits):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + i)
+            )
+    return staged.withColumn(out, key).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
