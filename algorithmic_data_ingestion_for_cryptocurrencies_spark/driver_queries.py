@@ -1728,6 +1728,47 @@ _PR_ITER = """
 
 
 @q(
+    "w27_rolling_corr",
+    f"""SELECT suppkey, ts, okey, lnum,
+        CASE WHEN COUNT(close) {{0}} >= 20
+             THEN CORR(close, volume) {{0}} END AS corr_cv_20
+        FROM ({{1}})""".format(
+        "OVER (PARTITION BY suppkey ORDER BY ts, okey, lnum, pkey "
+        "ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)", MARKET_SQL),
+    cols=IDS + ["corr_cv_20"],
+    fcols=["corr_cv_20"],
+)
+def w27_rolling_corr(spark, sf_dir):
+    """Rolling 20-bar price/volume correlation (the pairwise-stats
+    window family beyond the reference's single-series indicators) —
+    same masked-warmup convention as every W-query."""
+    m = _market(spark, sf_dir)
+    fr = _w().rowsBetween(-19, 0)
+    cnt = F.count("close").over(fr)
+    corr = F.when(cnt >= 20, F.corr("close", "volume").over(fr))
+    return m.select(*IDS, corr.alias("corr_cv_20"))
+
+
+@q(
+    "w28_xsec_rank",
+    f"""SELECT suppkey, ts, okey, lnum,
+        PERCENT_RANK() OVER (PARTITION BY ts
+                             ORDER BY close, suppkey, okey, lnum) AS xsec_rank
+        FROM ({MARKET_SQL})""",
+    cols=IDS + ["xsec_rank"],
+    fcols=["xsec_rank"],
+)
+def w28_xsec_rank(spark, sf_dir):
+    """Cross-sectional percentile rank per timestamp (factor-model
+    staple: rank every symbol's value against the same-bar cross
+    section). Window partitions on ts — cardinality grows with data,
+    so the shuffle stays balanced at scale; total tiebreak order."""
+    m = _market(spark, sf_dir)
+    w = Window.partitionBy("ts").orderBy("close", "suppkey", "okey", "lnum")
+    return m.select(*IDS, F.percent_rank().over(w).alias("xsec_rank"))
+
+
+@q(
     "g1_pagerank",
     f"""WITH e AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
                          's' || CAST(l_suppkey AS VARCHAR) AS dst
