@@ -27,11 +27,16 @@ def stream_stream_join(
     watermark: str = "10 minutes",
     max_lag: str = "5 minutes",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``keys`` where the right event lands
+    """Join two streams on ``keys`` where the right event lands
     within ``[left_ts - max_lag, left_ts]`` — "the latest right-side
     context no older than max_lag", the streaming twin of a bounded
-    backward as-of.
+    backward as-of. ``how="left_outer"`` additionally emits unmatched
+    left rows (right columns null) once the right watermark passes
+    their window — i.e. "no context arrived in time" becomes an
+    explicit row instead of a silent drop, which is what an alerting
+    consumer wants.
 
     State bounds (the 100 TB property): BOTH sides carry a watermark
     and the join condition bounds the time distance, so Spark can
@@ -66,8 +71,10 @@ def stream_stream_join(
         (r_ts >= F.col(left_ts) - F.expr(f"INTERVAL {max_lag}"))
         & (r_ts <= F.col(left_ts))
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how!r}")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"{right_prefix}{k}"))
-    return lt.join(rt, on=cond, how="inner").drop(
+    return lt.join(rt, on=cond, how=how).drop(
         *[f"{right_prefix}{k}" for k in keys]
     )

@@ -348,3 +348,19 @@ def test_knn_join_prunes_topk_map_side(spark):
     plan = explain_str(knn_join(q, emb, k=5), "formatted").split("\n\n")[0]
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
     assert "CartesianProduct" not in plan or "BroadcastNestedLoop" in plan
+
+
+def test_sft_prep_pipeline_exchange_budget(spark):
+    """Capstone #3 (scrub -> entropy gate -> render -> rendered-dedup)
+    must stay within its documented exchange budget: the entropy
+    aggregates, the doc_id join back, and the dedup rank — no
+    cartesian products, no data-sized unpartitioned windows."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pipeline_sft_prep"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "formatted").split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 5, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "rendered" in line or "doc_id" in line, line

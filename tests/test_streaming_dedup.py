@@ -201,3 +201,68 @@ def test_stream_stream_join_bounded_lag(spark, tmp_path):
     )
     got_static = {(r["sym"], r["qty"], r["r_px"]) for r in static.collect()}
     assert got_static == got
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: trades with no quote in the lag window surface as
+    null-context rows instead of disappearing."""
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.joins import (
+        stream_stream_join,
+    )
+
+    base = pd.Timestamp("2024-06-01 12:00:00")
+    late = base + pd.Timedelta("30min")  # watermark pusher: outer rows
+    # only emit once BOTH watermarks pass the left row's join window
+    trades = pd.DataFrame({
+        "sym": ["BTC", "ETH", "ZZZ"],
+        "ts": [base, base, late],
+        "qty": [1.0, 3.0, 0.0],
+    })
+    quotes = pd.DataFrame({
+        "sym": ["BTC", "ZZZ"],
+        "ts": [base - pd.Timedelta("1min"), late],
+        "px": [100.0, 0.0],
+    })
+    (tmp_path / "t").mkdir(); (tmp_path / "q2").mkdir()
+    # base data and the late sentinels land in SEPARATE files so
+    # maxFilesPerTrigger=1 produces a second batch that carries the
+    # advanced watermark (plus Spark's trailing no-data batch flushes
+    # the eviction)
+    spark.createDataFrame(trades[trades.ts == base]).coalesce(1) \
+        .write.parquet(str(tmp_path / "t" / "f0"))
+    spark.createDataFrame(trades[trades.ts == late]).coalesce(1) \
+        .write.parquet(str(tmp_path / "t" / "f1"))
+    spark.createDataFrame(quotes[quotes.ts < late]).coalesce(1) \
+        .write.parquet(str(tmp_path / "q2" / "f0"))
+    spark.createDataFrame(quotes[quotes.ts == late]).coalesce(1) \
+        .write.parquet(str(tmp_path / "q2" / "f1"))
+    t_stream = spark.readStream.schema(
+        spark.read.parquet(str(tmp_path / "t" / "f0")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "t") + "/*")
+    q_stream = spark.readStream.schema(
+        spark.read.parquet(str(tmp_path / "q2" / "f0")).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "q2") + "/*")
+
+    joined = stream_stream_join(
+        t_stream, q_stream, keys=["sym"], left_ts="ts", right_ts="ts",
+        watermark="1 minute", max_lag="5 minutes", how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["sym"]: r["r_px"]
+        for r in spark.sql("SELECT * FROM ssj_outer").collect()
+        if r["sym"] != "ZZZ"
+    }
+    assert got == {"BTC": 100.0, "ETH": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_stream_join(t_stream, q_stream, keys=["sym"], how="full")
