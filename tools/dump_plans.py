@@ -105,6 +105,29 @@ SECTIONS = {
         "incremental maintenance appended bucket-grain rows, never "
         "rewriting history."
     ),
+    "u5b_triple_barrier": (
+        "Triple-barrier labels WITHOUT a self-join: the future closes ride "
+        "a bounded rowsBetween(1, horizon) collect_list frame — O(horizon) "
+        "state per row inside the one series exchange — and the first-touch "
+        "scan is a higher-order filter over that small array. The oracle "
+        "cross-checks with an O(rows x horizon) self-join; the Spark plan "
+        "never materializes row pairs."
+    ),
+    "pipeline_sft_prep": (
+        "SFT-export capstone: PII scrub and template render are pure "
+        "projections; the entropy gate is two map-side-combined aggregates "
+        "(the token explode keeps each doc in one partition) joined back on "
+        "doc_id; the rendered-dedup survivor is one rank shuffle. Exchange "
+        "budget plan-guarded in tests."
+    ),
+    "g1_pagerank": (
+        "Iterative graph scoring with bounded plans: each power iteration "
+        "is one src-keyed join plus one dst-keyed aggregate over the edge "
+        "list, and the rank frame is localCheckpoint-pinned per round so "
+        "iteration k+1 never nests k join trees (same discipline as "
+        "connected components). Linear in |E|; driver sees only scalar "
+        "counts."
+    ),
     "dedup_cluster_survivors": (
         "Pairs -> connected components -> survivors: the iterative CC "
         "rounds run on the PAIR graph (tiny vs the corpus, lineage "
