@@ -1728,6 +1728,56 @@ _PR_ITER = """
 
 
 @q(
+    "q_constraints",
+    """WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
+SELECT 'not_null(l_returnflag)' AS rule, v = 0 AS passed,
+       v AS violations, total AS checked
+FROM (SELECT COUNT(*) FILTER (WHERE l_returnflag IS NULL) AS v FROM lineitem), t
+UNION ALL
+SELECT 'in_range(l_discount, 0.0, 0.05)', v = 0, v, total
+FROM (SELECT COUNT(*) FILTER (WHERE l_discount IS NULL
+             OR l_discount < 0.0 OR l_discount > 0.05) AS v FROM lineitem), t
+UNION ALL
+SELECT 'values_in(l_linestatus)', v = 0, v, total
+FROM (SELECT COUNT(*) FILTER (WHERE l_linestatus IS NULL
+             OR l_linestatus NOT IN ('O', 'F')) AS v FROM lineitem), t
+UNION ALL
+SELECT 'min_rows(1000)', total >= 1000, GREATEST(0, 1000 - total), total FROM t
+UNION ALL
+SELECT 'unique(l_orderkey, l_linenumber)', v = 0, v, total
+FROM (SELECT COUNT(*) AS v FROM (
+        SELECT 1 FROM lineitem GROUP BY l_orderkey, l_linenumber
+        HAVING COUNT(*) > 1)), t
+UNION ALL
+SELECT 'ref_integrity(l_orderkey -> orders.o_orderkey)', v = 0, v, total
+FROM (SELECT COUNT(*) AS v FROM lineitem
+      WHERE l_orderkey IS NOT NULL
+        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)), t""",
+    cols=["rule", "passed", "violations", "checked"],
+)
+def q_constraints(spark, sf_dir):
+    """Declarative data-quality suite (Deequ-style) evaluated as
+    queries: all row-local rules in ONE aggregate pass, uniqueness as
+    one bounded group count, FK containment as one anti-join count.
+    The range rule is intentionally strict enough to FAIL on real
+    data, proving violations are counted, not just flagged."""
+    from .functions.quality import ConstraintSuite
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    suite = (
+        ConstraintSuite()
+        .not_null("l_returnflag")
+        .in_range("l_discount", 0.0, 0.05)
+        .values_in("l_linestatus", ["O", "F"])
+        .min_rows(1000)
+        .unique("l_orderkey", "l_linenumber")
+        .ref_integrity("l_orderkey", orders, "o_orderkey", ref_name="orders")
+    )
+    return suite.run(li)
+
+
+@q(
     "w27_rolling_corr",
     f"""SELECT suppkey, ts, okey, lnum,
         CASE WHEN COUNT(close) {{0}} >= 20
