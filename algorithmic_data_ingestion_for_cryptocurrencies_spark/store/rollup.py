@@ -306,12 +306,20 @@ class RollupStore:
             merged, val_cols=self.val_cols, distinct_cols=self.distinct_cols
         )
 
-    def compact_rollup(self) -> None:
+    def compact_rollup(self, *, min_bucket_ts: int | None = None) -> None:
         """Collapse the current snapshot's batch states into one
         ``__compacted_g{N}`` state per bucket. Crash-safe at every
         boundary and append-concurrent (module docstring, steps 1-4):
         files landing after the snapshot listing are never read,
-        rewritten, or deleted."""
+        rewritten, or deleted.
+
+        ``min_bucket_ts`` applies RETENTION during the rewrite:
+        buckets strictly older are dropped from the new generation
+        (and their bytes reclaimed with the snapshot sweep) — the
+        continuous-aggregate TTL, fused into the compaction pass so
+        expiry costs no extra table rewrite. Pass an explicit epoch
+        threshold (caller derives it from its clock/policy; the store
+        stays deterministic)."""
         with self._lock:
             manifest = self._read_manifest()
             snapshot = self._data_files()
@@ -335,6 +343,8 @@ class RollupStore:
             gen_tag = f"{COMPACTED_PREFIX}_g{gen}"
 
             states = self._live_states(raw, manifest)
+            if min_bucket_ts is not None:
+                states = states.filter(F.col("bucket_ts") >= min_bucket_ts)
             folded = [
                 r["batch_id"]
                 for r in states.select("batch_id").distinct().collect()

@@ -273,3 +273,30 @@ def test_rollup_incremental_approx_distinct(spark, tmp_path):
         for r in store.read_rollup().collect()
     }
     assert after == got
+
+
+def test_compaction_retention_drops_old_buckets(spark, tmp_path):
+    """min_bucket_ts at compaction expires old buckets (TTL fused into
+    the rewrite); surviving buckets keep exact values and later
+    increments still work."""
+    df = _raw(spark, n=3000, seed=3)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=86400,
+    )
+    store.upsert_rollup(df, ts_col="ts", batch_id="b1")
+    before = _sorted(store.read_rollup().toPandas())
+    cutoff = int(pd.Timestamp("2024-03-05").timestamp())
+    store.compact_rollup(min_bucket_ts=cutoff)
+
+    after = _sorted(store.read_rollup().toPandas())
+    assert after.bucket_ts.min() >= cutoff
+    kept = before[before.bucket_ts >= cutoff].reset_index(drop=True)
+    assert after.n_v.equals(kept.n_v)
+    np.testing.assert_allclose(after.mean_v, kept.mean_v, rtol=1e-12)
+
+    extra = _raw(spark, n=300, seed=4)
+    store.upsert_rollup(
+        extra.filter(F.col("ts") >= "2024-03-05"), ts_col="ts", batch_id="b2"
+    )
+    assert store.read_rollup().count() >= len(kept)
