@@ -1728,6 +1728,65 @@ _PR_ITER = """
 
 
 @q(
+    "w29_rolling_outliers",
+    f"""SELECT suppkey, ts, okey, lnum,
+        CASE WHEN std_20 IS NOT NULL AND std_20 != 0
+             THEN ABS(close - sma_20) / std_20 END AS rz,
+        COALESCE(ABS(close - sma_20) / NULLIF(std_20, 0) > 4.0, FALSE)
+          AS is_outlier
+        FROM (SELECT suppkey, ts, okey, lnum, close,
+                     {{0}} AS sma_20, {{1}} AS std_20
+              FROM ({{2}}))""".format(
+        _roll("AVG", "close", 20), _roll("STDDEV_SAMP", "close", 20), MARKET_SQL),
+    cols=IDS + ["rz", "is_outlier"],
+    fcols=["rz"],
+)
+def w29_rolling_outliers(spark, sf_dir):
+    """Rolling-window anomaly flags: |close - SMA20| / rolling std,
+    outlier above 4 sigma — the online data-quality twin of the batch
+    constraint suite, composed purely from existing rolling ops (one
+    window spec, one exchange)."""
+    m = _market(spark, sf_dir)
+    sma = rolling_mean("close", _w(), 20)
+    std = rolling_std("close", _w(), 20)
+    rz = F.when(
+        std.isNotNull() & (std != 0), F.abs(F.col("close") - sma) / std
+    )
+    return m.select(
+        *IDS, rz.alias("rz"),
+        F.coalesce(rz > 4.0, F.lit(False)).alias("is_outlier"),
+    )
+
+
+@q(
+    "f_winsorize_by_group",
+    f"""SELECT suppkey, ts, okey, lnum,
+        LEAST(GREATEST(close, qlo), qhi) AS close_w
+        FROM ({MARKET_SQL}) m JOIN (
+          SELECT suppkey, QUANTILE_CONT(close, 0.05) AS qlo,
+                 QUANTILE_CONT(close, 0.95) AS qhi
+          FROM ({MARKET_SQL}) GROUP BY suppkey) q USING (suppkey)""",
+    cols=IDS + ["close_w"],
+    fcols=["close_w"],
+)
+def f_winsorize_by_group(spark, sf_dir):
+    """Per-symbol winsorization at the [5%, 95%] quantiles: one exact
+    per-group percentile aggregate (tiny — rows = key cardinality)
+    broadcast back onto the series; Spark's interpolating percentile
+    matches QUANTILE_CONT."""
+    m = _market(spark, sf_dir)
+    q = m.groupBy("suppkey").agg(
+        F.expr("percentile(close, 0.05)").alias("qlo"),
+        F.expr("percentile(close, 0.95)").alias("qhi"),
+    )
+    return m.join(F.broadcast(q), "suppkey").select(
+        *IDS,
+        F.least(F.greatest(F.col("close"), F.col("qlo")), F.col("qhi"))
+         .alias("close_w"),
+    )
+
+
+@q(
     "q_constraints",
     """WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
 SELECT 'not_null(l_returnflag)' AS rule, v = 0 AS passed,
