@@ -1787,6 +1787,68 @@ def f_winsorize_by_group(spark, sf_dir):
 
 
 @q(
+    "e7_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(EPOCH(ts)) AS t_step_1
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+ s2 AS (SELECT e.user_id, MIN(EPOCH(e.ts)) AS t_step_2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND EPOCH(e.ts) > s1.t_step_1
+        GROUP BY 1),
+ s3 AS (SELECT e.user_id, MIN(EPOCH(e.ts)) AS t_step_3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND EPOCH(e.ts) > s2.t_step_2
+        GROUP BY 1)
+SELECT s1.user_id, t_step_1, t_step_2, t_step_3,
+       CAST(CASE WHEN t_step_1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_step_2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_step_3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    cols=["user_id", "t_step_1", "t_step_2", "t_step_3", "steps_completed"],
+    fcols=["t_step_1", "t_step_2", "t_step_3"],
+)
+def e7_funnel(spark, sf_dir):
+    """Ordered view -> click -> purchase funnel: earliest completion
+    of each step strictly after the previous one, one conditional-min
+    aggregate per step joined on the user id — never a window over
+    the raw event stream."""
+    from .operators.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
+@q(
+    "e8_cohort_retention",
+    """WITH p AS (SELECT user_id,
+              CAST(FLOOR(EPOCH(ts) / 604800) AS BIGINT) * 604800 AS period
+       FROM events),
+ first AS (SELECT user_id, MIN(period) AS cohort_period FROM p GROUP BY 1),
+ act AS (SELECT DISTINCT user_id, period AS active_period FROM p),
+ tri AS (SELECT cohort_period,
+                CAST((active_period - cohort_period) / 604800 AS INT)
+                  AS period_offset,
+                COUNT(DISTINCT act.user_id) AS n_active
+         FROM act JOIN first USING (user_id) GROUP BY 1, 2)
+SELECT cohort_period, period_offset, n_active, cohort_size,
+       n_active / cohort_size AS retention
+FROM tri JOIN (SELECT cohort_period, n_active AS cohort_size FROM tri
+               WHERE period_offset = 0) USING (cohort_period)""",
+    cols=["cohort_period", "period_offset", "n_active", "cohort_size",
+          "retention"],
+    fcols=["retention"],
+)
+def e8_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle: cohort by first-seen week,
+    distinct-active per (cohort, offset), rate vs cohort size — three
+    map-side-combinable aggregates, output = cohorts x offsets."""
+    from .operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, period_seconds=7 * 86400)
+
+
+@q(
     "q_constraints",
     """WITH t AS (SELECT COUNT(*) AS total FROM lineitem)
 SELECT 'not_null(l_returnflag)' AS rule, v = 0 AS passed,

@@ -79,3 +79,73 @@ def test_constraint_suite_detects_each_violation_kind(spark):
         .run(clean)
     )
     assert all(r["passed"] for r in ok.collect())
+
+
+def test_funnel_ordering_and_window(spark):
+    """Steps must complete IN ORDER (a purchase before the click does
+    not count), broken funnels stay broken downstream, and the
+    within-seconds window cuts late completions."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    rows = [
+        # u1 completes in order: A@0 B@10 C@20
+        ("u1", "A", 0), ("u1", "B", 10), ("u1", "C", 20),
+        # u2: C BEFORE B -> funnel breaks at step 3
+        ("u2", "A", 0), ("u2", "C", 5), ("u2", "B", 10),
+        # u3: only A
+        ("u3", "A", 0),
+        # u4: never does A -> not in the funnel at all
+        ("u4", "B", 0), ("u4", "C", 1),
+        # u5: completes but slowly (C at 100)
+        ("u5", "A", 0), ("u5", "B", 1), ("u5", "C", 100),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "t"]).select(
+        "user_id", "event_type", F.timestamp_seconds("t").alias("ts")
+    )
+    got = {
+        r["user_id"]: r
+        for r in funnel_steps(ev, ["A", "B", "C"]).collect()
+    }
+    assert set(got) == {"u1", "u2", "u3", "u5"}
+    assert got["u1"]["steps_completed"] == 3
+    assert got["u2"]["steps_completed"] == 2 and got["u2"]["t_step_3"] is None
+    assert got["u3"]["steps_completed"] == 1
+
+    win = {
+        r["user_id"]: r
+        for r in funnel_steps(ev, ["A", "B", "C"], within_seconds=50).collect()
+    }
+    assert win["u1"]["steps_completed"] == 3
+    assert win["u5"]["steps_completed"] == 2  # C@100 outside the window
+
+
+def test_cohort_retention_triangle(spark):
+    """Offsets count distinct users against the cohort size; week-0
+    retention is exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.funnel import (
+        cohort_retention,
+    )
+
+    week = 7 * 86400
+    rows = [
+        ("a", 0), ("a", week + 5), ("b", 10), ("c", week + 1),
+        ("c", 2 * week + 1),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "t"]).select(
+        "user_id", F.timestamp_seconds("t").alias("ts")
+    )
+    tri = {
+        (r["cohort_period"], r["period_offset"]): r
+        for r in cohort_retention(ev, period_seconds=week).collect()
+    }
+    # cohort week 0: a, b (size 2); week-1 active: a only
+    assert tri[(0, 0)]["cohort_size"] == 2 and tri[(0, 0)]["retention"] == 1.0
+    assert tri[(0, 1)]["n_active"] == 1 and tri[(0, 1)]["retention"] == 0.5
+    # cohort week 1: c (size 1), retained at offset 1
+    assert tri[(week, 1)]["retention"] == 1.0
