@@ -1787,6 +1787,96 @@ def f_winsorize_by_group(spark, sf_dir):
 
 
 @q(
+    "o7_unpivot",
+    """SELECT l_orderkey AS okey, l_linenumber AS lnum, measure, value
+       FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                    l_discount, l_tax
+             FROM lineitem WHERE l_orderkey < 100)
+       UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+                                      l_discount, l_tax))""",
+    cols=["okey", "lnum", "measure", "value"],
+    fcols=["value"],
+)
+def o7_unpivot(spark, sf_dir):
+    """Wide-to-long unpivot of the lineitem measures (the API-surface
+    twin of the pivot family): Spark's native unpivot — a narrow
+    projection+explode, zero exchanges."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value",
+    ).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lnum"),
+        "measure", "value",
+    )
+
+
+@q(
+    "a8_contribution_share",
+    """SELECT l_returnflag, l_linestatus, revenue,
+       revenue / SUM(revenue) OVER () AS share_total,
+       revenue / SUM(revenue) OVER (PARTITION BY l_returnflag) AS share_flag
+       FROM (SELECT l_returnflag, l_linestatus,
+                    SUM(l_extendedprice * (1 - l_discount)) AS revenue
+             FROM lineitem GROUP BY 1, 2)""",
+    cols=["l_returnflag", "l_linestatus", "revenue", "share_total",
+          "share_flag"],
+    fcols=["revenue", "share_total", "share_flag"],
+)
+def a8_contribution_share(spark, sf_dir):
+    """Percent-of-total contribution analysis: group revenue with its
+    share of the grand total and of the flag subtotal. The
+    unpartitioned window runs over the AGGREGATED frame (rows = group
+    cardinality, bounded) — never the raw table."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue")
+    )
+    return rev.select(
+        "l_returnflag", "l_linestatus", "revenue",
+        (F.col("revenue") / F.sum("revenue").over(Window.partitionBy()))
+        .alias("share_total"),
+        (F.col("revenue")
+         / F.sum("revenue").over(Window.partitionBy("l_returnflag")))
+        .alias("share_flag"),
+    )
+
+
+@q(
+    "a9_hhi_concentration",
+    """SELECT l_returnflag, SUM(share * share) AS hhi, COUNT(*) AS n_suppliers
+       FROM (SELECT l_returnflag,
+                    SUM(l_extendedprice)
+                      / SUM(SUM(l_extendedprice)) OVER (PARTITION BY l_returnflag)
+                      AS share
+             FROM lineitem GROUP BY l_returnflag, l_suppkey)
+       GROUP BY l_returnflag""",
+    cols=["l_returnflag", "hhi", "n_suppliers"],
+    fcols=["hhi"],
+)
+def a9_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration per flag: supplier revenue
+    shares squared and summed — the exchange/venue-concentration
+    metric. Shares come from a window over the (flag, supplier)
+    AGGREGATE (bounded rows), then one bounded re-aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_returnflag", "l_suppkey").agg(
+        F.sum("l_extendedprice").alias("rev")
+    )
+    share = per_supp.withColumn(
+        "share",
+        F.col("rev") / F.sum("rev").over(Window.partitionBy("l_returnflag")),
+    )
+    return share.groupBy("l_returnflag").agg(
+        F.sum(F.col("share") * F.col("share")).alias("hhi"),
+        F.count("*").alias("n_suppliers"),
+    )
+
+
+@q(
     "e7_funnel",
     """WITH s1 AS (SELECT user_id, MIN(EPOCH(ts)) AS t_step_1
               FROM events WHERE event_type = 'view' GROUP BY 1),
