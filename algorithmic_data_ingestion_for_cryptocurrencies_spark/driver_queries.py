@@ -1787,6 +1787,47 @@ def f_winsorize_by_group(spark, sf_dir):
 
 
 @q(
+    "q_benford",
+    """WITH d AS (SELECT CAST(SUBSTRING(
+            REGEXP_REPLACE(CAST(l_extendedprice AS VARCHAR), '[^1-9]', '', 'g'),
+            1, 1) AS INT) AS digit
+        FROM lineitem WHERE l_extendedprice IS NOT NULL),
+ c AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit IS NOT NULL GROUP BY 1),
+ t AS (SELECT SUM(n) AS total FROM c)
+SELECT digit, n, n / total AS obs_freq,
+       LOG10(1.0 + 1.0 / digit) AS benford_freq,
+       ABS(n / total - LOG10(1.0 + 1.0 / digit)) AS abs_dev
+FROM c, t""",
+    cols=["digit", "n", "obs_freq", "benford_freq", "abs_dev"],
+    fcols=["obs_freq", "benford_freq", "abs_dev"],
+)
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen on prices (the classic fabricated-
+    data / unit-mixing detector): observed leading-digit frequencies
+    vs log10(1 + 1/d). The digit comes from the string rendering
+    (first char in 1-9) so both engines extract identically with no
+    log-boundary ambiguity; one aggregate + one 9-row projection."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    digit = F.substring(
+        F.regexp_replace(F.col("l_extendedprice").cast("string"), "[^1-9]", ""),
+        1, 1,
+    ).cast("int")
+    c = li.select(digit.alias("digit")).filter(
+        F.col("digit").isNotNull()
+    ).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "digit", "n",
+        (F.col("n") / F.col("total")).alias("obs_freq"),
+        benford.alias("benford_freq"),
+        F.abs(F.col("n") / F.col("total") - benford).alias("abs_dev"),
+    )
+
+
+@q(
     "o7_unpivot",
     """SELECT l_orderkey AS okey, l_linenumber AS lnum, measure, value
        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
