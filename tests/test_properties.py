@@ -210,3 +210,102 @@ def test_scrub_is_idempotent_and_counts(spark, n_urls, n_emails, seed):
     ).collect()[0]
     assert again.clean_text == row.clean_text
     assert again.n_urls == 0 and again.n_emails == 0
+
+
+def test_triple_barrier_matches_pandas_reference(spark):
+    """Property check vs an independent O(n*H) pandas walk on a seeded
+    random-walk panel: label and bars-to-hit agree everywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.labels import (
+        triple_barrier_labels,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for sym in ("X", "Y", "Z"):
+        n = 300
+        px = 100.0 * np.exp(np.cumsum(rng.normal(0, 0.01, n)))
+        frames.append(pd.DataFrame({"sym": sym, "t": range(n), "close": px}))
+    pdf = pd.concat(frames, ignore_index=True)
+
+    H, UP, DN = 12, 0.015, 0.02
+
+    def ref(group):
+        px = group["close"].to_numpy()
+        lab, th = [], []
+        for i in range(len(px)):
+            up, dn = px[i] * (1 + UP), px[i] * (1 - DN)
+            got = (0, None)
+            for k in range(1, min(H, len(px) - 1 - i) + 1):
+                x = px[i + k]
+                if x >= up:
+                    got = (1, k); break
+                if x <= dn:
+                    got = (-1, k); break
+            lab.append(got[0]); th.append(got[1])
+        return group.assign(want_label=lab, want_t=th)
+
+    want = pdf.groupby("sym", group_keys=False)[pdf.columns].apply(ref)
+    got = triple_barrier_labels(
+        spark.createDataFrame(pdf), "close", keys=["sym"], order="t",
+        horizon=H, up_pct=UP, dn_pct=DN,
+    ).toPandas()
+    mrg = got.merge(want, on=["sym", "t"], suffixes=("", "_w"))
+    assert len(mrg) == len(pdf)
+    assert (mrg["tb_label"] == mrg["want_label"]).all()
+    lhs = mrg["tb_t_hit"].astype("float64")
+    rhs = mrg["want_t"].astype("float64")
+    assert ((lhs == rhs) | (lhs.isna() & rhs.isna())).all()
+
+
+def test_funnel_matches_bruteforce_reference(spark):
+    """Property check vs a per-user brute-force scan on random event
+    streams: step timestamps and completion counts agree."""
+    import numpy as np
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    rng = np.random.default_rng(23)
+    types = ["A", "B", "C", "noise"]
+    rows = []
+    for u in range(60):
+        for _ in range(rng.integers(1, 25)):
+            rows.append((f"u{u}", types[rng.integers(0, 4)],
+                         int(rng.integers(0, 10_000))))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "t"])
+
+    def ref(user_events):
+        ev = sorted(user_events, key=lambda r: r[1])
+        t1 = min((t for ty, t in ev if ty == "A"), default=None)
+        if t1 is None:
+            return None
+        t2 = min((t for ty, t in ev if ty == "B" and t > t1), default=None)
+        t3 = (min((t for ty, t in ev if ty == "C" and t > t2), default=None)
+              if t2 is not None else None)
+        return (t1, t2, t3)
+
+    want = {}
+    for u, grp in pdf.groupby("user_id"):
+        r = ref(list(zip(grp["event_type"], grp["t"])))
+        if r is not None:
+            want[u] = r
+
+    ev = spark.createDataFrame(pdf).select(
+        "user_id", "event_type",
+        __import__("pyspark.sql.functions", fromlist=["timestamp_seconds"])
+        .timestamp_seconds("t").alias("ts"),
+    )
+    got = {
+        r["user_id"]: (r["t_step_1"], r["t_step_2"], r["t_step_3"])
+        for r in funnel_steps(ev, ["A", "B", "C"]).collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        w = tuple(float(x) if x is not None else None for x in want[u])
+        g = tuple(float(x) if x is not None else None for x in got[u])
+        assert g == w, (u, g, w)
