@@ -3829,6 +3829,38 @@ def st12_rollup_distinct(spark, sf_dir):
     )
 
 
+@q("st14_rollup_percentiles", None)
+def st14_rollup_percentiles(spark, sf_dir):
+    # continuous-aggregate percentiles via MERGEABLE fixed-bin
+    # histogram states (elementwise-add merge; estimate bounded by the
+    # bin width — pytest-asserted vs exact percentiles, rows-only here
+    # since the estimator is interpolation-specific)
+    import tempfile
+
+    from .store.rollup import RollupStore
+
+    ev = _t(spark, sf_dir, "events")
+    mid = ev.select(
+        F.expr("percentile_approx(cast(ts as double), 0.5)")
+    ).first()[0]
+    store = RollupStore(
+        spark, tempfile.mkdtemp(prefix="adi_rollup_hist_") + "/t",
+        keys=["event_type"], val_cols=["value"], bucket_seconds=7 * 86400,
+        hist_cols={"value": (0.0, 1000.0, 100)},
+    )
+    store.upsert_rollup(
+        ev.filter(F.col("ts").cast("double") < mid), ts_col="ts", batch_id="b1"
+    )
+    store.upsert_rollup(
+        ev.filter(F.col("ts").cast("double") >= mid), ts_col="ts", batch_id="b2"
+    )
+    store.compact_rollup()
+    return store.read_rollup(finalize=True).select(
+        "event_type", "bucket_ts", "n_value",
+        "p50_value", "p95_value", "p99_value",
+    )
+
+
 @q("sim_ivf_index_topk", None)
 def sim_ivf_index(spark, sf_dir):
     # persisted-IVF serving path: build the partitioned index once,

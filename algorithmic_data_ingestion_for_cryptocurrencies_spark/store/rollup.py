@@ -89,10 +89,21 @@ def rollup_state(
     val_cols: Sequence[str],
     batch_id: str,
     distinct_cols: Sequence[str] = (),
+    hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
 ) -> DataFrame:
     """Per-(keys, bucket_ts) mergeable aggregation state for each value
     column: count, sum, min, max, sum of squares. ``bucket_ts`` is the
     bucket's start epoch second.
+
+    ``hist_cols`` maps a column to fixed bin edges ``(lo, hi, nbins)``
+    and adds a MERGEABLE histogram state (``array<long>`` of
+    ``nbins + 2`` counts: underflow, bins, overflow): histograms of
+    the same binning merge by element-wise addition, so the rollup
+    gains approximate PERCENTILES over the stream (finalized to
+    p50/p95/p99 by cumulative interpolation) — the continuous-
+    aggregate percentile feature, with deterministic fixed bins
+    instead of a sketch so the state is engine-portable and the
+    estimate error is bounded by the bin width.
 
     ``distinct_cols`` adds an incremental APPROX-DISTINCT state per
     column: an HLL sketch (``hll_sketch_agg``, binary, ~1.5 KB at the
@@ -116,6 +127,22 @@ def rollup_state(
         ]
     for c in distinct_cols:
         aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
+    for c, (lo, hi, nbins) in (hist_cols or {}).items():
+        v = F.col(c).cast("double")
+        idx = F.when(v < lo, F.lit(0)).when(v >= hi, F.lit(nbins + 1)).otherwise(
+            (F.floor((v - lo) / (hi - lo) * nbins) + 1).cast("int")
+        )
+        one_hot = F.transform(
+            F.sequence(F.lit(0), F.lit(nbins + 1)),
+            lambda i: F.when(i == idx, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+        )
+        aggs.append(
+            F.aggregate(
+                F.collect_list(one_hot),
+                F.array(*[F.lit(0).cast("long")] * (nbins + 2)),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b2: a + b2),
+            ).alias(f"hist_{c}")
+        )
     return (
         df.withColumn("bucket_ts", b)
         .groupBy(*keys, "bucket_ts")
@@ -126,7 +153,8 @@ def rollup_state(
 
 def merge_rollup_states(
     states: DataFrame, *, keys: Sequence[str], val_cols: Sequence[str],
-    distinct_cols: Sequence[str] = ()
+    distinct_cols: Sequence[str] = (),
+    hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
 ) -> DataFrame:
     """Merge partial states across batches: counts/sums/sumsq add,
     min/max combine, HLL sketches union. Associative + commutative, so
@@ -143,17 +171,52 @@ def merge_rollup_states(
         ]
     for c in distinct_cols:
         aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
+    for c, (_lo, _hi, nbins) in (hist_cols or {}).items():
+        aggs.append(
+            F.aggregate(
+                F.collect_list(f"hist_{c}"),
+                F.array(*[F.lit(0).cast("long")] * (nbins + 2)),
+                lambda acc, x: F.zip_with(acc, x, lambda a, b2: a + b2),
+            ).alias(f"hist_{c}")
+        )
     return states.groupBy(*keys, "bucket_ts").agg(*aggs)
 
 
 def finalize_rollup(
     state: DataFrame, *, val_cols: Sequence[str],
-    distinct_cols: Sequence[str] = ()
+    distinct_cols: Sequence[str] = (),
+    hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
+    percentiles: Sequence[float] = (0.5, 0.95, 0.99),
 ) -> DataFrame:
     """Finalize merged states into count/mean/min/max/std (population
     std via E[x²]−E[x]², clamped at 0 against FP negatives) and HLL
     sketches into approx-distinct estimates."""
     out = state
+    for c, (lo, hi, nbins) in (hist_cols or {}).items():
+        h = F.col(f"hist_{c}")
+        total = F.aggregate(h, F.lit(0).cast("long"), lambda a, x: a + x)
+        width = (hi - lo) / nbins
+        for p in percentiles:
+            # first bin where the cumulative count reaches p*total,
+            # linearly interpolated inside the bin; clamps at the
+            # under/overflow edges
+            target = F.ceil(total.cast("double") * p)
+            cum = F.transform(
+                F.sequence(F.lit(0), F.lit(nbins + 1)),
+                lambda i: F.aggregate(
+                    F.slice(h, 1, (i + 1).cast("int")),
+                    F.lit(0).cast("long"), lambda a, x: a + x,
+                ),
+            )
+            idx = F.array_position(
+                F.transform(cum, lambda cv: cv >= target), True
+            )  # 1-based position into [underflow, b1..bn, overflow]
+            est = F.when(idx <= 1, F.lit(float(lo))).when(
+                idx >= nbins + 2, F.lit(float(hi))
+            ).otherwise(F.lit(lo) + (idx.cast("double") - 1.0) * width)
+            name = f"p{int(p * 100)}_{c}"
+            out = out.withColumn(name, F.when(total > 0, est))
+        out = out.drop(f"hist_{c}")
     for c in distinct_cols:
         out = out.withColumn(
             f"approx_distinct_{c}",
@@ -185,12 +248,14 @@ class RollupStore:
         val_cols: Sequence[str],
         bucket_seconds: int,
         distinct_cols: Sequence[str] = (),
+        hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
     ):
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.val_cols = list(val_cols)
         self.distinct_cols = list(distinct_cols)
+        self.hist_cols = dict(hist_cols or {})
         self.bucket_seconds = bucket_seconds
         # serializes in-process ingest vs compaction: without it a
         # compaction snapshot can catch HALF of an in-flight append's
@@ -286,6 +351,7 @@ class RollupStore:
                 val_cols=self.val_cols,
                 batch_id=batch_id,
                 distinct_cols=self.distinct_cols,
+                hist_cols=self.hist_cols,
             )
             state.write.mode("append").parquet(self.path)
 
@@ -298,12 +364,13 @@ class RollupStore:
         )
         merged = merge_rollup_states(
             states, keys=self.keys, val_cols=self.val_cols,
-            distinct_cols=self.distinct_cols,
+            distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
         )
         if not finalize:
             return merged
         return finalize_rollup(
-            merged, val_cols=self.val_cols, distinct_cols=self.distinct_cols
+            merged, val_cols=self.val_cols,
+            distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
         )
 
     def compact_rollup(self, *, min_bucket_ts: int | None = None) -> None:
@@ -352,7 +419,7 @@ class RollupStore:
             ]
             merged = merge_rollup_states(
                 states, keys=self.keys, val_cols=self.val_cols,
-                distinct_cols=self.distinct_cols,
+                distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
             ).withColumn("batch_id", F.lit(gen_tag))
 
             # stage the new generation, then move its part files INTO

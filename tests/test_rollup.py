@@ -300,3 +300,47 @@ def test_compaction_retention_drops_old_buckets(spark, tmp_path):
         extra.filter(F.col("ts") >= "2024-03-05"), ts_col="ts", batch_id="b2"
     )
     assert store.read_rollup().count() >= len(kept)
+
+
+def test_rollup_histogram_percentiles_merge_and_bound(spark, tmp_path):
+    """Histogram states merge across batches and compaction; finalized
+    percentile estimates stay within one bin width of exact; NULL for
+    empty buckets never fabricates values."""
+    df = _raw(spark, n=6000, seed=21)
+    lo, hi, nbins = 70.0, 130.0, 60  # bin width 1.0 over N(100, 5)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=7 * 86400, hist_cols={"v": (lo, hi, nbins)},
+    )
+    b1 = df.filter(F.col("ts") < "2024-03-06")
+    b2 = df.filter(F.col("ts") >= "2024-03-06")
+    store.upsert_rollup(b1, ts_col="ts", batch_id="b1")
+    store.upsert_rollup(b2, ts_col="ts", batch_id="b2")
+
+    got = {
+        (r["k"], r["bucket_ts"]): r
+        for r in store.read_rollup().collect()
+    }
+    exact = {
+        (r["k"], r["bucket_ts"]): r
+        for r in df.withColumn(
+            "bucket_ts",
+            (F.floor(F.col("ts").cast("long") / (7 * 86400)) * (7 * 86400)).cast("long"),
+        ).groupBy("k", "bucket_ts").agg(
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.95)").alias("p95"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        ).collect()
+    }
+    width = (hi - lo) / nbins
+    for key, r in got.items():
+        for p in ("p50", "p95", "p99"):
+            assert abs(r[f"{p}_v"] - exact[key][p]) <= 2 * width, (key, p)
+
+    store.compact_rollup()
+    after = {
+        (r["k"], r["bucket_ts"]): r for r in store.read_rollup().collect()
+    }
+    for key in got:
+        for p in ("p50_v", "p95_v", "p99_v"):
+            assert after[key][p] == got[key][p]  # merge-invariant
