@@ -309,3 +309,65 @@ def test_funnel_matches_bruteforce_reference(spark):
         w = tuple(float(x) if x is not None else None for x in want[u])
         g = tuple(float(x) if x is not None else None for x in got[u])
         assert g == w, (u, g, w)
+
+
+def test_psi_identity_and_separation(spark):
+    """PSI of a distribution against itself is ~0; PSI of disjoint
+    ranges is large; the baseline anchors the bins (shifted current
+    data lands in edge bins, still detected)."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        psi_drift,
+    )
+
+    base = spark.range(0, 5000).select(
+        ((F.col("id") * 7919) % 1000).cast("double").alias("x")
+    )
+    same = {r["psi"] for r in psi_drift(base, base, col="x").collect()}
+    assert max(same) < 1e-9
+
+    shifted = base.select((F.col("x") + 5000.0).alias("x"))
+    far = [r["psi"] for r in psi_drift(base, shifted, col="x").collect()]
+    assert far[0] > 1.0  # everything lands in the top edge bin
+
+
+def test_sessionize_matches_gap_partition_reference(spark):
+    """Session ordinals equal a driver-side gap-partitioned reference
+    on random per-user event times."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.resample import (
+        sessionize,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for u in range(40):
+        ts = sorted(set(rng.integers(0, 100_000, rng.integers(2, 40)).tolist()))
+        rows += [(f"u{u}", int(t)) for t in ts]
+    df = spark.createDataFrame(rows, ["user", "t"]).select(
+        "user", F.timestamp_seconds("t").alias("ts"), "t"
+    )
+    GAP = 900
+    got = {
+        (r["user"], r["t"]): r["session_id"]
+        for r in sessionize(
+            df, keys=["user"], ts_col="ts", gap_seconds=GAP,
+            tiebreak_cols=["t"],
+        ).collect()
+    }
+    by_user: dict = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        sid = 0
+        prev = None
+        for t in ts:
+            if prev is None or t - prev > GAP:
+                sid += 1
+            assert got[(u, t)] == sid, (u, t, got[(u, t)], sid)
+            prev = t
