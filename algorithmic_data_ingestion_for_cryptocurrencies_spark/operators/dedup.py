@@ -583,10 +583,13 @@ def cross_doc_repetition(
     """Corpus-level boilerplate signal (the bounded cousin of
     substring dedup a la 'Deduplicating Training Data Makes Language
     Models Better'): for each document, the fraction of its distinct
-    word n-gram shingles that appear in at least ``min_docs`` OTHER
-    documents too — headers, footers, navigation chrome, and license
-    blocks score high; original prose scores low. Downstream filters
-    drop or de-prioritize high-``repeated_frac`` docs.
+    word n-gram shingles that appear in at least ``min_docs``
+    documents overall — i.e. in at least ``min_docs - 1`` OTHER
+    documents (the doc-frequency count includes the document itself;
+    ``min_docs=1`` marks every shingle repeated). Headers, footers,
+    navigation chrome, and license blocks score high; original prose
+    scores low. Downstream filters drop or de-prioritize
+    high-``repeated_frac`` docs.
 
     Scale shape, all linear: distinct (doc, shingle) rows (the
     explode's partial dedup completes map-side because a document

@@ -47,6 +47,8 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:  # empty edge list: no nodes, not a ZeroDivisionError
+        return nodes.withColumn("pagerank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
     e_w = e.join(deg, "src").localCheckpoint(eager=False)
 

@@ -497,9 +497,13 @@ def purged_train_mask(
     )
     t = F.col(ts_col).cast("double")
     is_val = F.col(fold_col) == val_fold
-    in_embargo = (
+    # coalesce to False: an EMPTY validation fold yields NULL bounds,
+    # and a NULL embargo predicate must not silently void the whole
+    # training set (every row stays trainable instead)
+    in_embargo = F.coalesce(
         (t >= F.col("__vlo") - embargo_seconds)
-        & (t <= F.col("__vhi") + embargo_seconds)
+        & (t <= F.col("__vhi") + embargo_seconds),
+        F.lit(False),
     )
     return (
         d.crossJoin(F.broadcast(bounds))

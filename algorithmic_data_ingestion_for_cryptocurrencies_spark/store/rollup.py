@@ -37,9 +37,13 @@ compaction). Compaction never rewrites the directory in place:
    (``__compacted_g{N}``) and its files are MOVED INTO the table dir
    alongside the old ones — appends racing past the snapshot are
    other files and are never touched;
-3. the sidecar manifest (``_rollup_manifest.json`` — underscore
-   prefix, invisible to parquet readers) is atomically renamed into
-   place recording the new generation AND every batch_id folded into
+3. the sidecar manifest (``_rollup_manifest.g{N}.json`` — underscore
+   prefix, invisible to parquet readers; generation-suffixed so the
+   commit rename targets a FRESH name and the previous manifest is
+   never deleted before its successor exists — readers resolve the
+   max generation, so no crash window can reset the store to
+   generation 0) is atomically renamed into place recording the new
+   generation AND every batch_id folded into
    it. **The manifest rename is the commit point**: readers keep only
    the manifest's generation of compacted rows and drop any row whose
    batch_id the manifest lists as folded — so a crash before the
@@ -67,12 +71,15 @@ raw on every backfill); this is the beyond-reference scale surface.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 COMPACTED_PREFIX = "__compacted"
+MANIFEST_PREFIX = "_rollup_manifest"
+# legacy single-file manifest name (pre-generation-suffix layout)
 MANIFEST_NAME = "_rollup_manifest.json"
 
 
@@ -132,16 +139,18 @@ def rollup_state(
         idx = F.when(v < lo, F.lit(0)).when(v >= hi, F.lit(nbins + 1)).otherwise(
             (F.floor((v - lo) / (hi - lo) * nbins) + 1).cast("int")
         )
-        one_hot = F.transform(
-            F.sequence(F.lit(0), F.lit(nbins + 1)),
-            lambda i: F.when(i == idx, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-        )
+        # one conditional count per bin (nbins+2 sum aggregates, then
+        # assembled into the array) — the partial aggregate reduces
+        # MAP-SIDE with O(nbins) state per group, unlike a
+        # collect_list of one-hot arrays which would materialize
+        # rows x (nbins+2) longs per hot bucket before reducing
         aggs.append(
-            F.aggregate(
-                F.collect_list(one_hot),
-                F.array(*[F.lit(0).cast("long")] * (nbins + 2)),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b2: a + b2),
-            ).alias(f"hist_{c}")
+            F.array(*[
+                F.sum(
+                    F.when(idx == i, F.lit(1)).otherwise(F.lit(0)).cast("long")
+                )
+                for i in range(nbins + 2)
+            ]).alias(f"hist_{c}")
         )
     return (
         df.withColumn("bucket_ts", b)
@@ -172,12 +181,13 @@ def merge_rollup_states(
     for c in distinct_cols:
         aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     for c, (_lo, _hi, nbins) in (hist_cols or {}).items():
+        # element-wise sum per bin slot (map-side combining, O(nbins)
+        # state) rather than collecting one array per batch per group
         aggs.append(
-            F.aggregate(
-                F.collect_list(f"hist_{c}"),
-                F.array(*[F.lit(0).cast("long")] * (nbins + 2)),
-                lambda acc, x: F.zip_with(acc, x, lambda a, b2: a + b2),
-            ).alias(f"hist_{c}")
+            F.array(*[
+                F.sum(F.element_at(F.col(f"hist_{c}"), i + 1))
+                for i in range(nbins + 2)
+            ]).alias(f"hist_{c}")
         )
     return states.groupBy(*keys, "bucket_ts").agg(*aggs)
 
@@ -271,11 +281,29 @@ class RollupStore:
         Path = jvm.org.apache.hadoop.fs.Path
         return Path(self.path).getFileSystem(conf), Path
 
-    def _read_manifest(self) -> dict:
+    def _manifest_files(self):
+        """(generation, hadoop Path) for every manifest file present —
+        generation-suffixed ``_rollup_manifest.g{N}.json`` plus the
+        legacy unsuffixed ``_rollup_manifest.json`` (generation read
+        from its body)."""
         fs, Path = self._fs()
-        p = Path(self.path.rstrip("/") + "/" + MANIFEST_NAME)
-        if not fs.exists(p):
-            return {"generation": 0, "compacted_batch_ids": []}
+        root = Path(self.path)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isFile() and name.startswith(MANIFEST_PREFIX)
+                    and name.endswith(".json")):
+                continue
+            m = re.match(rf"{MANIFEST_PREFIX}\.g(\d+)\.json$", name)
+            if m:
+                out.append((int(m.group(1)), st.getPath()))
+            elif name == MANIFEST_NAME:  # legacy layout
+                out.append((-1, st.getPath()))
+        return out
+
+    def _read_manifest_file(self, fs, p) -> dict:
         stream = fs.open(p)
         try:
             data = []
@@ -288,20 +316,51 @@ class RollupStore:
         finally:
             stream.close()
 
+    def _read_manifest(self) -> dict:
+        """Committed manifest = the highest-generation manifest file.
+        Manifests are never deleted before their successor exists
+        (see :meth:`_write_manifest`), so a crash anywhere leaves at
+        least the previous committed manifest readable — the store
+        can never silently reset to generation 0 while
+        ``__compacted_g{N}`` rows exist."""
+        fs, _Path = self._fs()
+        files = self._manifest_files()
+        if not files:
+            return {"generation": 0, "compacted_batch_ids": []}
+        best: dict | None = None
+        for gen, p in sorted(files):  # ascending: suffixed beats legacy
+            try:
+                best = self._read_manifest_file(fs, p)
+            except Exception:
+                continue  # torn/corrupt file: fall back to older gen
+        return best if best is not None else {
+            "generation": 0, "compacted_batch_ids": []
+        }
+
     def _write_manifest(self, manifest: dict) -> None:
-        """Write-then-rename: the rename IS the compaction commit."""
+        """Commit = atomic rename of a tmp file onto the NEW
+        generation-suffixed name (``_rollup_manifest.g{N}.json``).
+        The previous manifest is only swept AFTER the new one exists,
+        so there is no window with no manifest on disk; a crash
+        mid-sweep leaves stale lower-generation manifests that
+        :meth:`_read_manifest` resolves away by max. (Rename
+        atomicity is filesystem-level: local FS/HDFS yes, bare object
+        stores need a conditional-put.)"""
         fs, Path = self._fs()
         base = self.path.rstrip("/")
-        tmp = Path(base + "/." + MANIFEST_NAME + ".tmp")
+        gen = manifest["generation"]
+        name = f"{MANIFEST_PREFIX}.g{gen}.json"
+        tmp = Path(base + "/." + name + ".tmp")
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(json.dumps(manifest).encode("utf-8")))
         finally:
             out.close()
-        final = Path(base + "/" + MANIFEST_NAME)
-        if fs.exists(final):
-            fs.delete(final, False)
-        fs.rename(tmp, final)
+        fs.rename(tmp, Path(base + "/" + name))
+        # sweep superseded manifests (best-effort, post-commit)
+        for g, p in self._manifest_files():
+            if g < gen:
+                fs.delete(p, False)
 
     def _data_files(self) -> list[str]:
         """Visible parquet part files currently in the table dir."""

@@ -181,3 +181,21 @@ def test_pagerank_authority_ordering_and_conservation(spark):
         assert all(v > 0 for v in pr.values())
         assert pr["b"] > pr["c"]          # extra in-link
         assert pr["a"] == pr["c"]         # identical in-link structure
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """r5-advice regression: an empty edge list returns an empty
+    (node, pagerank) frame instead of ZeroDivisionError."""
+    from pyspark.sql import functions as F, types as T
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.StringType()),
+            T.StructField("dst", T.StringType()),
+        ])
+    )
+    out = pagerank(empty, iterations=3)
+    assert out.columns == ["node", "pagerank"]
+    assert out.count() == 0

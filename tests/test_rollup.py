@@ -344,3 +344,81 @@ def test_rollup_histogram_percentiles_merge_and_bound(spark, tmp_path):
     for key in got:
         for p in ("p50_v", "p95_v", "p99_v"):
             assert after[key][p] == got[key][p]  # merge-invariant
+
+
+def test_manifest_never_absent_and_stale_generations_resolved(spark, tmp_path):
+    """r5-advice regression: the commit must never pass through a
+    no-manifest window. Manifests are generation-suffixed; a crash
+    mid-sweep (old AND new manifest both on disk) resolves to the max
+    generation, and a reader never resets to generation 0 while
+    __compacted_g{N} rows exist."""
+    import json as _json
+    import os
+
+    df = _raw(spark, n=1500)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    store.upsert_rollup(df, ts_col="ts", batch_id="b1")
+    want = _sorted(store.read_rollup().toPandas())
+    store.compact_rollup()
+
+    names = sorted(
+        n for n in os.listdir(store.path) if n.startswith("_rollup_manifest")
+    )
+    assert names == ["_rollup_manifest.g1.json"]
+
+    # crash mid-sweep: a stale generation-0-era manifest survives next
+    # to the committed one — read must pick the higher generation
+    stale = tmp_path / "r" / "_rollup_manifest.g0.json"
+    stale.write_text(_json.dumps({"generation": 0, "compacted_batch_ids": []}))
+    got = _sorted(store.read_rollup().toPandas())
+    assert got.n_v.equals(want.n_v)
+    np.testing.assert_allclose(got.mean_v, want.mean_v, rtol=1e-12)
+    assert store._read_manifest()["generation"] == 1
+
+    # a torn (half-written) NEWEST manifest falls back to the previous
+    # committed generation instead of erroring or resetting to 0
+    torn = tmp_path / "r" / "_rollup_manifest.g2.json"
+    torn.write_text('{"generation": 2, "compacted_batch')
+    assert store._read_manifest()["generation"] == 1
+    torn.unlink()
+
+    # next compaction sweeps the stale manifest and commits g2
+    store.upsert_rollup(df, ts_col="ts", batch_id="b2")
+    store.compact_rollup()
+    names = sorted(
+        n for n in os.listdir(store.path) if n.startswith("_rollup_manifest")
+    )
+    assert names == ["_rollup_manifest.g2.json"]
+
+
+def test_manifest_legacy_unsuffixed_layout_still_read(spark, tmp_path):
+    """Tables written before the generation-suffixed manifests (plain
+    _rollup_manifest.json) stay readable, and the next compaction
+    migrates them to the suffixed layout."""
+    import os
+
+    df = _raw(spark, n=1200)
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=3600,
+    )
+    store.upsert_rollup(df, ts_col="ts", batch_id="b1")
+    want = _sorted(store.read_rollup().toPandas())
+    store.compact_rollup()
+    # rewrite as the legacy layout
+    src = tmp_path / "r" / "_rollup_manifest.g1.json"
+    dst = tmp_path / "r" / "_rollup_manifest.json"
+    dst.write_text(src.read_text())
+    src.unlink()
+    assert store._read_manifest()["generation"] == 1
+    got = _sorted(store.read_rollup().toPandas())
+    assert got.n_v.equals(want.n_v)
+    store.upsert_rollup(df, ts_col="ts", batch_id="b2")
+    store.compact_rollup()
+    names = sorted(
+        n for n in os.listdir(store.path) if n.startswith("_rollup_manifest")
+    )
+    assert names == ["_rollup_manifest.g2.json"]

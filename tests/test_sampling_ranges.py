@@ -560,3 +560,26 @@ def test_sessionize_gap_semantics(spark):
     assert got[("u1", 0)] == got[("u1", 100)] == got[("u1", 1900)] == 1
     assert got[("u1", 3701)] == 2
     assert got[("u2", 50)] == 1
+
+
+def test_purged_mask_empty_val_fold_keeps_training_set(spark):
+    """r5-advice regression: an empty validation fold gives NULL
+    embargo bounds; the embargo predicate must coalesce to False so
+    every row stays trainable instead of silently dropping the whole
+    training set."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sampling import (
+        purged_train_mask,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("rid"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+    )
+    # fold ids are 1..n_folds; fold 99 can never be populated
+    out = purged_train_mask(
+        df, ts_col="ts", n_folds=5, val_fold=99, embargo_seconds=600
+    ).collect()
+    assert all(not r["is_val"] for r in out)
+    assert all(r["is_train"] for r in out)
