@@ -43,14 +43,42 @@ def _stub_sentiment(text: str) -> tuple[str, float, float]:
     return (label, score, score if label == "POSITIVE" else -score)
 
 
-@F.pandas_udf(SENTIMENT_SCHEMA)
-def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
-    """Arrow-batched sentiment inference: struct<label, score,
-    score_signed> per text (U3). Batch size = Arrow batch — the model
-    call amortizes across the batch exactly like the reference's
-    thread-pooled ``predict(texts)``."""
-    rows = [_stub_sentiment(t) for t in texts]
-    return pd.DataFrame(rows, columns=["label", "score", "score_signed"])
+def _stub_sentiment_model():
+    """Default model handle: batch-apply the deterministic stub."""
+    return lambda texts: [_stub_sentiment(t) for t in texts]
+
+
+def make_sentiment_udf(model_factory=None):
+    """Build the U3 sentiment UDF around an injectable model handle
+    (r5 verdict #6: prove "swap the stub for a real model and nothing
+    else changes"). ``model_factory()`` must return a callable
+    ``predict(list[str]) -> list[(label, score, score_signed)]`` —
+    the transformers-pipeline contract
+    (``ml_utils.py:16-68`` normalizes to exactly this shape).
+
+    The factory runs LAZILY, once per executor Python worker, on the
+    first Arrow batch (the standard heavyweight-model pattern: the
+    pickled closure ships the *factory*, each worker loads its own
+    model instance; a broadcast variable works the same way — pass
+    ``lambda: bc.value`` as the factory)."""
+    factory = model_factory or _stub_sentiment_model
+    holder: list = []
+
+    @F.pandas_udf(SENTIMENT_SCHEMA)
+    def udf(texts: pd.Series) -> pd.DataFrame:
+        if not holder:
+            holder.append(factory())
+        rows = holder[0](list(texts))
+        return pd.DataFrame(rows, columns=["label", "score", "score_signed"])
+
+    return udf
+
+
+#: Default U3 instance (deterministic stub model) — Arrow-batched
+#: sentiment inference: struct<label, score, score_signed> per text.
+#: Batch size = Arrow batch — the model call amortizes across the
+#: batch exactly like the reference's thread-pooled ``predict(texts)``.
+sentiment_udf = make_sentiment_udf()
 
 
 EMBEDDING_DIM = 384
@@ -70,12 +98,35 @@ def _stub_embed(text: str, dim: int = EMBEDDING_DIM) -> list[float]:
     return [x / mag for x in out]
 
 
-@F.pandas_udf(ArrayType(FloatType()))
-def embedding_udf(texts: pd.Series) -> pd.Series:
-    """Arrow-batched text embedding: array<float> per text (U4).
-    Array column (not emb_0..emb_383 wide columns) is the Spark-native
-    shape; wide-column parity = ``select(col('emb')[i] ...)``."""
-    return texts.map(_stub_embed)
+def _stub_embedding_model():
+    """Default encoder handle: batch-apply the deterministic stub."""
+    return lambda texts: [_stub_embed(t) for t in texts]
+
+
+def make_embedding_udf(model_factory=None):
+    """Build the U4 embedding UDF around an injectable encoder handle.
+    ``model_factory()`` must return a callable
+    ``encode(list[str]) -> list[list[float]]`` — the
+    SentenceTransformer contract (``nlp_embeddings.py:8-36``). Same
+    lazy once-per-worker initialization as
+    :func:`make_sentiment_udf`."""
+    factory = model_factory or _stub_embedding_model
+    holder: list = []
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def udf(texts: pd.Series) -> pd.Series:
+        if not holder:
+            holder.append(factory())
+        return pd.Series(holder[0](list(texts)))
+
+    return udf
+
+
+#: Default U4 instance (deterministic stub encoder) — Arrow-batched
+#: text embedding: array<float> per text. Array column (not
+#: emb_0..emb_383 wide columns) is the Spark-native shape; wide-column
+#: parity = ``select(col('emb')[i] ...)``.
+embedding_udf = make_embedding_udf()
 
 
 # ---------------------------------------------------------------------------

@@ -39,6 +39,7 @@ def exact_dedup(
     content_cols: Sequence[str],
     *,
     tiebreak_col: str,
+    strategy: str = "window",
 ) -> DataFrame:
     """Keep exactly one row (min tiebreak, ties broken by row_number)
     per distinct content — a single shuffle on the content hash.
@@ -47,17 +48,40 @@ def exact_dedup(
     column joins the sort as a secondary key so the survivor is
     deterministic across runs even then (ADVICE r2: a tiebreak tie
     previously picked an arbitrary row, which breaks hash-compared
-    reruns)."""
+    reruns).
+
+    ``strategy="agg"`` expresses the same survivor choice as one
+    ``min_by(struct(row), struct(tiebreak, *secondary))`` hash
+    AGGREGATE instead of a row_number window. Aggregates get a
+    map-side PARTIAL combine, so duplicate rows co-located in a scan
+    partition collapse BEFORE the exchange — on replica-heavy corpora
+    (crawl snapshots, mirrored dumps) the shuffle ships unique keys,
+    not raw rows, and the reduce side needs no sort. Same survivor as
+    the window tier whenever no ordering column is NULL (struct
+    comparison ranks NULLs first; the window tier sorts them last) —
+    callers opt in where tiebreak keys are non-null."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
     key = F.xxhash64(*[normalize_text(c) for c in content_cols])
     unorderable = (T.MapType,)
-    secondary = [
-        F.col(f.name).asc_nulls_last()
+    sec_names = [
+        f.name
         for f in df.schema.fields
         if f.name != tiebreak_col and not isinstance(f.dataType, unorderable)
     ]
+    if strategy == "agg":
+        ord_key = F.struct(F.col(tiebreak_col), *[F.col(c) for c in sec_names])
+        row = F.struct(*[F.col(f.name) for f in df.schema.fields])
+        return (
+            df.withColumn("__content_key", key)
+            .groupBy("__content_key")
+            .agg(F.min_by(row, ord_key).alias("__surv"))
+            .select("__surv.*")
+        )
+    if strategy != "window":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    secondary = [F.col(c).asc_nulls_last() for c in sec_names]
     w = Window.partitionBy("__content_key").orderBy(
         F.col(tiebreak_col).asc_nulls_last(), *secondary
     )

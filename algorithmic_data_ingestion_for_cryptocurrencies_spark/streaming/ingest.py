@@ -31,6 +31,38 @@ def read_file_stream(
     )
 
 
+KAFKA_FORMAT = "kafka"
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    *,
+    starting_offsets: str = "latest",
+) -> dict[str, str]:
+    """Option assembly for the Kafka source, split out as a pure
+    function so the wire contract is unit-testable without the
+    connector jar (r5 verdict #7)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
+def parse_kafka_json(raw: DataFrame, schema: StructType) -> DataFrame:
+    """Project Kafka's wire frame (binary ``value`` plus topic/
+    partition/offset metadata) into typed columns via ``from_json`` —
+    the record-decode half of the Kafka reader, applicable to any
+    DataFrame with a castable ``value`` column, so tests drive it with
+    a static frame shaped like Kafka's output."""
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("r")
+    ).select("r.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -44,25 +76,20 @@ def read_kafka_stream(
     to the file-stream test path. Requires the spark-sql-kafka
     connector on the classpath (re-verified absent from this
     container's pyspark jars in r5, and no broker/network to test
-    against — the stream will fail at start() without it, which is why
-    tests use :func:`read_file_stream`). Unblocking checklist when a
-    connector exists: (1) parse-path parity is already covered — the
-    from_json projection below is the same code the file-stream tests
-    exercise; (2) run start_market_ingest against an embedded broker
-    with the same schema; (3) assert checkpoint/replay semantics match
-    the availableNow cursor tests in tests/test_ingest_roundtrip.py."""
-    from pyspark.sql import functions as F
-
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
-    )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r")
-    ).select("r.*")
+    against — the stream will fail at load() without it, which is why
+    tests use :func:`read_file_stream`). The two halves ARE covered
+    jar-free: :func:`kafka_source_options` (option contract) and
+    :func:`parse_kafka_json` (record decode on a Kafka-shaped static
+    frame) in tests/test_ingest_roundtrip.py. Unblocking checklist
+    when a connector exists: (1) run start_market_ingest against an
+    embedded broker with the same schema; (2) assert checkpoint/replay
+    semantics match the availableNow cursor tests."""
+    reader = spark.readStream.format(KAFKA_FORMAT)
+    for k, v in kafka_source_options(
+        bootstrap_servers, topic, starting_offsets=starting_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_json(reader.load(), schema)
 
 
 def start_market_ingest(

@@ -245,3 +245,25 @@ def test_book_state_at_last_write_wins_and_removals(spark):
     )
     r = book_state_at(dup, 1, keys=["symbol"], tiebreak_cols=["seq"]).collect()
     assert r[0]["amount"] == 2.0
+
+
+def test_exact_dedup_agg_strategy_matches_window(spark):
+    """The map-side-combining aggregate tier picks the identical
+    survivor set as the row_number window tier (non-null keys)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "id": np.arange(400),
+        "grp": rng.integers(0, 5, 400),
+        "text": [f"doc {i % 37} body" for i in range(400)],
+    })
+    df = spark.createDataFrame(pdf)
+    a = dedup.exact_dedup(df, ["text"], tiebreak_col="id").toPandas()
+    b = dedup.exact_dedup(
+        df, ["text"], tiebreak_col="id", strategy="agg"
+    ).toPandas()
+    a = a.sort_values("id").reset_index(drop=True)
+    b = b.sort_values("id").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b)

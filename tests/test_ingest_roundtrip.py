@@ -284,3 +284,59 @@ def test_periodic_ingest_processing_time_trigger(spark, tmp_path):
     finally:
         q.stop()
     assert got == set(range(5)) | set(range(100, 105))
+
+
+def test_kafka_contract_options_and_record_decode(spark):
+    """r5 verdict #7: the Kafka wire path can't run jar-free, but its
+    two halves can — (a) the source option contract, (b) the
+    from_json record decode driven by a static frame shaped like
+    Kafka's output (binary value + topic/partition/offset metadata)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.ingest import (
+        KAFKA_FORMAT,
+        kafka_source_options,
+        parse_kafka_json,
+    )
+
+    assert KAFKA_FORMAT == "kafka"
+    opts = kafka_source_options("broker1:9092,broker2:9092", "ticks")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "ticks",
+        "startingOffsets": "latest",
+    }
+    assert kafka_source_options("b:9092", "t", starting_offsets="earliest")[
+        "startingOffsets"
+    ] == "earliest"
+
+    schema = StructType([
+        StructField("symbol", StringType()),
+        StructField("ts", LongType()),
+        StructField("price", DoubleType()),
+    ])
+    records = [
+        {"symbol": "BTC/USDT", "ts": 1700000000000, "price": 42000.5},
+        {"symbol": "ETH/USDT", "ts": 1700000001000, "price": 2200.25},
+    ]
+    # Kafka's output schema: key/value binary + metadata columns
+    wire = spark.createDataFrame(
+        [
+            (None, json.dumps(r).encode("utf-8"), "ticks", 0, i, None)
+            for i, r in enumerate(records)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    out = parse_kafka_json(wire, schema)
+    assert out.schema == schema
+    rows = [r.asDict() for r in out.orderBy("ts").collect()]
+    assert rows == records
+    # a corrupt payload decodes to NULLs, never a stream-killing error
+    bad = spark.createDataFrame(
+        [(None, b"{not json", "ticks", 0, 0, None)], wire.schema
+    )
+    brow = parse_kafka_json(bad, schema).first()
+    assert brow["symbol"] is None and brow["price"] is None

@@ -265,3 +265,55 @@ def test_token_entropy_orders_diversity(spark):
     assert abs(got[2]["token_entropy"] - math.log(8)) < 1e-12  # uniform
     assert got[1]["type_token_ratio"] == 1 / 8
     assert got[2]["n_distinct"] == 8 and got[2]["n_tokens"] == 8
+
+
+def test_model_handle_injection_swaps_cleanly(spark):
+    """r5 verdict #6: sentiment_udf / embedding_udf accept an
+    injectable model factory; swapping the stub for another handle
+    changes ONLY the scores — schema, plumbing, and the default
+    instances stay identical."""
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.ml import (
+        SENTIMENT_SCHEMA,
+        make_embedding_udf,
+        make_sentiment_udf,
+        sentiment_udf,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["good day", "bad crash", "longer neutral text"]})
+    )
+
+    def fake_sentiment_factory():
+        # "model": positive iff even word count, score = n_words/10
+        def predict(texts):
+            out = []
+            for t in texts:
+                n = len(t.split())
+                lab = "POSITIVE" if n % 2 == 0 else "NEGATIVE"
+                s = n / 10.0
+                out.append((lab, s, s if lab == "POSITIVE" else -s))
+            return out
+        return predict
+
+    swapped = df.withColumn("s", make_sentiment_udf(fake_sentiment_factory)("text"))
+    assert swapped.schema["s"].dataType == SENTIMENT_SCHEMA
+    rows = {r["text"]: r["s"] for r in swapped.collect()}
+    assert rows["good day"]["label"] == "POSITIVE"
+    assert rows["good day"]["score_signed"] == 0.2
+    assert rows["longer neutral text"]["label"] == "NEGATIVE"
+    assert rows["longer neutral text"]["score_signed"] == -0.3
+
+    def fake_encoder_factory():
+        return lambda texts: [[float(len(t)), 1.0] for t in texts]
+
+    emb = df.withColumn("e", make_embedding_udf(fake_encoder_factory)("text"))
+    got = {r["text"]: r["e"] for r in emb.collect()}
+    assert got["good day"] == [8.0, 1.0]
+
+    # default instance still the deterministic stub (registry row
+    # ml_stub_udfs depends on it)
+    base = df.withColumn("s", sentiment_udf("text")).first()["s"]
+    again = df.withColumn("s", sentiment_udf("text")).first()["s"]
+    assert base == again

@@ -41,7 +41,7 @@ def window2x(df, n_levels=3, keys=("symbol",), ts_col="ts",
 
 def timed(df):
     best = None
-    for _ in range(7):
+    for _ in range(int(__import__("os").environ.get("DEPTH_REPS", "7"))):
         t0 = time.perf_counter()
         df.write.mode("overwrite").format("noop").save()
         dt = time.perf_counter() - t0
@@ -50,7 +50,8 @@ def timed(df):
 
 
 kw = dict(keys=["symbol"], tiebreak_cols=["okey", "lnum", "amount"])
-for sf_dir in ("/root/testdata/sf0.1", "/root/repo/testdata_scaled/sf1"):
+dirs = sys.argv[1:] or ["/root/testdata/sf0.1", "/root/repo/testdata_scaled/sf1"]
+for sf_dir in dirs:
     book = _book(spark, sf_dir)
     # warmup scan
     book.count()

@@ -27,7 +27,9 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import zlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -56,6 +58,81 @@ SHIFT_COLS: dict[str, list[tuple[str, str]]] = {
 TARGET_FILE_MB = 4  # small files -> every core gets scan work
 
 
+def _perturb_text(t: pa.Table, col: str, r: int) -> pa.Table:
+    """Replica-salted token map (r6 verdict #4): each vocabulary token
+    is deterministically either kept or suffixed with ``r{r}``
+    (crc32(token|replica) — ~75% of the vocab salted per replica; the
+    corpus vocabulary is tiny, so a 50% rate left some cross-replica
+    shingle overlap above the 0.12 pair threshold).
+    The map is INJECTIVE per replica and content-keyed, so every
+    intra-replica dedup/similarity relation (exact-dup classes,
+    shingle Jaccard, minhash bands) is preserved EXACTLY, while a
+    cross-replica 3-gram shingle survives only when all three tokens
+    stay unsalted in BOTH replicas (~(1/16)^3 — far below every pair
+    threshold). Pair output therefore stays LINEAR in replicas, so
+    the dedup/similarity families can be graded at sf10 instead of
+    skipped for quadratic scaling artifacts."""
+    field = t.schema.field(col)
+    cache: dict[str, str] = {}
+
+    def m(tok: str) -> str:
+        got = cache.get(tok)
+        if got is None:
+            got = (
+                f"{tok}r{r}"
+                if zlib.crc32(f"{tok}|{r}".encode()) & 3
+                else tok
+            )
+            cache[tok] = got
+        return got
+
+    out = [
+        None if s is None else " ".join(m(w) for w in s.split(" "))
+        for s in t[col].to_pylist()
+    ]
+    t = t.set_column(
+        t.schema.get_field_index(col), field, pa.array(out, type=field.type)
+    )
+    if "n_chars" in t.schema.names:  # keep the derived length honest
+        lens = pa.array(
+            [None if s is None else len(s) for s in out],
+            type=t.schema.field("n_chars").type,
+        )
+        t = t.set_column(
+            t.schema.get_field_index("n_chars"),
+            t.schema.field("n_chars"), lens,
+        )
+    return t
+
+
+def _perturb_embeddings(t: pa.Table, col: str, r: int) -> pa.Table:
+    """Per-replica sign-flip mask over the embedding dimensions: each
+    replica r>0 multiplies dimension d by a deterministic s_{r,d} in
+    {+1,-1}. Intra-replica dot products (and norms) are preserved
+    BIT-FOR-BIT — (s⊙v)·(s⊙w) = v·w — so every within-replica
+    similarity relation survives; cross-replica cosine becomes a
+    random-sign sum concentrated near 0, so verbatim replicas stop
+    reading as near-duplicates and ANN/near-pair output stays linear
+    in replicas."""
+    field = t.schema.field(col)
+    la = t[col].combine_chunks()
+    flat = np.asarray(la.flatten(), dtype=np.float32)
+    offsets = np.asarray(la.offsets)
+    widths = np.diff(offsets)
+    if len(widths) and widths.min() == widths.max():
+        dim = int(widths[0])
+        signs = (
+            np.random.default_rng(1_000_003 * r)
+            .integers(0, 2, dim)
+            .astype(np.float32) * 2.0 - 1.0
+        )
+        flat = (flat.reshape(-1, dim) * signs).reshape(-1)
+    new = pa.ListArray.from_arrays(
+        la.offsets, pa.array(flat, type=field.type.value_type)
+    )
+    return t.set_column(t.schema.get_field_index(col), field, new)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -65,6 +142,13 @@ def main() -> None:
         "--name", default="sf1",
         help="output subdir; e.g. --replicas 30 --name sf3 for the "
              "sf3-equivalent tier",
+    )
+    ap.add_argument(
+        "--perturb", action="store_true",
+        help="salt document tokens and sign-flip embeddings per "
+             "replica (deterministic) so cross-replica dup/similarity "
+             "artifacts disappear and the dedup/ANN families can be "
+             "graded at scaled tiers",
     )
     args = ap.parse_args()
 
@@ -90,6 +174,11 @@ def main() -> None:
                 idx = t.schema.get_field_index(col)
                 shifted = pc.add(t[col], pa.scalar(r * strides[ref], type=t.schema.field(col).type))
                 t = t.set_column(idx, t.schema.field(col), shifted)
+            if args.perturb and r > 0:
+                if table == "documents":
+                    t = _perturb_text(t, "text", r)
+                elif table == "embeddings":
+                    t = _perturb_embeddings(t, "embedding", r)
             parts.append(t)
         full = pa.concat_tables(parts)
 
