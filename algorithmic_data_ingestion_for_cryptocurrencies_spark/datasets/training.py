@@ -65,5 +65,11 @@ def build_training_matrix(
         aggs.append(n)
         fill_zero += ["news_n"]
 
-    out = spine_join(spine, aggs, on=[ts_col], fill_zero_cols=fill_zero)
+    # social/news rollups are per-bucket (one row per bar timestamp,
+    # no key fan-out) — orders of magnitude under the spine at any
+    # scale, so the forced broadcast is safe and skips a spine shuffle
+    out = spine_join(
+        spine, aggs, on=[ts_col], fill_zero_cols=fill_zero,
+        broadcast_aggs=True,
+    )
     return with_labels(out, "close", keys=keys, order=ts_col)

@@ -21,15 +21,25 @@ def spine_join(
     *,
     on: Sequence[str],
     fill_zero_cols: Sequence[str] = (),
-    broadcast_aggs: bool = True,
+    broadcast_aggs: bool | str = "auto",
 ) -> DataFrame:
     """Left-join aggregate frames onto a spine and zero-fill —
-    ``build_training_matrix.py:155-159``. Aggregate sides are usually
-    orders-of-magnitude smaller than the spine (bucketed rollups), so
-    they broadcast by default: no shuffle of the spine."""
+    ``build_training_matrix.py:155-159``.
+
+    ``broadcast_aggs``: ``True`` FORCES a broadcast hint — only for
+    aggregate sides the caller KNOWS stay small at production scale
+    (per-bucket rollups with bounded bucket counts). ``"auto"`` (the
+    default, r5 verdict #5) adds no hint: Catalyst broadcasts under
+    ``autoBroadcastJoinThreshold`` and AQE upgrades a shuffle join to
+    broadcast AT RUNTIME from the aggregate's actual shuffle stats —
+    the safe behavior when the aggregate's cardinality grows with the
+    data (a forced hint on a fine-grained agg ships the whole
+    aggregate to every executor; at 60M input rows that was measured
+    1.6x DuckDB where the unhinted plan keeps a co-partitioned
+    join). ``False`` likewise adds no hint (kept for explicitness)."""
     out = spine
     for agg in aggs:
-        right = F.broadcast(agg) if broadcast_aggs else agg
+        right = F.broadcast(agg) if broadcast_aggs is True else agg
         out = out.join(right, list(on), "left")
     if fill_zero_cols:
         out = out.fillna(0, subset=list(fill_zero_cols))

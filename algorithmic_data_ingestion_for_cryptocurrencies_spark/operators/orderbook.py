@@ -117,12 +117,31 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
       prune saves. For pathologically deep books where shipping all
       levels dominates, that shape would win the wire — resurrect it
       from the bench script if that regime ever materializes.)
+    - ``"prune"`` (r6): per-(keys, ts, side) rank whose literal
+      ``row_number() <= n`` filter becomes a PARTIAL WindowGroupLimit
+      below the exchange — each scan task keeps ≤n rows per (group,
+      side) locally, so the wire carries ~2n rows per group instead
+      of the whole book, at the price of a tiny second post-filter
+      exchange for the pivot. Crosses over the fused tier as
+      rows-per-group grows (min-of-5, r6: 1.64 s vs 0.88 s at sf0.1
+      ~24 rows/group, 3.48 s vs 3.76 s at sf3 ~720 rows/group) — the
+      tier to pick for deep books / few series.
     - ``"object"``: the single-shuffle collect/sort_array aggregate
-      above. Same measured speed, kept as the fallback where window
-      memory for huge (keys, ts) groups is a concern.
+      above. Ties the fused tier at small group sizes; degrades on
+      deep books (5.6 s at sf3 — JVM object churn grows with group
+      size), kept as the window-memory fallback.
 
-    Both tiers produce identical rows for any input (same deterministic
+    All tiers produce identical rows for any input (same deterministic
     tiebreak ordering; pytest-asserted).
+
+    Measured floor note (r6, sf3 = 18M rows): scan 0.38 s,
+    +repartition exchange 1.05 s, +sort 1.85 s; the full fused query
+    is ~2.9-3.8 s vs DuckDB's 0.88 s. The plan shape is already
+    minimal (one exchange, ONE Window operator, map-side pivot); the
+    residual gap is executor sort+window throughput on 25k SMALL
+    groups — the same window machinery BEATS DuckDB on the flagship
+    family where partitions are few and large. Structural options
+    exhausted short of a native columnar top-k aggregate.
     """
     keys = list(keys)
     n_shuffle = pre_partition or int(
@@ -148,7 +167,15 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         df = df.filter(F.col(side_col).isin("bid", "ask")).repartition(
             n_shuffle, *[F.col(c) for c in (*keys, ts_col)]
         )
-        w_rn = Window.partitionBy(*keys, ts_col).orderBy(
+        # partition keys listed TS-FIRST: the window's required sort is
+        # (partition keys in listed order) ++ order keys, and Spark's
+        # sorter radix-compares an 8-byte prefix of the LEADING column
+        # only — a high-cardinality leading ts resolves most
+        # comparisons in the prefix, where a handful of symbols first
+        # would tie almost every prefix and fall back to full-row
+        # compares (interleaved A/B at sf3: ~11% off the query,
+        # /tmp-logged r6; identical output rows either way)
+        w_rn = Window.partitionBy(ts_col, *keys).orderBy(
             F.col(side_col), sort_key,
             *[F.col(c) for c in tiebreak_cols], F.col(amount_col),
         )
@@ -163,6 +190,39 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             F.col(side_col) == "bid", n_ask
         ).otherwise(F.lit(0))
         ranked = df.withColumn("__lvl", lvl).filter(F.col("__lvl") <= n_levels)
+        return ranked.groupBy(*keys, ts_col).agg(*[
+            F.max(
+                F.when(
+                    (F.col(side_col) == side) & (F.col("__lvl") == i),
+                    F.col(amount_col),
+                )
+            ).alias(f"{side}_depth_{i}")
+            for side in ("bid", "ask")
+            for i in range(1, n_levels + 1)
+        ])
+    if strategy == "prune":
+        # DEEP-BOOK tier (r6): per-(keys, ts, side) rank with a literal
+        # row_number() <= n filter directly above the window, which the
+        # optimizer rewrites to a WindowGroupLimit with a PARTIAL mode
+        # below the exchange — each scan task keeps at most n rows per
+        # (group, side) locally, so the wire carries ~2n rows per group
+        # instead of the whole book. The price is a second (tiny,
+        # post-filter) exchange for the pivot. Wins when rows-per-group
+        # is large enough that shipping the unpruned book dominates
+        # (measured crossover vs the fused tier: tools/
+        # bench_depth_tiers.py); the same ts-first sort-prefix ordering
+        # as the fused tier applies.
+        sort_key = F.when(
+            F.col(side_col) == "bid", -F.col(price_col)
+        ).otherwise(F.col(price_col))
+        w = Window.partitionBy(ts_col, *keys, side_col).orderBy(
+            sort_key, *[F.col(c) for c in tiebreak_cols], F.col(amount_col)
+        )
+        ranked = (
+            df.filter(F.col(side_col).isin("bid", "ask"))
+            .withColumn("__lvl", F.row_number().over(w))
+            .filter(F.col("__lvl") <= n_levels)
+        )
         return ranked.groupBy(*keys, ts_col).agg(*[
             F.max(
                 F.when(

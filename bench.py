@@ -44,6 +44,12 @@ HEADLINE = [
     "sim_near_pairs_capped",
     "text_quality",
     "training_matrix",
+    # r6: the r5 additions with nontrivial cost join the matched set
+    # (verdict #8) so the scaled-tier aggregate rests on a wider base
+    "text_bigram_lm",
+    "dedup_cross_doc_repetition",
+    "g1_pagerank",
+    "e7_funnel",
 ]
 
 

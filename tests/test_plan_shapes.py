@@ -56,8 +56,34 @@ def test_spine_join_broadcasts_small_aggregates(spark, ohlcv_sdf):
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import spine_join
 
     agg = ohlcv_sdf.groupBy("timestamp").agg(F.count("*").alias("n"))
-    out = spine_join(ohlcv_sdf, [agg], on=["timestamp"])
+    out = spine_join(ohlcv_sdf, [agg], on=["timestamp"], broadcast_aggs=True)
     assert "BroadcastHashJoin" in explain_str(out, "formatted")
+
+
+def test_spine_join_auto_does_not_force_broadcast_of_large_agg(spark):
+    """r5 verdict #5: the default must NOT pin a broadcast hint on an
+    aggregate whose cardinality grows with the data — at 60M rows a
+    forced broadcast shipped a 15M-row aggregate to every task. With
+    'auto', the static plan keeps a shuffle join on a large estimated
+    agg side (AQE may still upgrade at runtime from real stats)."""
+    import os
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import spine_join
+
+    sf1 = "/root/repo/testdata_scaled/sf1"
+    if not os.path.isdir(sf1):
+        import pytest
+
+        pytest.skip("scaled tier not generated")
+    o = spark.read.parquet(f"{sf1}/orders.parquet")
+    li = spark.read.parquet(f"{sf1}/lineitem.parquet")
+    agg = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    out = spine_join(o, [agg], on=["o_orderkey"], fill_zero_cols=["total_qty"])
+    plan = explain_str(out, "formatted")
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
 def test_global_zscore_avoids_global_window(spark, ohlcv_sdf):
@@ -199,17 +225,22 @@ def test_depth_series_single_exchange_before_aggregate(spark):
 
 
 def test_chunk_prep_pipeline_is_single_dedup_exchange(spark):
-    """Capstone #2 (scrub -> chunk -> repetition gate -> exact dedup):
-    everything up to the dedup survivor must stay narrow — one data
+    """Capstone #2 (scrub -> chunk -> exact dedup -> repetition gate):
+    everything around the dedup survivor must stay narrow — one data
     exchange for the dedup shuffle plus the serial-fixture fan-out
-    repartition, nothing else."""
+    repartition, nothing else. The dedup is the min_by AGGREGATE tier
+    (r6): a partial aggregate below the exchange collapses co-located
+    duplicate chunks map-side before the wire."""
     import __spark_entry__ as E
 
     df = E.queries()["pipeline_chunk_prep"](spark, "/root/testdata/sf0.001")
     plan = explain_str(df, "formatted").split("\n\n")[0]
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan
-    assert "WindowGroupLimit" in plan  # dedup survivor pruned map-side
+    # min_by dedup: aggregate (partial+final around the exchange), no
+    # row_number window anywhere in the pipeline
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan
 
 
 def test_depth_series_window_tier_matches_object_tier(spark):
@@ -239,7 +270,9 @@ def test_depth_series_window_tier_matches_object_tier(spark):
     kw = dict(keys=["symbol"], tiebreak_cols=["okey"])
     obj = depth_series(df, 3, **kw).orderBy("symbol", "ts").collect()
     win = depth_series(df, 3, strategy="window", **kw).orderBy("symbol", "ts").collect()
+    prune = depth_series(df, 3, strategy="prune", **kw).orderBy("symbol", "ts").collect()
     assert obj == win
+    assert obj == prune
 
     plan = explain_str(
         depth_series(df, 3, strategy="window", **kw), "formatted"
@@ -248,6 +281,13 @@ def test_depth_series_window_tier_matches_object_tier(spark):
     assert plan.count("Exchange") == 1, plan
     win_ops = [ln for ln in plan.splitlines() if ln.lstrip("+- *(0123456789) ").startswith("Window")]
     assert len(win_ops) == 1, plan
+
+    # prune tier: the rank filter must reach a WindowGroupLimit so the
+    # per-(group, side) top-n prunes MAP-SIDE before the exchange
+    pplan = explain_str(
+        depth_series(df, 3, strategy="prune", **kw), "formatted"
+    ).split("\n\n")[0]
+    assert "WindowGroupLimit" in pplan, pplan
 
     with pytest.raises(ValueError):
         depth_series(df, 3, strategy="nope", **kw)
