@@ -3785,6 +3785,23 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+@q("sim_semantic_dedup", None)
+def sim_semantic_dedup_q(spark, sf_dir):
+    # SemDeDup: k-means clusters -> intra-cluster cosine pairs ->
+    # connected components -> min-id survivor per duplicate group.
+    # kmeans assignment has no DuckDB twin → rows-only (one output row
+    # per input row by construction); survivor invariants (no
+    # surviving intra-cluster pair >= threshold, determinism,
+    # dup-class collapse) pytest-asserted in test_dedup_scale.py.
+    from .operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=16, threshold=0.95,
+    )
+
+
 @q(
     "st13_sessionize_batch",
     """SELECT event_id, user_id, session_id FROM (

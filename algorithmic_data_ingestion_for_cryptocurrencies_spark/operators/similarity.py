@@ -615,3 +615,86 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    iterations: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space with the coarse
+    k-means quantizer, compute pairwise cosine WITHIN each cluster
+    only, connect pairs above ``threshold`` into duplicate groups
+    (:func:`..dedup.connected_components` — near-dup relations are
+    not transitive), and keep the minimum-id representative per
+    group. The batch twin of the curation step between exact dedup
+    (byte-identical) and topic-level filtering: paraphrases, template
+    rewrites, and boilerplate-translated copies land in the same
+    cluster with cosine near 1 and collapse to one survivor.
+
+    Scale shape: the only pair-generating join is an EQUI-join on
+    cluster_id with ``id_a < id_b`` — work is sum over clusters of
+    |cluster|²/2, never corpus², and ``n_clusters`` is the knob that
+    bounds expected cluster size (SemDeDup runs ~100k clusters at
+    web scale; scale it with the corpus so |cluster| stays flat).
+    Everything else is the bounded k-means (k rows collected per
+    Lloyd step) plus the linear component propagation.
+
+    Returns ``(id_col, cluster_id, component, keep)`` — one row per
+    input row; ``component`` is NULL for rows with no duplicate,
+    ``keep`` marks survivors (every non-duplicate, plus the min-id
+    row of each duplicate group). Two survivors in the same cluster
+    are never a pair at/above ``threshold`` (a direct pair would have
+    merged their components; pytest-asserted).
+
+    No counterpart in the reference (its embeddings feed features
+    only, ``nlp_embeddings.py``); beyond-reference scale surface.
+    """
+    from .dedup import connected_components
+
+    cents = kmeans_centroids(
+        df, n_clusters, vec_col=vec_col, id_col=id_col,
+        iterations=iterations,
+    )
+    assigned = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
+        .groupBy(F.col(id_col), F.col(vec_col))
+        .agg(F.max_by("centroid_id", F.col("__d")).alias("cluster_id"))
+    )
+    a = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"),
+    )
+    b = assigned.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"),
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine("__va", "__vb", dim=dim) >= threshold)
+        .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"))
+    )
+    comps = connected_components(pairs)
+    out = assigned.join(
+        comps.select(F.col("id").alias(id_col), "component"),
+        id_col, "left",
+    )
+    return out.select(
+        id_col,
+        "cluster_id",
+        "component",
+        (
+            F.col("component").isNull()
+            | (F.col("component") == F.col(id_col))
+        ).alias("keep"),
+    )

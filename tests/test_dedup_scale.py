@@ -199,3 +199,81 @@ def test_pagerank_empty_edges_returns_empty(spark):
     out = pagerank(empty, iterations=3)
     assert out.columns == ["node", "pagerank"]
     assert out.count() == 0
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup: (a) planted near-duplicate classes collapse to one
+    survivor each; (b) no two survivors in the same cluster are a
+    pair at/above the threshold; (c) deterministic across runs; (d)
+    one output row per input row."""
+    import numpy as np
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        cosine,
+        semantic_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(23)
+    dim = 16
+    base = rng.normal(size=(40, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    dup_classes = []
+    for i, v in enumerate(base):
+        ids = []
+        # every 4th vector gets 2 planted near-duplicates (tiny jitter)
+        copies = 3 if i % 4 == 0 else 1
+        for c in range(copies):
+            w = v + rng.normal(scale=1e-3, size=dim)
+            w /= np.linalg.norm(w)
+            rows.append((vid, [float(x) for x in w]))
+            ids.append(vid)
+            vid += 1
+        if copies > 1:
+            dup_classes.append(ids)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        threshold=0.98,
+    )
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # one row per input
+
+    # planted classes: exactly one survivor, and it is the min id
+    for ids in dup_classes:
+        kept = [i for i in ids if got[i]["keep"]]
+        assert kept == [min(ids)], (ids, kept)
+
+    # no surviving pair >= threshold within a cluster
+    surv = out.filter("keep").select("vec_id", "cluster_id").join(
+        df, "vec_id"
+    )
+    a = surv.select(
+        F.col("cluster_id"), F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("va"),
+    )
+    b = surv.select(
+        F.col("cluster_id"), F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("vb"),
+    )
+    viol = (
+        a.join(b, "cluster_id")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine("va", "vb") >= 0.98)
+        .count()
+    )
+    assert viol == 0
+
+    # deterministic
+    again = {r["vec_id"]: r for r in semantic_dedup(
+        df, id_col="vec_id", vec_col="embedding", n_clusters=8,
+        threshold=0.98,
+    ).collect()}
+    assert all(
+        got[k]["keep"] == again[k]["keep"]
+        and got[k]["cluster_id"] == again[k]["cluster_id"]
+        for k in got
+    )
