@@ -3785,6 +3785,30 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+@q("text_quality_classifier", None)
+def text_quality_classifier_q(spark, sf_dir):
+    # Learned quality gate (GPT-3/CCNet classifier step): weak-label
+    # half the corpus with the heuristic composite (quality_score >=
+    # 0.6), train a distributed logistic regression on hashed-term +
+    # heuristic features, score the held-out half. L-BFGS has no
+    # DuckDB twin → rows-only (one row per held-out doc by
+    # construction); separation power pytest-asserted on planted
+    # good/garbage classes in test_media_text.py.
+    from .operators.quality_model import score_quality, train_quality_classifier
+    from .operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    weak = quality_features(
+        docs.filter(F.col("doc_id") % 2 == 0), text_col="text"
+    ).select(
+        "doc_id", "text",
+        (F.col("quality_score") >= 0.6).cast("double").alias("label"),
+    )
+    model = train_quality_classifier(weak, n_buckets=32, max_iter=20)
+    held_out = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return score_quality(held_out, model, n_buckets=32).select("doc_id", "p_good")
+
+
 @q("sim_semantic_dedup", None)
 def sim_semantic_dedup_q(spark, sf_dir):
     # SemDeDup: k-means clusters -> intra-cluster cosine pairs ->

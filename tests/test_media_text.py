@@ -317,3 +317,38 @@ def test_model_handle_injection_swaps_cleanly(spark):
     base = df.withColumn("s", sentiment_udf("text")).first()["s"]
     again = df.withColumn("s", sentiment_udf("text")).first()["s"]
     assert base == again
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """Learned quality gate: logistic regression on hashed-term +
+    heuristic features separates clean prose from digit/punctuation
+    soup, scoring in [0,1] with the feature contract (n_buckets)
+    enforced between train and score."""
+    import random
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(3)
+    good = [
+        "the quick brown fox jumps over the lazy dog and runs far away home " * 2
+        for _ in range(60)
+    ]
+    bad = [
+        " ".join(str(rng.randint(0, 99)) for _ in range(20)) + " !!! ### $$$"
+        for _ in range(60)
+    ]
+    rows = [(i, t, 1.0) for i, t in enumerate(good)] + [
+        (1000 + i, t, 0.0) for i, t in enumerate(bad)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = train_quality_classifier(df, n_buckets=32, max_iter=25)
+    scored = score_quality(df.drop("label"), model, n_buckets=32)
+    out = {r["doc_id"]: r["p_good"] for r in scored.collect()}
+    assert len(out) == len(rows)
+    assert all(0.0 <= p <= 1.0 for p in out.values())
+    good_mean = sum(out[i] for i in range(60)) / 60
+    bad_mean = sum(out[1000 + i] for i in range(60)) / 60
+    assert good_mean > 0.85 and bad_mean < 0.15
