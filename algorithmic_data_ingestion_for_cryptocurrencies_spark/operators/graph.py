@@ -38,15 +38,21 @@ def pagerank(
     frame is ``localCheckpoint``-pinned per round so iteration k+1's
     plan does not nest k join trees; out-degrees compute once. The
     only driver-side values are scalar counts."""
+    # e and nodes are consumed by EVERY iteration's checkpoint job;
+    # without their own localCheckpoint each round re-runs the edge
+    # scan + distinct shuffles (ReuseExchange does not span the jobs
+    # the per-round checkpoints split execution into) — measured 3x
+    # the per-round cost at the 18M-row tier
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
+    n = nodes.count()  # materializes the nodes (and e) checkpoints
     if n == 0:  # empty edge list: no nodes, not a ZeroDivisionError
         return nodes.withColumn("pagerank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count("*").alias("__deg"))

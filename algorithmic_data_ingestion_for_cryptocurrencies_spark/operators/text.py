@@ -343,7 +343,13 @@ def bigram_lm(
     bg = train.select(F.explode(bigram_pairs(text_col)).alias("b")).select(
         "b.w1", "b.w2"
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    # lazily pin the bigram table: c1 derives from it AND the scorer
+    # joins it — without the checkpoint a consumer executing those
+    # branches as separate jobs re-runs the train explode+aggregate
+    # (ReuseExchange only dedupes within one job)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint(
+        eager=False
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = (
         train.select(F.explode(word_tokens(text_col)).alias("t"))
