@@ -101,14 +101,24 @@ def tokenize(col: Column | str) -> Column:
 def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct), built with higher-order
     functions — no UDF. Documents shorter than n words yield their
-    full text as the single shingle."""
-    words = tokenize(col)
-    k = F.size(words) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    )
-    return F.array_distinct(grams)
+    full text as the single shingle.
+
+    The token array is BOUND once per row (``functions/hof.py``):
+    referencing the tokenize expression from the per-shingle lambda
+    re-evaluates the regex+split per shingle — measured 18.3 s vs
+    2.7 s for identical output over 150k docs (r6)."""
+    from ..functions.hof import bind_array
+
+    def body(ws: Column) -> Column:
+        k = F.size(ws) - F.lit(n - 1)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            )
+        )
+
+    return bind_array(tokenize(col), body)
 
 
 def exploded_shingles(
@@ -305,11 +315,11 @@ def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) ->
 
 
 def minhash_signature_from_shingles(shingles: Column, *, num_hashes: int = 64) -> Column:
-    """Signature over a precomputed shingle-array column. Callers that
-    need the signature more than once (or k hash functions) should
-    stage the shingle array with ``withColumn`` first — inlining the
-    shingle expression k times makes Catalyst build k copies of the
-    tokenize/slice pipeline (measured 20x slowdown at k=64)."""
+    """Signature over a precomputed shingle-array column. The shingle
+    expression is BOUND once (``functions/hof.py``) before the k
+    per-seed mins — inlining it k times used to make Catalyst build k
+    copies of the tokenize/slice pipeline (measured 20x at k=64)."""
+    from ..functions.hof import bind_array
 
     # NB: the lambda must take exactly ONE parameter — PySpark passes
     # (element, index) to two-parameter lambdas in F.transform, which
@@ -318,8 +328,11 @@ def minhash_signature_from_shingles(shingles: Column, *, num_hashes: int = 64) -
     def seeded(seed: int):
         return lambda s: F.xxhash64(s, F.lit(seed))
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, seeded(i))) for i in range(num_hashes)]
+    return bind_array(
+        shingles,
+        lambda shs: F.array(
+            *[F.array_min(F.transform(shs, seeded(i))) for i in range(num_hashes)]
+        ),
     )
 
 
@@ -557,13 +570,22 @@ def simhash(col: Column | str, *, bits: int = 64) -> Column:
         F.array(*[F.lit(0)] * bits).cast("array<int>"),
         lambda acc, tok: F.zip_with(acc, token_votes(tok), lambda a, v: a + v),
     )
-    # assemble: sum(2^b where vote > 0); bit 63 keeps the sign bit off
-    fp = F.lit(0).cast("long")
-    for b in range(min(bits, 63)):
-        fp = fp + F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return fp
+
+    # assemble: sum(2^b where vote > 0); bit 63 keeps the sign bit
+    # off. The vote aggregate is BOUND once (functions/hof.py) — the
+    # 63-term sum would otherwise embed (and re-evaluate) the whole
+    # token fold per bit
+    def assemble(vs: Column) -> Column:
+        fp = F.lit(0).cast("long")
+        for b in range(min(bits, 63)):
+            fp = fp + F.when(
+                F.element_at(vs, b + 1) > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fp
+
+    from ..functions.hof import bind_array
+
+    return bind_array(votes, assemble)
 
 
 def simhash_near_pairs(

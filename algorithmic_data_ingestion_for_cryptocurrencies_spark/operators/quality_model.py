@@ -49,21 +49,27 @@ def hashed_term_features(
     narrow projection (explode-free: higher-order functions over the
     token array), deterministic, vocabulary-free — featurizing 100 TB
     is a map-only pass."""
-    words = word_tokens(F.col(text_col))
-    n = F.size(words).cast("double")
-    bucket_counts = [
-        F.size(
-            F.filter(
-                words,
-                lambda t, i=i: F.pmod(F.xxhash64(t), F.lit(n_buckets)) == i,
-            )
-        ).cast("double")
-        for i in range(n_buckets)
-    ]
-    arr = F.array(*[
-        F.when(n > 0, c / n).otherwise(F.lit(0.0)) for c in bucket_counts
-    ])
-    return df.withColumn(out_col, arr)
+    from ..functions.hof import bind_array
+
+    # one tokenize per row, bound once (functions/hof.py) — the
+    # n_buckets filters then scan the bound VARIABLE, not n_buckets
+    # re-evaluations of the regex+split expression
+    def body(ws: F.Column) -> F.Column:
+        n = F.size(ws).cast("double")
+        counts = [
+            F.size(
+                F.filter(
+                    ws,
+                    lambda t, i=i: F.pmod(F.xxhash64(t), F.lit(n_buckets)) == i,
+                )
+            ).cast("double")
+            for i in range(n_buckets)
+        ]
+        return F.array(*[
+            F.when(n > 0, c / n).otherwise(F.lit(0.0)) for c in counts
+        ])
+
+    return df.withColumn(out_col, bind_array(word_tokens(F.col(text_col)), body))
 
 
 def _assemble(df: DataFrame, *, text_col: str, n_buckets: int) -> DataFrame:

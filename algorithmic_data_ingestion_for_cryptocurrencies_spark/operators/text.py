@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..functions.hof import bind_array
 from .dedup import normalize_text
 
 # Minimal per-language stopword markers for the n-gram/stopword-ratio
@@ -134,19 +135,25 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
-    words = word_tokens(text_col)
-    n = F.size(words)
-    starts = F.sequence(
-        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
-    )
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            ((s - 1) / F.lit(step)).cast("int").alias("chunk_id"),
-            F.concat_ws(" ", F.slice(words, s, chunk_tokens)).alias("chunk_text"),
-            F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
-        ),
-    )
+
+    # bind the token array once per row: referencing the tokenize
+    # EXPRESSION from the per-chunk lambda would re-run it per chunk
+    # (functions/hof.py)
+    def body(ws: F.Column) -> F.Column:
+        n = F.size(ws)
+        starts = F.sequence(
+            F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+        )
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                ((s - 1) / F.lit(step)).cast("int").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(ws, s, chunk_tokens)).alias("chunk_text"),
+                F.least(F.lit(chunk_tokens), n - s + 1).alias("n_tokens"),
+            ),
+        )
+
+    chunks = bind_array(word_tokens(text_col), body)
     return df.select(
         F.col(id_col), F.explode(chunks).alias("__c")
     ).select(
@@ -165,16 +172,24 @@ def repetition_stats(
     boilerplate/spam/generated loops. Pure column expressions — no
     explode, no shuffle: the n-gram set is built and deduplicated
     per-row with array functions."""
-    words = word_tokens(text_col)
-    total = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.when(
-        total > 0,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(total, F.lit(1))),
-            lambda s: F.concat_ws(" ", F.slice(words, s, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    distinct = F.size(F.array_distinct(grams))
+    # stats computed inside ONE bound lambda so the tokenize runs once
+    # per row, not once per n-gram (functions/hof.py)
+    def body(ws: F.Column) -> F.Column:
+        tot = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+        grams = F.when(
+            tot > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(tot, F.lit(1))),
+                lambda s: F.concat_ws(" ", F.slice(ws, s, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            tot.alias("t"), F.size(F.array_distinct(grams)).alias("d")
+        )
+
+    st = bind_array(word_tokens(text_col), body)
+    total = st["t"]
+    distinct = st["d"]
     return (
         df.withColumn("n_ngrams", total)
         .withColumn("n_distinct", distinct)
@@ -293,8 +308,6 @@ def rolling_hash_fingerprint(
     slower but reproducible in any engine with md5, used for
     cross-engine oracle parity).
     """
-    words = word_tokens(col)
-    k = F.greatest(F.size(words) - F.lit(window - 1), F.lit(1))
     if hash_fn == "xxhash64":
         def _h(c: Column) -> Column:
             return F.xxhash64(c)
@@ -303,29 +316,38 @@ def rolling_hash_fingerprint(
             return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    window_hashes = F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: _h(F.concat_ws(" ", F.slice(words, i, window))),
-    )
-    return F.array_min(window_hashes)
+
+    # bound lambda: one tokenize per row, not one per window
+    def body(ws: Column) -> Column:
+        k = F.greatest(F.size(ws) - F.lit(window - 1), F.lit(1))
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: _h(F.concat_ws(" ", F.slice(ws, i, window))),
+            )
+        )
+
+    return bind_array(word_tokens(col), body)
 
 
 def bigram_pairs(col: Column | str) -> Column:
-    """Adjacent word-token pairs as ``array<struct<w1,w2>>``. Built
-    with ``transform(sequence(...))`` + a null-w2 filter so short
-    texts (0-1 tokens) yield an empty, correctly-typed array without
-    CASE-branch type juggling."""
+    """Adjacent word-token pairs as ``array<struct<w1,w2>>``; short
+    texts (0-1 tokens) yield an empty, correctly-typed array.
+
+    Built as ``zip_with(toks, toks[2:], struct)`` so the lambda binds
+    ELEMENT variables. The previous ``transform(sequence(1, n-1),
+    i -> element_at(toks, i))`` form embedded the whole tokenize
+    expression (regex normalize + split) in the lambda body, which
+    Catalyst re-evaluates PER ELEMENT — O(n²) regex work per document
+    (measured 20 s just to explode 4M bigrams at the 150k-doc tier;
+    this form is linear)."""
     toks = word_tokens(col)
-    return F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
-            ),
-        ),
-        lambda p: p["w2"].isNotNull(),
+    zipped = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    return F.filter(zipped, lambda p: p["w2"].isNotNull())
 
 
 def bigram_lm(

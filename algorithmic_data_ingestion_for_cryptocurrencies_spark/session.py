@@ -52,7 +52,13 @@ def get_spark(
         # files: keep scan partitions big enough to amortize task setup
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM IS the executor — 32 concurrent
+        # tasks in 8g was ~250 MB/task and OOMed once localCheckpoint
+        # pinned blocks (unevictable: they are the only copy) competed
+        # with hash-agg execution memory at the 18M-row tier; 24g on
+        # the 128 GiB harness box ≈ 750 MB/task, the ratio you'd give
+        # a real executor
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
