@@ -54,15 +54,18 @@ def hashed_term_features(
     # one tokenize per row, bound once (functions/hof.py) — the
     # n_buckets filters then scan the bound VARIABLE, not n_buckets
     # re-evaluations of the regex+split expression
+    # NB: the bucket id must be captured via a one-parameter lambda
+    # factory — a `lambda t, i=i:` default-arg capture makes a
+    # TWO-parameter lambda, which PySpark's HOF binding treats as
+    # (element, index), silently comparing against the token's array
+    # position instead of the bucket id.
+    def bucket_pred(bucket: int):
+        return lambda t: F.pmod(F.xxhash64(t), F.lit(n_buckets)) == F.lit(bucket)
+
     def body(ws: F.Column) -> F.Column:
         n = F.size(ws).cast("double")
         counts = [
-            F.size(
-                F.filter(
-                    ws,
-                    lambda t, i=i: F.pmod(F.xxhash64(t), F.lit(n_buckets)) == i,
-                )
-            ).cast("double")
+            F.size(F.filter(ws, bucket_pred(i))).cast("double")
             for i in range(n_buckets)
         ]
         return F.array(*[

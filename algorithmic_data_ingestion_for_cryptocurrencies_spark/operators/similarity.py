@@ -373,8 +373,10 @@ def kmeans_centroids(
             df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
         )
     ]
-    dims = len(seed_rows[0][1])
     schema = "centroid_id int, centroid array<float>"
+    if not seed_rows:  # empty input: empty, correctly-typed quantizer
+        return spark.createDataFrame([], schema)
+    dims = len(seed_rows[0][1])
     centroids = spark.createDataFrame(seed_rows, schema)
     for _ in range(iterations):
         assigned = (
@@ -663,6 +665,13 @@ def semantic_dedup(
         df, n_clusters, vec_col=vec_col, id_col=id_col,
         iterations=iterations,
     )
+    if cents.isEmpty():  # empty corpus: empty frame, output schema intact
+        return df.limit(0).select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.col(id_col).alias("component"),
+            F.lit(True).alias("keep"),
+        )
     assigned = (
         df.select(id_col, vec_col)
         .crossJoin(F.broadcast(cents))

@@ -23,6 +23,26 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def default_driver_memory() -> str:
+    """Local-mode driver heap: ``SPARK_DRIVER_MEM`` wins; otherwise a
+    quarter of physical RAM clamped to [2, 24] GiB. The 128 GiB bench
+    harness resolves to 24g (~750 MB/task at 32 threads — real executor
+    sizing); a laptop resolves to something its JVM can actually start
+    with instead of a hard-coded bench-box figure."""
+    if "SPARK_DRIVER_MEM" in os.environ:
+        return os.environ["SPARK_DRIVER_MEM"]
+    total_gib = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return f"{max(2, min(24, total_gib // 4))}g" if total_gib else "8g"
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     *,
@@ -53,12 +73,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM IS the executor — 32 concurrent
-        # tasks in 8g was ~250 MB/task and OOMed once localCheckpoint
-        # pinned blocks (unevictable: they are the only copy) competed
-        # with hash-agg execution memory at the 18M-row tier; 24g on
-        # the 128 GiB harness box ≈ 750 MB/task, the ratio you'd give
-        # a real executor
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # tasks need real heap once localCheckpoint pins blocks
+        # (unevictable) next to hash-agg execution memory, but the
+        # default must not exceed what the host actually has
+        .config("spark.driver.memory", default_driver_memory())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

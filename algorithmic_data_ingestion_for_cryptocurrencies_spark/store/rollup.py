@@ -331,11 +331,18 @@ class RollupStore:
         for gen, p in sorted(files):  # ascending: suffixed beats legacy
             try:
                 best = self._read_manifest_file(fs, p)
-            except Exception:
+            except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
                 continue  # torn/corrupt file: fall back to older gen
-        return best if best is not None else {
-            "generation": 0, "compacted_batch_ids": []
-        }
+            # transient IO errors propagate — falling past them could
+            # resolve to generation 0 after older manifests were swept,
+            # silently un-compacting the store
+        if best is None:
+            raise IOError(
+                f"rollup store {self.path!r}: {len(files)} manifest "
+                "file(s) exist but none parses — refusing to reset to "
+                "generation 0"
+            )
+        return best
 
     def _write_manifest(self, manifest: dict) -> None:
         """Commit = atomic rename of a tmp file onto the NEW

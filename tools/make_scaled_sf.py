@@ -116,19 +116,43 @@ def _perturb_embeddings(t: pa.Table, col: str, r: int) -> pa.Table:
     in replicas."""
     field = t.schema.field(col)
     la = t[col].combine_chunks()
-    flat = np.asarray(la.flatten(), dtype=np.float32)
     offsets = np.asarray(la.offsets)
     widths = np.diff(offsets)
-    if len(widths) and widths.min() == widths.max():
-        dim = int(widths[0])
-        signs = (
-            np.random.default_rng(1_000_003 * r)
-            .integers(0, 2, dim)
-            .astype(np.float32) * 2.0 - 1.0
+    valid = np.asarray(la.is_valid()) if la.null_count else None
+    check = widths if valid is None else widths[valid]
+    if len(check) == 0:
+        return t
+    # fail LOUDLY instead of silently skipping: unperturbed replicas
+    # would reintroduce the cross-replica near-dup artifacts the
+    # --perturb flag exists to remove
+    if check.min() != check.max():
+        raise ValueError(
+            f"{col}: ragged embedding widths "
+            f"({int(check.min())}..{int(check.max())}) — refusing to "
+            "skip perturbation silently; make widths uniform or extend "
+            "_perturb_embeddings with a per-row path"
         )
-        flat = (flat.reshape(-1, dim) * signs).reshape(-1)
+    dim = int(check[0])
+    if valid is not None and (widths[~valid] % dim != 0).any():
+        raise ValueError(
+            f"{col}: null rows with extents not a multiple of dim={dim} "
+            "would misalign the flat reshape"
+        )
+    # raw child values (NOT .flatten(): flatten drops null rows'
+    # extents and would misalign against the offsets we reuse)
+    if la.values.null_count:
+        raise ValueError(f"{col}: null embedding elements unsupported")
+    flat = np.asarray(la.values, dtype=np.float32)
+    signs = (
+        np.random.default_rng(1_000_003 * r)
+        .integers(0, 2, dim)
+        .astype(np.float32) * 2.0 - 1.0
+    )
+    flat = (flat.reshape(-1, dim) * signs).reshape(-1)
+    # from_arrays drops the validity bitmap unless mask is passed
+    mask = pa.array(~valid) if valid is not None else None
     new = pa.ListArray.from_arrays(
-        la.offsets, pa.array(flat, type=field.type.value_type)
+        la.offsets, pa.array(flat, type=field.type.value_type), mask=mask
     )
     return t.set_column(t.schema.get_field_index(col), field, new)
 
