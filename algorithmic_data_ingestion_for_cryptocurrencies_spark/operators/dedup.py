@@ -625,6 +625,7 @@ def cross_doc_repetition(
     text_col: str,
     n: int = 3,
     min_docs: int = 2,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Corpus-level boilerplate signal (the bounded cousin of
     substring dedup a la 'Deduplicating Training Data Makes Language
@@ -645,9 +646,21 @@ def cross_doc_repetition(
     same way they do in :func:`jaccard_similar_pairs` — AQE skew
     splitting applies; there is no quadratic pair stage here at all.
 
+    ``hash_shingles`` (default on) compresses the shingle key to
+    ``xxhash64(shingle)`` BEFORE the distinct/doc-frequency/join
+    stages, so every exchange carries 8-byte ints instead of ~25-byte
+    shingle strings — the same key compression
+    :func:`contamination_check` uses (its 0.47× sf10 cell vs this
+    operator's pre-compression 2.7× motivated the change). The output
+    is count-level, so results are identical absent a 2^-64 xxhash64
+    collision; the DuckDB oracle stays string-keyed and hash-exact.
+
     Returns (id_col, n_shingles, n_repeated, repeated_frac).
     """
-    sh = shingle_rows(df, id_col=id_col, text_col=text_col, n=n)
+    sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+    if hash_shingles:
+        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+    sh = sh.distinct()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__dfc"))
     return (
         sh.join(freq, "shingle")

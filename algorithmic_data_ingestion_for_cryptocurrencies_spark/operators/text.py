@@ -330,9 +330,15 @@ def rolling_hash_fingerprint(
     return bind_array(word_tokens(col), body)
 
 
-def bigram_pairs(col: Column | str) -> Column:
+def bigram_pairs(col: Column | str, *, keep_tail: bool = False) -> Column:
     """Adjacent word-token pairs as ``array<struct<w1,w2>>``; short
     texts (0-1 tokens) yield an empty, correctly-typed array.
+
+    ``keep_tail=True`` keeps the zip's trailing ``(last_token, NULL)``
+    pair (and the single pair of a 1-token text), so the w1 values
+    cover EVERY token of the text — :func:`bigram_lm` uses this to
+    derive the vocabulary size from the bigram counts instead of a
+    second tokenize pass over the corpus.
 
     Built as ``zip_with(toks, toks[2:], struct)`` so the lambda binds
     ELEMENT variables. The previous ``transform(sequence(1, n-1),
@@ -347,36 +353,55 @@ def bigram_pairs(col: Column | str) -> Column:
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    if keep_tail:
+        return zipped
     return F.filter(zipped, lambda p: p["w2"].isNotNull())
 
 
 def bigram_lm(
-    train: DataFrame, *, text_col: str = "text"
+    train: DataFrame, *, text_col: str = "text", hash_tokens: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train a bigram language model (the CCNet/KenLM-style cheap
     quality signal, model-free): returns ``(bigram_counts(w1, w2, c2),
     context_counts(w1, c1), vocab(vs))``.
 
-    Scale shape: one explode + two map-side-combined aggregates; the
-    context counts derive FROM the bigram counts (no second pass over
-    the corpus), and the vocabulary size stays a one-row DataFrame
-    that downstream scoring broadcast-joins — no driver-side action
-    at train time."""
-    bg = train.select(F.explode(bigram_pairs(text_col)).alias("b")).select(
-        "b.w1", "b.w2"
-    )
-    # lazily pin the bigram table: c1 derives from it AND the scorer
-    # joins it — without the checkpoint a consumer executing those
-    # branches as separate jobs re-runs the train explode+aggregate
-    # (ReuseExchange only dedupes within one job)
-    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")).localCheckpoint(
-        eager=False
-    )
+    Scale shape: ONE tokenize pass over the corpus + map-side-combined
+    aggregates; the context counts AND the vocabulary size both derive
+    from the bigram-count table (``bigram_pairs(keep_tail=True)``
+    keeps the ``(last_token, NULL)`` tail pair, so distinct w1 over
+    the counts == distinct tokens), and the one-row vocab frame
+    broadcast-joins downstream — no driver-side action at train time.
+
+    ``hash_tokens`` (default on) compresses the (w1, w2) keys to
+    ``xxhash64`` int64 before the count aggregates, so the bigram
+    shuffle and the scorer's joins exchange 16 bytes per row instead
+    of two word strings. Only key equality matters to the counts and
+    the smoothing formula, so scores are identical absent a 2^-64
+    collision; :func:`bigram_lm_score` detects a hashed model from
+    the ``c2.w1`` dtype and hashes its own keys to match."""
+    bg = train.select(
+        F.explode(bigram_pairs(text_col, keep_tail=True)).alias("b")
+    ).select("b.w1", "b.w2")
+    if hash_tokens:
+        # hash must PRESERVE nullness: xxhash64(NULL) is a constant
+        # (the seed), which would turn the tail sentinel into a real-
+        # looking bigram key
+        bg = bg.select(
+            F.xxhash64("w1").alias("w1"),
+            F.when(F.col("w2").isNotNull(), F.xxhash64("w2")).alias("w2"),
+        )
+    # lazily pin the bigram table: c1 and vocab derive from it AND the
+    # scorer joins it — without the checkpoint a consumer executing
+    # those branches as separate jobs re-runs the train
+    # explode+aggregate (ReuseExchange only dedupes within one job)
+    c2_all = bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("c2")
+    ).localCheckpoint(eager=False)
+    # vocab from the vocab²-bounded count table, not a second corpus
+    # pass: keep_tail puts every token in the w1 column
+    vocab = c2_all.agg(F.count_distinct("w1").alias("vs"))
+    c2 = c2_all.filter(F.col("w2").isNotNull())
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab = (
-        train.select(F.explode(word_tokens(text_col)).alias("t"))
-        .agg(F.count_distinct("t").alias("vs"))
-    )
     return c2, c1, vocab
 
 
@@ -401,6 +426,10 @@ def bigram_lm_score(
     c2, c1, vocab = lm
     bg = docs.select(F.col(id_col), F.explode(bigram_pairs(text_col)).alias("b")) \
         .select(id_col, "b.w1", "b.w2")
+    if dict(c2.dtypes).get("w1") == "bigint":  # hashed model (bigram_lm)
+        bg = bg.select(
+            id_col, F.xxhash64("w1").alias("w1"), F.xxhash64("w2").alias("w2")
+        )
     scored = (
         bg.join(c2, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
