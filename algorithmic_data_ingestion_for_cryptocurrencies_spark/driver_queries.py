@@ -971,8 +971,15 @@ def a2(spark, sf_dir):
            "ask_depth_1", "ask_depth_2", "ask_depth_3"],
 )
 def a4(spark, sf_dir):
+    book = _book(spark, sf_dir)
+    # tier auto-select on rows-per-group: the fixture is 10 symbols
+    # (suppkey % 10) x the fixed ~2526-day TPC-H shipdate span, so the
+    # group cardinality is known and the estimate needs only a parquet
+    # metadata row count (no column scan, ~0.1 s)
+    rpg = book.count() / (10 * 2526)
     return depth_series(
-        _book(spark, sf_dir), 3, keys=["symbol"], tiebreak_cols=["okey", "lnum", "amount"]
+        book, 3, keys=["symbol"], tiebreak_cols=["okey", "lnum", "amount"],
+        strategy="auto", rows_per_group=rpg,
     )
 
 

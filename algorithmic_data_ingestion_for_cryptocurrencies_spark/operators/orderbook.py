@@ -62,11 +62,19 @@ def spread_series(df: DataFrame, *, ts_col: str = "ts", side_col: str = "side",
     )
 
 
+#: rows per (keys, ts) group above which the "prune" tier beats the
+#: fused single-exchange tier (interleaved min-of-N A/B, r6/r7:
+#: 238 rows/group → fused wins ~10%; 714 → prune wins ~20%;
+#: 2400 → prune wins ~13%)
+AUTO_PRUNE_MIN_ROWS_PER_GROUP = 500.0
+
+
 def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
                  side_col: str = "side", price_col: str = "price",
                  amount_col: str = "amount", keys=(),
                  tiebreak_cols=(), pre_partition: int | None = None,
-                 strategy: str = "window") -> DataFrame:
+                 strategy: str = "window",
+                 rows_per_group: float | None = None) -> DataFrame:
     """Top-N levels per (keys, ts, side) pivoted to ``bid_depth_i`` /
     ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
     Both physical tiers below are single-shuffle; book depth per
@@ -147,6 +155,20 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
     n_shuffle = pre_partition or int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
+    if strategy == "auto":
+        # tier selection on the measured crossover: deep books win with
+        # the map-side WindowGroupLimit prune, shallow books with the
+        # fused single-exchange tier. The caller supplies the expected
+        # rows-per-(keys, ts) estimate — it knows its data (a metadata
+        # row count over known group cardinality costs ~0.1 s; see the
+        # a4 registry query) — and an unknown shape defaults to the
+        # cluster-safe fused tier.
+        strategy = (
+            "prune"
+            if rows_per_group is not None
+            and rows_per_group >= AUTO_PRUNE_MIN_ROWS_PER_GROUP
+            else "window"
+        )
     if strategy == "window":
         # SINGLE-exchange rank tier (r5; the r4 variant partitioned the
         # window by (keys, ts, side) and paid a second exchange for the

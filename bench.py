@@ -86,7 +86,10 @@ def main() -> None:
     # the shingle-join queries show the widest run-to-run variance on a
     # shared box (1.4x-2.9x across r3 reruns); min-of-5 pins them
     runs_override = {"dedup_jaccard_pairs": max(runs, 5),
-                     "dedup_minhash_pairs": max(runs, 5)}
+                     "dedup_minhash_pairs": max(runs, 5),
+                     # r6 verdict: the committed a4 cells must be
+                     # min-of-N so artifact and A/B claims agree
+                     "a4_depth": max(runs, 5)}
     if run_spark:
         # Per-query warmup at the smallest SF: runs every headline plan
         # end-to-end once so each generated WholeStageCodegen class is

@@ -268,11 +268,19 @@ def test_depth_series_window_tier_matches_object_tier(spark):
         rows, ["symbol", "ts", "okey", "price", "amount", "side"]
     )
     kw = dict(keys=["symbol"], tiebreak_cols=["okey"])
-    obj = depth_series(df, 3, **kw).orderBy("symbol", "ts").collect()
+    obj = depth_series(df, 3, strategy="object", **kw).orderBy("symbol", "ts").collect()
     win = depth_series(df, 3, strategy="window", **kw).orderBy("symbol", "ts").collect()
     prune = depth_series(df, 3, strategy="prune", **kw).orderBy("symbol", "ts").collect()
     assert obj == win
     assert obj == prune
+    # auto tier resolves by rows-per-group and stays row-identical
+    auto_deep = depth_series(
+        df, 3, strategy="auto", rows_per_group=1e4, **kw
+    ).orderBy("symbol", "ts").collect()
+    auto_shallow = depth_series(
+        df, 3, strategy="auto", **kw
+    ).orderBy("symbol", "ts").collect()
+    assert auto_deep == obj and auto_shallow == obj
 
     plan = explain_str(
         depth_series(df, 3, strategy="window", **kw), "formatted"
@@ -288,6 +296,19 @@ def test_depth_series_window_tier_matches_object_tier(spark):
         depth_series(df, 3, strategy="prune", **kw), "formatted"
     ).split("\n\n")[0]
     assert "WindowGroupLimit" in pplan, pplan
+
+    # auto: deep-book hint selects the prune tier, no/shallow hint the
+    # fused single-exchange tier
+    deep_plan = explain_str(
+        depth_series(df, 3, strategy="auto", rows_per_group=1e4, **kw),
+        "formatted",
+    ).split("\n\n")[0]
+    assert "WindowGroupLimit" in deep_plan, deep_plan
+    shallow_plan = explain_str(
+        depth_series(df, 3, strategy="auto", **kw), "formatted"
+    ).split("\n\n")[0]
+    assert "WindowGroupLimit" not in shallow_plan
+    assert shallow_plan.count("Exchange") == 1, shallow_plan
 
     with pytest.raises(ValueError):
         depth_series(df, 3, strategy="nope", **kw)
