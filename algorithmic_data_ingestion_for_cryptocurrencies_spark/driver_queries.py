@@ -3921,6 +3921,36 @@ def st14_rollup_percentiles(spark, sf_dir):
     )
 
 
+@q("st15_dedup_incremental", None)
+def st15_dedup_incremental(spark, sf_dir):
+    # incremental exact+minhash dedup: three arrival batches against a
+    # persisted signature store; the accumulated survivor set equals
+    # batch exact-dedup and the accumulated candidate pairs equal the
+    # batch minhash pairs over the deduped corpus
+    # (tests/test_streaming_dedup.py equivalence pytest). Stateful
+    # store path -> rows-only.
+    import tempfile
+
+    from .streaming.dedup_incremental import IncrementalDedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hi = docs.agg(F.max("doc_id")).first()[0] or 0
+    cuts = (hi // 3, 2 * hi // 3)
+    inc = IncrementalDedup(
+        spark, tempfile.mkdtemp(prefix="adi_incdedup_") + "/s",
+        id_col="doc_id", text_col="text", num_hashes=32, bands=8,
+    )
+    inc.process_batch(docs.filter(F.col("doc_id") <= cuts[0]), "b1")
+    inc.process_batch(
+        docs.filter(
+            (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+        ),
+        "b2",
+    )
+    inc.process_batch(docs.filter(F.col("doc_id") > cuts[1]), "b3")
+    return inc.survivors()
+
+
 @q("sim_ivf_index_topk", None)
 def sim_ivf_index(spark, sf_dir):
     # persisted-IVF serving path: build the partitioned index once,

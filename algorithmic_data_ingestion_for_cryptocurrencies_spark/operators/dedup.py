@@ -336,6 +336,67 @@ def minhash_signature_from_shingles(shingles: Column, *, num_hashes: int = 64) -
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """One ``(id, sig array<bigint>)`` row per document.
+
+    Exploded-aggregate signature: one row per (doc, shingle), k seeded
+    hashes as a plain projection, then k MIN aggregates back to one
+    row per doc. Unlike k array-transform expressions this stays
+    inside whole-stage codegen (higher-order functions are interpreted
+    per element — measured several times slower), and the MIN
+    aggregates combine map-side before the shuffle. Non-distinct
+    shingles are fine: MIN over duplicates equals MIN over the
+    distinct set, so the dedup shuffle is skipped — the signature
+    aggregate is the first (and only doc-grain) exchange and it
+    combines map-side to one row per document."""
+    exploded = exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=n
+    ).withColumnRenamed("shingle", "__shingle")
+    return exploded.groupBy("id").agg(
+        F.array(
+            *[
+                F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
+                for i in range(num_hashes)
+            ]
+        ).alias("sig")
+    )
+
+
+def banded_buckets(
+    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """LSH banding over a ``(id, sig)`` frame: one ``(id, sig, band,
+    bucket)`` row per band, bucket = xxhash64 of the band's signature
+    slice. Candidates only materialize for banded collisions."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     *,
@@ -353,47 +414,10 @@ def minhash_dedup_pairs(
     set the LSH S-curve. Candidates only materialize for banded
     collisions: the self-join is on (band_id, band_hash), never n².
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    # exploded-aggregate signature: one row per (doc, shingle), k
-    # seeded hashes as a plain projection, then k MIN aggregates back
-    # to one row per doc. Unlike k array-transform expressions this
-    # stays inside whole-stage codegen (higher-order functions are
-    # interpreted per element — measured several times slower), and the
-    # MIN aggregates combine map-side before the shuffle.
-    # non-distinct shingles are fine here: MIN over duplicates equals
-    # MIN over the distinct set, so the dedup shuffle is skipped — the
-    # signature aggregate below is the first (and only doc-grain)
-    # exchange, and it combines map-side to one row per document.
-    exploded = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n).withColumnRenamed(
-        "shingle", "__shingle"
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
     )
-    sig = exploded.groupBy("id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.col("__shingle"), F.lit(i))).alias(f"__h{i}")
-                for i in range(num_hashes)
-            ]
-        ).alias("sig")
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sig", "bb.band", "bb.bucket")
+    banded = banded_buckets(sig, num_hashes=num_hashes, bands=bands)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

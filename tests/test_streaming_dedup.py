@@ -266,3 +266,126 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_stream_join(t_stream, q_stream, keys=["sym"], how="full")
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_equals_batch(spark, tmp_path):
+    """r7 (verdict #4): three arrival batches through the persisted
+    signature store must reproduce the batch pipeline exactly —
+    survivors == exact_dedup over the full corpus (arrival order
+    follows the tiebreak here), and the ACCUMULATED candidate pairs ==
+    minhash_dedup_pairs over the exact-deduped corpus. Replaying a
+    batch id must change nothing."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.dedup import (
+        exact_dedup,
+        minhash_dedup_pairs,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.dedup_incremental import (
+        IncrementalDedup,
+    )
+    from pyspark.sql import functions as F
+
+    boiler = "the quarterly report shows strong growth in all regions "
+    rows = []
+    for i in range(60):
+        if i % 5 == 0:
+            text = boiler * 3  # exact-dup class across batches
+        elif i % 5 == 1:
+            text = boiler * 3 + f"footnote variant {i} applies here"  # near-dup
+        else:
+            text = f"unique document {i} " + " ".join(
+                f"tok{i}w{j}" for j in range(25)
+            )
+        rows.append((i, text))
+    docs = _mk_docs(spark, rows)
+    kw = dict(num_hashes=32, bands=8, n=3, threshold=0.5)
+
+    inc = IncrementalDedup(
+        spark, str(tmp_path / "store"), id_col="doc_id", text_col="text", **kw
+    )
+    got_pairs = []
+    for lo, hi, bid in ((0, 20, "b1"), (20, 40, "b2"), (40, 60, "b3")):
+        u, p = inc.process_batch(
+            docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)), bid
+        )
+        got_pairs += [(r.id_a, r.id_b, r.est_jaccard) for r in p.collect()]
+
+    # survivors == batch exact dedup (arrival order == min-id order)
+    want_sur = sorted(
+        r.doc_id
+        for r in exact_dedup(
+            docs.withColumn("key", F.xxhash64("text")), ["key"],
+            tiebreak_col="doc_id",
+        ).collect()
+    )
+    got_sur = sorted(r.id for r in inc.survivors().collect())
+    assert got_sur == want_sur
+
+    # accumulated pairs == batch minhash pairs over the deduped corpus
+    deduped = exact_dedup(
+        docs.withColumn("key", F.xxhash64("text")), ["key"],
+        tiebreak_col="doc_id",
+    ).select("doc_id", "text")
+    want_pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup_pairs(
+            deduped, id_col="doc_id", text_col="text", **kw
+        ).collect()
+    }
+    got_map = {(a, b): e for a, b, e in got_pairs}
+    assert got_map == want_pairs
+    assert len(got_pairs) == len(got_map), "a pair fired twice"
+    # sanity: the fixture actually produced near-dup pairs
+    assert want_pairs
+
+    # replayed batch id: no-op, nothing double-appended
+    u, p = inc.process_batch(
+        docs.filter(F.col("doc_id") < 20), "b1"
+    )
+    assert u.count() == 0 and p.count() == 0
+    assert sorted(r.id for r in inc.survivors().collect()) == want_sur
+    # store-recomputed pair set agrees with the accumulated one
+    full = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in inc.all_pairs_from_store().collect()
+    }
+    assert full == want_pairs
+
+
+def test_incremental_dedup_foreachBatch_wiring(spark, tmp_path):
+    """The attach() writeStream path consumes real micro-batches and
+    lands first-arrival uniques in the store."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.dedup_incremental import (
+        IncrementalDedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, texts in enumerate((["alpha doc", "beta doc"], ["beta doc", "gamma doc"])):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array([i * 10 + j for j in range(len(texts))], type=pa.int64()),
+                "text": texts,
+            }),
+            str(src / f"b{i}.parquet"),
+        )
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    inc = IncrementalDedup(
+        spark, str(tmp_path / "store"), id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8,
+    )
+    q = inc.attach(stream, checkpoint=str(tmp_path / "ckpt")).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+    got = sorted(r.id for r in inc.survivors().collect())
+    assert got == [0, 1, 11]  # 'beta doc' deduped on second arrival
