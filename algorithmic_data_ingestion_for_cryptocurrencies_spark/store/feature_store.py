@@ -32,9 +32,43 @@ KEY_COLS = ("domain", "symbol", "timeframe")
 
 
 class FeatureStore:
-    def __init__(self, spark: SparkSession, base_path: str):
+    def __init__(self, spark: SparkSession, base_path: str, *,
+                 metrics_registry=None):
+        """``metrics_registry`` (a ``streaming.metrics.MetricsRegistry``)
+        turns on the reference-parity store metrics — write/read
+        counters by domain+op and an op-latency histogram
+        (``feature_writes_total`` / ``feature_reads_total`` /
+        ``feature_op_latency_seconds``; the Grafana feature-store
+        dashboard under ``monitoring/grafana/`` reads exactly these).
+        Latency covers the Spark ACTION for writes and the plan BUILD
+        for reads (reads are lazy; execution cost lands on whichever
+        job consumes the frame)."""
         self.spark = spark
         self.base_path = base_path
+        self._m_writes = self._m_reads = self._m_latency = None
+        if metrics_registry is not None:
+            self._m_writes = metrics_registry.counter(
+                "feature_writes_total", "Feature-store writes.", ("domain",)
+            )
+            self._m_reads = metrics_registry.counter(
+                "feature_reads_total",
+                "Feature-store reads by op.", ("domain", "op"),
+            )
+            self._m_latency = metrics_registry.histogram(
+                "feature_op_latency_seconds",
+                "Feature-store op latency.", ("op",),
+            )
+
+    def _observe(self, op: str, domain: str, t0: float) -> None:
+        import time as _time
+
+        if self._m_latency is None:
+            return
+        if op == "write":
+            self._m_writes.inc({"domain": domain})
+        else:
+            self._m_reads.inc({"domain": domain, "op": op})
+        self._m_latency.observe(_time.perf_counter() - t0, {"op": op})
 
     # -- write ---------------------------------------------------------------
 
@@ -42,6 +76,9 @@ class FeatureStore:
               mode: str = "append") -> None:
         """Append feature rows; adds the store key columns + epoch
         seconds, sanitizes symbols, sorts by time within partitions."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = df.withColumn("domain", F.lit(domain))
         if "symbol" in out.columns:
             out = out.withColumn("symbol", sanitize_symbol("symbol"))
@@ -52,6 +89,7 @@ class FeatureStore:
             .partitionBy(*KEY_COLS)
             .parquet(self.base_path)
         )
+        self._observe("write", domain, t0)
 
     # -- read ----------------------------------------------------------------
 
@@ -65,14 +103,26 @@ class FeatureStore:
 
     def read(self, domain: str, symbol: str, timeframe: str, ts_epoch: int) -> DataFrame:
         """Point read — filter on the full key (``redis_store.py:151-168``)."""
-        return self._scan(domain, symbol, timeframe).filter(F.col("ts_epoch") == ts_epoch)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._scan(domain, symbol, timeframe).filter(
+            F.col("ts_epoch") == ts_epoch
+        )
+        self._observe("point", domain, t0)
+        return out
 
     def batch_read(self, domain: str, symbol: str, timeframe: str,
                    ts_epochs: Sequence[int]) -> DataFrame:
         """Batch point read (MGET parity, ``redis_store.py:198-219``)."""
-        return self._scan(domain, symbol, timeframe).filter(
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = self._scan(domain, symbol, timeframe).filter(
             F.col("ts_epoch").isin(list(ts_epochs))
         )
+        self._observe("batch", domain, t0)
+        return out
 
     def range_read(self, domain: str, symbol: str, timeframe: str,
                    start_epoch: int, end_epoch: int, *,
@@ -80,11 +130,16 @@ class FeatureStore:
         """Range read with limit/reverse (ZRANGEBYSCORE parity,
         ``redis_store.py:221-259``). orderBy + limit plans as a
         top-k, not a global sort."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = self._scan(domain, symbol, timeframe).filter(
             F.col("ts_epoch").between(start_epoch, end_epoch)
         )
         out = out.orderBy(F.col("ts_epoch").desc() if reverse else F.col("ts_epoch").asc())
-        return out.limit(limit) if limit else out
+        out = out.limit(limit) if limit else out
+        self._observe("range", domain, t0)
+        return out
 
     # -- maintenance ---------------------------------------------------------
 

@@ -123,3 +123,95 @@ def test_streaming_listener_records_real_microbatches(spark, tmp_path):
         assert 'stream_batch_duration_seconds_count{query="metrics_smoke"}' in text
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_dashboards_and_alerts_reference_only_exported_metrics(spark, tmp_path):
+    """r7 (verdict #5): every metric name referenced by the Grafana
+    dashboards under monitoring/grafana/ and by the Prometheus alert
+    rules must exist in a REAL rendered exposition with all three
+    exporters active (stream listener, scheduler export, feature-store
+    instrumentation) — dashboards that query phantom metrics are
+    decoration, not observability."""
+    import json
+    import os
+    import re
+
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.feature_store import (
+        FeatureStore,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.metrics import (
+        MetricsRegistry,
+        MicroBatchMetricsListener,
+        export_job_metrics,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.scheduler import (
+        JobScheduler,
+    )
+
+    reg = MetricsRegistry()
+    # stream listener metrics register at construction
+    MicroBatchMetricsListener(reg)
+    sched = JobScheduler(clock=lambda: 0.0)
+    sched.add_job("noop", lambda: None, interval_seconds=1.0, run_on_start=True)
+    sched.run_pending()
+    export_job_metrics(sched, reg)
+    fs = FeatureStore(spark, str(tmp_path / "fs"), metrics_registry=reg)
+    pdf = pd.DataFrame({
+        "timestamp": pd.to_datetime(["2024-01-01"]),
+        "symbol": ["BTC/USDT"], "timeframe": ["1m"], "f": [1.0],
+    })
+    fs.write(spark.createDataFrame(pdf), domain="market")
+    fs.read("market", "BTC/USDT", "1m", 0)
+    fs.batch_read("market", "BTC/USDT", "1m", [0])
+    fs.range_read("market", "BTC/USDT", "1m", 0, 10)
+    text = reg.render()
+    exported = set(re.findall(r"^([a-zA-Z_:][a-zA-Z0-9_:]*)\{?", text, re.M))
+    exported |= set(re.findall(r"^# TYPE ([a-zA-Z_:][a-zA-Z0-9_:]*)", text, re.M))
+    exported |= {
+        re.sub(r"_(bucket|sum|count)$", "", m) for m in exported
+    }
+
+    root = os.path.join(os.path.dirname(__file__), "..", "monitoring")
+    exprs = []
+    dash_dir = os.path.join(root, "grafana", "dashboards")
+    assert sorted(os.listdir(dash_dir)) == [
+        "feature_store.json", "ingestion-overview.json",
+        "scheduler-overview.json",
+    ]
+    for f in os.listdir(dash_dir):
+        d = json.load(open(os.path.join(dash_dir, f)))
+        for p in d.get("panels", []):
+            exprs += [t["expr"] for t in p.get("targets", []) if "expr" in t]
+        for v in d.get("templating", {}).get("list", []):
+            q = v.get("query")
+            if isinstance(q, str):
+                exprs.append(q)
+    with open(os.path.join(root, "alert_rules.yml")) as f:
+        exprs += re.findall(r"expr:\s*(.+?)(?=\n\s+(?:for|labels):)",
+                            f.read(), re.S)
+
+    promql_fns = {
+        "sum", "rate", "increase", "histogram_quantile", "clamp_min",
+        "topk", "label_values", "by", "le", "time", "max", "min", "avg",
+    }
+    checked = set()
+    for expr in exprs:
+        for name in re.findall(r"[a-zA-Z_:][a-zA-Z0-9_:]*", expr):
+            if name in promql_fns or name.startswith("__") or len(name) < 8:
+                continue
+            if not re.search(r"_(total|seconds|queries|bucket|sum|count)$", name):
+                continue
+            base = re.sub(r"_(bucket|sum|count)$", "", name)
+            assert base in exported or name in exported, (
+                f"dashboard/alert references unexported metric {name!r}"
+            )
+            checked.add(base)
+    # the sweep actually bound the full exporter surface
+    assert {
+        "stream_input_rows_total", "stream_batch_duration_seconds",
+        "scheduler_job_runs_total", "scheduler_job_duration_seconds",
+        "feature_writes_total", "feature_reads_total",
+        "feature_op_latency_seconds",
+    } <= checked
