@@ -340,3 +340,53 @@ def test_kafka_contract_options_and_record_decode(spark):
     )
     brow = parse_kafka_json(bad, schema).first()
     assert brow["symbol"] is None and brow["price"] is None
+
+
+def test_kafka_wire_path_integration(spark, tmp_path):
+    """r7 (verdict #3): REAL wire-path run of read_kafka_stream —
+    consumes at least one micro-batch from a live broker. Skipped
+    unless the environment provides the connector jar and a broker:
+
+        SPARK_KAFKA_JAR=/path/spark-sql-kafka-0-10_2.13-<ver>.jar \\
+        KAFKA_BOOTSTRAP=host:9092 KAFKA_TEST_TOPIC=adi-test pytest ...
+
+    This round's fetch attempt is documented in ROUND7_NOTES: the
+    sandbox has no DNS and an egress proxy denies raw-IP TLS/HTTP
+    (403), so the jar cannot be downloaded and no broker exists; the
+    jar-free contract halves (option assembly + record decode) are
+    covered above."""
+    import os
+
+    jar = os.environ.get("SPARK_KAFKA_JAR")
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP")
+    if not (jar and bootstrap):
+        pytest.skip("no Kafka connector jar / broker in this environment")
+
+    from pyspark.sql.types import StructType
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.ingest import (
+        read_kafka_stream,
+    )
+
+    schema = (
+        StructType()
+        .add("symbol", "string")
+        .add("price", "double")
+        .add("ts", "timestamp")
+    )
+    topic = os.environ.get("KAFKA_TEST_TOPIC", "adi-test")
+    stream = read_kafka_stream(
+        spark, bootstrap, topic, schema, starting_offsets="earliest"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() >= 1
+    assert set(got.columns) == {"symbol", "price", "ts"}

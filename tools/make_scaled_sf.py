@@ -168,6 +168,11 @@ def main() -> None:
              "sf3-equivalent tier",
     )
     ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to generate (default: "
+             "all); e.g. --tables lineitem for a flagship-only tier",
+    )
+    ap.add_argument(
         "--perturb", action="store_true",
         help="salt document tokens and sign-flip embeddings per "
              "replica (deterministic) so cross-replica dup/similarity "
@@ -186,7 +191,10 @@ def main() -> None:
         col = pq.read_table(os.path.join(args.src, f"{t}.parquet"), columns=[c])[c]
         strides[ref] = int(pc.max(col).as_py()) + 1
 
+    only = set(args.tables.split(",")) if args.tables else None
     for table, cols in SHIFT_COLS.items():
+        if only is not None and table not in only:
+            continue
         src = pq.read_table(os.path.join(args.src, f"{table}.parquet"))
         n_rep = 1 if not cols else args.replicas  # dims are not replicated
         parts = []

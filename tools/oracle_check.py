@@ -99,6 +99,7 @@ def main() -> int:
     sqls = E.oracle_sql()
     todo = names or list(qs)
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
     for name in todo:
         if name not in qs:
             print(f"?? {name}: unknown query")
@@ -108,24 +109,47 @@ def main() -> int:
             sdf = qs[name](spark, sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: SPARK ERROR\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "msg": "spark error"}
             n_fail += 1
             continue
         if name not in sqls:
-            print(f"rows {name}: {len(sdf)} rows (rows-only, {time.time()-t0:.1f}s)")
+            dt = round(time.time() - t0, 1)
+            print(f"rows {name}: {len(sdf)} rows (rows-only, {dt}s)")
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": dt}
             n_rows_only += 1
             continue
         try:
             odf = con.sql(sqls[name]).df()
         except Exception:
             print(f"FAIL {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "msg": "duckdb error"}
             n_fail += 1
             continue
         ok, msg = compare(name, sdf, odf)
         tag = "PASS" if ok else "FAIL"
-        print(f"{tag} {name}: {len(sdf)} rows, {msg} ({time.time()-t0:.1f}s)")
+        dt = round(time.time() - t0, 1)
+        print(f"{tag} {name}: {len(sdf)} rows, {msg} ({dt}s)")
+        results[name] = {
+            "status": "pass" if ok else "fail", "rows": len(sdf),
+            "msg": msg, "sec": dt,
+        }
         n_pass += ok
         n_fail += not ok
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    # ORACLE_JSON=<path>: persist the full-registry gate as an artifact
+    # (r6 verdict #7 — CORRECTNESS_LOCAL_r{N}.json per round)
+    out = os.environ.get("ORACLE_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({
+                "sf_dir": sf_dir,
+                "summary": {"pass": n_pass, "fail": n_fail,
+                            "rows_only": n_rows_only},
+                "queries": results,
+            }, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     return 1 if n_fail else 0
 
 
