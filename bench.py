@@ -72,9 +72,18 @@ def main() -> None:
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     if run_spark:
-        from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
+        from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import (
+            get_spark,
+            shuffle_partitions_for_dir,
+        )
 
-        spark = get_spark("adi-bench")
+        # size shuffle partitions to the tier so sort-heavy stages
+        # don't spill (r7: the sf10 flagship cell was 2.1x slower at
+        # the core-count default purely from sort spill)
+        spark = get_spark(
+            "adi-bench",
+            shuffle_partitions=shuffle_partitions_for_dir(sf_dir),
+        )
         # JVM warmup outside the timed region
         spark.range(1_000_000).selectExpr("sum(id)").collect()
 

@@ -1,0 +1,134 @@
+"""Resumable single-engine scaled-tier bench (r5/r6 lesson: long
+DuckDB tiers exceed any one command window, so each query's result is
+flushed to the output JSON as soon as it finishes and an interrupted
+run resumes past completed queries).
+
+    python tools/bench_scaled.py --engine spark --sf-dir testdata_scaled/sf3 \
+        --out /tmp/sf3_spark.json --runs 2 \
+        --skip sim_near_pairs,sim_near_pairs_arrow,j5_range_join
+
+The per-round BENCH_SCALED_r{N}.json is assembled from these partials
+(one file per engine x tier) with matched-set totals.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _flush(path: str, data: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--engine", choices=("spark", "duckdb"), required=True)
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--queries", default="",
+                    help="comma-separated override of the headline list")
+    args = ap.parse_args()
+
+    skip = {s for s in args.skip.split(",") if s}
+    todo = [q for q in (args.queries.split(",") if args.queries else HEADLINE)
+            if q and q not in skip]
+    state = _load(args.out)
+    state.setdefault("engine", args.engine)
+    state.setdefault("sf_dir", args.sf_dir)
+    state.setdefault("runs", args.runs)
+    state.setdefault("queries", {})
+    state.setdefault("errors", {})
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
+
+    if args.engine == "spark":
+        from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import (
+            get_spark,
+            shuffle_partitions_for_dir,
+        )
+
+        nsp = shuffle_partitions_for_dir(args.sf_dir)
+        state["spark_shuffle_partitions"] = nsp
+        spark = get_spark("adi-bench-scaled", shuffle_partitions=nsp)
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+
+        def run_one(name: str) -> float | None:
+            fn, _sql = REGISTRY[name]
+            try:
+                fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+            except Exception:
+                pass
+            best = None
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best or 9e9, time.perf_counter() - t0)
+            return best
+    else:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            p = os.path.join(args.sf_dir, f"{t}.parquet")
+            if not os.path.exists(p):
+                continue
+            glob = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{glob}'")
+
+        def run_one(name: str) -> float | None:
+            _fn, sql = REGISTRY[name]
+            if sql is None:
+                return None
+            best = None
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                con.sql(sql).fetchall()
+                best = min(best or 9e9, time.perf_counter() - t0)
+            return best
+
+    for name in todo:
+        if name in state["queries"] or name in state["errors"]:
+            continue
+        try:
+            got = run_one(name)
+        except Exception as e:
+            state["errors"][name] = str(e)[:300]
+            _flush(args.out, state)
+            print(f"ERR {name}: {str(e)[:120]}", flush=True)
+            continue
+        if got is not None:
+            state["queries"][name] = round(got, 3)
+            print(f"{name}: {got:.3f}s", flush=True)
+        _flush(args.out, state)
+    print(json.dumps({"done": True, "n": len(state['queries'])}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
