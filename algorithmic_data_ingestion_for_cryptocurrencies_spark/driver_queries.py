@@ -2491,12 +2491,15 @@ def text_bigram_lm(spark, sf_dir):
     """Bigram-LM quality scoring (CCNet-style): train add-alpha bigram
     counts on HALF the corpus (even doc_ids — so the held-out half
     exercises the OOV smoothing path), score every document by mean
-    bigram log-likelihood."""
-    from .operators.text import bigram_lm, bigram_lm_score
+    bigram log-likelihood. Uses the fused train+score path: one
+    tokenize pass, checkpoint-shared between model and scorer."""
+    from .operators.text import bigram_lm_train_score
 
     docs = _t(spark, sf_dir, "documents")
-    lm = bigram_lm(docs.filter(F.col("doc_id") % 2 == 0), text_col="text")
-    return bigram_lm_score(docs, lm, id_col="doc_id", text_col="text", alpha=0.5)
+    return bigram_lm_train_score(
+        docs, train_filter=F.col("doc_id") % 2 == 0,
+        id_col="doc_id", text_col="text", alpha=0.5,
+    )
 
 
 _URL_RE = textops.URL_PATTERN

@@ -448,6 +448,74 @@ def bigram_lm_score(
     )
 
 
+def bigram_lm_train_score(
+    docs: DataFrame,
+    *,
+    train_filter: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    hash_tokens: bool = True,
+) -> DataFrame:
+    """Fused train-on-a-subset + score-everything bigram-LM pass — the
+    common corpus-curation shape (train on a clean half, score all).
+    Same output as ``bigram_lm(docs.filter(train_filter))`` piped into
+    :func:`bigram_lm_score` over ``docs``, but the corpus is tokenized
+    and exploded ONCE: the instance-grain ``(id, w1, w2)`` frame is
+    ``localCheckpoint``-pinned and both the model aggregates and the
+    scorer derive from it, saving a full regex-tokenize pass over the
+    training subset (the scan + explode is the dominant map-side cost;
+    the checkpoint row is 24 bytes once ``hash_tokens`` compresses the
+    keys). The model-side joins carry ``shuffle_hash`` hints: the
+    count tables are vocab²-bounded while the probe side is
+    corpus-instance-grain, so hash-building the small side beats
+    sort-merge's two full sorts of the probe frame at any scale where
+    a per-partition count-table build fits memory (it does by
+    construction — partitions scale with corpus bytes).
+    """
+    bg_all = docs.select(
+        F.col(id_col),
+        F.explode(bigram_pairs(text_col, keep_tail=True)).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    if hash_tokens:
+        # nullness preserved: the tail sentinel must stay NULL, not
+        # hash to xxhash64's seed constant (see bigram_lm)
+        bg_all = bg_all.select(
+            id_col,
+            F.xxhash64("w1").alias("w1"),
+            F.when(F.col("w2").isNotNull(), F.xxhash64("w2")).alias("w2"),
+        )
+    # one tokenize pass feeds train aggregates AND the scorer, which
+    # execute as separate jobs — pin it (ReuseExchange is job-local)
+    bg_all = bg_all.localCheckpoint(eager=False)
+    train_bg = bg_all if train_filter is None else bg_all.filter(train_filter)
+    c2_all = (
+        train_bg.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = c2_all.agg(F.count_distinct("w1").alias("vs"))
+    c2 = c2_all.filter(F.col("w2").isNotNull())
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = (
+        bg_all.filter(F.col("w2").isNotNull())
+        .join(c2.hint("shuffle_hash"), ["w1", "w2"], "left")
+        .join(c1.hint("shuffle_hash"), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("vs"))
+            ).alias("__logp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.avg("__logp").alias("avg_logp"),
+    )
+
+
 # HTML entity decode table, applied AFTER tag stripping; '&amp;' must
 # decode LAST so '&amp;lt;' yields the literal text '&lt;' (single
 # decode), matching the standard entity-decode contract.

@@ -191,6 +191,48 @@ def test_bigram_lm_scores_flag_unusual_text(spark):
     assert rows[100]["n_bigrams"] == 5
 
 
+def test_bigram_lm_fused_equals_two_step(spark):
+    """The fused single-tokenize train+score path must reproduce the
+    two-step bigram_lm -> bigram_lm_score result exactly (same model,
+    same smoothing, same hashed keys), including the OOV and
+    1-token-tail edge cases."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        bigram_lm,
+        bigram_lm_score,
+        bigram_lm_train_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and the cat ran"),
+            (1, "zxq vbn qwe rty uio plm"),
+            (2, "the dog sat on a log"),
+            (3, "one"),
+            (4, "cats and dogs run on mats"),
+            (5, "the mat ran on the cat"),
+        ],
+        ["doc_id", "text"],
+    )
+    pred = F.col("doc_id") % 2 == 0
+    lm = bigram_lm(docs.filter(pred), text_col="text")
+    expected = {
+        r["doc_id"]: r
+        for r in bigram_lm_score(docs, lm, id_col="doc_id", text_col="text").collect()
+    }
+    fused = {
+        r["doc_id"]: r
+        for r in bigram_lm_train_score(
+            docs, train_filter=pred, id_col="doc_id", text_col="text"
+        ).collect()
+    }
+    assert set(fused) == set(expected)
+    for k in expected:
+        assert fused[k]["n_bigrams"] == expected[k]["n_bigrams"]
+        assert abs(fused[k]["avg_logp"] - expected[k]["avg_logp"]) < 1e-12
+
+
 def test_html_to_text_strips_payloads_and_decodes_entities(spark):
     from pyspark.sql import functions as F
 
