@@ -3670,6 +3670,77 @@ def u6_signals(spark, sf_dir):
     return out.select(*IDS, "entry_sig", "exit_sig", "position")
 
 
+_BT_POS_PREV = f"COALESCE(LAG(position, 1) {_over()}, 0)"
+_BT_STRAT = (
+    f"COALESCE({_BT_POS_PREV} * (close / LAG(close, 1) {_over()} - 1), 0)"
+    f" - 0.0005 * ABS(position - {_BT_POS_PREV})"
+)
+
+@q(
+    "u6_backtest",
+    f"""WITH sig AS (
+  SELECT suppkey, ts, okey, lnum, pkey, close,
+         COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
+                                  WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
+                  {_over(_CUM)}, 0) AS position
+  FROM (
+    SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
+    FROM (
+      SELECT *, CAST(({_roll('AVG', 'close', 10)}) > ({_roll('AVG', 'close', 50)}) AS INT) AS __above
+      FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                   10000 + CAST(close AS DOUBLE) / 100 AS close
+            FROM ({MARKET_SQL}))
+    )
+  )
+),
+bt AS (
+  SELECT suppkey, ts, okey, lnum, pkey,
+         ABS(position - {_BT_POS_PREV}) AS trade,
+         {_BT_STRAT} AS strat
+  FROM sig
+),
+curve AS (
+  SELECT *, EXP(SUM(LN(1 + strat)) {_over(_CUM)}) AS equity FROM bt
+),
+dd AS (
+  SELECT *, equity / MAX(equity) {_over(_CUM)} - 1 AS drawdown FROM curve
+)
+SELECT suppkey, COUNT(*) AS n_bars, CAST(SUM(trade) AS DOUBLE) AS n_trades,
+       EXP(SUM(LN(1 + strat))) - 1 AS total_return,
+       MIN(drawdown) AS max_drawdown,
+       CASE WHEN STDDEV_SAMP(strat) IS NULL OR STDDEV_SAMP(strat) = 0 THEN NULL
+            ELSE AVG(strat) / STDDEV_SAMP(strat) END AS sharpe
+FROM dd GROUP BY suppkey""",
+    cols=["suppkey", "n_bars", "n_trades", "total_return",
+          "max_drawdown", "sharpe"],
+    fcols=["n_trades", "total_return", "max_drawdown", "sharpe"],
+)
+def u6_backtest(spark, sf_dir):
+    """Full U6 closure: SMA-crossover positions piped through the
+    vectorized window-algebra backtest (close-to-close fills, 5 bps
+    fee per position change), summarized per series — total return,
+    max drawdown, Sharpe, trade count. Reference runs vectorbt on the
+    same positions (HistoricalDataTest.py:105-118); here the entire
+    equity curve is one window family, so the backtest scales to any
+    number of series via the partition key."""
+    from .operators.backtest import backtest_positions, backtest_summary
+    from .operators.signals import with_sma_crossover_signals
+
+    # TPC-H pseudo-prices swing ~100x bar to bar — compounding over
+    # that underflows equity to 0 for every key. The affine damp keeps
+    # per-bar returns in a realistic band; it commutes with SMA and
+    # '>' so the crossover signals are IDENTICAL to u6_signals'.
+    m = _market(spark, sf_dir).withColumn(
+        "close", F.lit(10000.0) + F.col("close").cast("double") / 100
+    )
+    sig = with_sma_crossover_signals(m, "close", 10, 50, keys=KEYS, order=ORDER)
+    curve = backtest_positions(
+        sig, keys=KEYS, order=ORDER,
+        price_col="close", position_col="position", fee_bps=5.0,
+    )
+    return backtest_summary(curve, keys=KEYS)
+
+
 # --------------------------------------------------------------------------
 # Engine-level aggregate surface beyond the reference (SURVEY §7.1
 # north-star): grouping sets (ROLLUP/CUBE) and approximate aggregates.

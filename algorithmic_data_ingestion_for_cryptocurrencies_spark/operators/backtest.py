@@ -1,0 +1,101 @@
+"""Vectorized backtest over a position series (SURVEY §2 U6).
+
+Parity source: the reference backtests its SMA-crossover positions
+with vectorbt (``algo-data-ingestion/HistoricalDataTest.py:105-118``
+— ``vbt.Portfolio.from_signals`` → equity curve, total return, max
+drawdown, Sharpe). vectorbt is an eager NumPy engine; the same
+semantics are pure window algebra, so here the whole backtest is
+column expressions over one per-series sort — no UDFs, no collect,
+and the shape scales to any number of series (partition by key) and
+any history length (windows are cumulative, never all-pairs).
+
+Semantics (long/flat/short positions, close-to-close fills):
+
+- per-bar asset return ``r_t = close_t / close_{t-1} - 1``
+- the position EARNS with one bar of lag (a position entered on bar t
+  participates from bar t+1): ``strat_t = pos_{t-1} * r_t``
+- fees: ``fee_bps`` basis points of traded notional per unit of
+  position change, charged on the bar of the change:
+  ``- fee_bps/1e4 * |pos_t - pos_{t-1}|``
+- equity is the compounded product ``Π(1 + strat_t)``, computed as
+  ``exp(cumsum(log1p(strat_t)))`` — a cumulative window sum, which
+  keeps the whole curve in one window pass and is exactly the form a
+  SQL oracle can reproduce (DuckDB ``EXP(SUM(LN(1+s)) OVER ...)``)
+- drawdown is ``equity / cummax(equity) - 1``
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .rolling import series_window
+
+
+def backtest_positions(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order: str | Sequence[str],
+    price_col: str = "close",
+    position_col: str = "position",
+    fee_bps: float = 0.0,
+    ret_out: str = "strategy_ret",
+    trade_out: str = "trade",
+    equity_out: str = "equity",
+    drawdown_out: str = "drawdown",
+) -> DataFrame:
+    """Append the per-bar backtest curve columns: traded size,
+    strategy return, compounded equity, drawdown from running peak.
+
+    One window family over (keys, order) — rank/lag, the cumulative
+    log-equity sum, and the running peak all share the same partition
+    and sort, so Catalyst plans a single exchange + sort for the whole
+    curve regardless of how many output columns are derived."""
+    w = series_window(keys, order)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fee = fee_bps / 1e4
+    pos_prev = F.lag(F.col(position_col), 1, 0).over(w)
+    ret = F.col(price_col) / F.lag(price_col, 1).over(w) - 1
+    trade = F.abs(F.col(position_col) - pos_prev)
+    # first bar: ret is NULL (no prior close) -> the position earns 0,
+    # but a first-bar entry still pays its fee
+    strat = F.coalesce(pos_prev * ret, F.lit(0.0)) - F.lit(fee) * trade
+    df = df.withColumn(trade_out, trade).withColumn(ret_out, strat)
+    equity = F.exp(F.sum(F.log1p(F.col(ret_out))).over(w_cum))
+    df = df.withColumn(equity_out, equity)
+    peak = F.max(F.col(equity_out)).over(w_cum)
+    return df.withColumn(drawdown_out, F.col(equity_out) / peak - 1)
+
+
+def backtest_summary(
+    curve: DataFrame,
+    *,
+    keys: Sequence[str],
+    ret_col: str = "strategy_ret",
+    trade_col: str = "trade",
+    drawdown_col: str = "drawdown",
+    periods_per_year: float | None = None,
+) -> DataFrame:
+    """Per-series performance summary over a :func:`backtest_positions`
+    curve: bar/trade counts, compounded total return, max drawdown,
+    Sharpe ratio (mean/std of per-bar strategy returns, optionally
+    annualized by ``sqrt(periods_per_year)``).
+
+    The total return re-derives from ``SUM(LN(1+r))`` rather than a
+    last-row lookup, so the summary is ONE hash aggregate — no second
+    window pass and no per-key sort; only max-drawdown consumes the
+    windowed column. Sharpe is NULL (not inf) for flat or single-bar
+    series, in both this engine and the SQL oracle form."""
+    ann = float(periods_per_year) ** 0.5 if periods_per_year else 1.0
+    mean_r = F.avg(ret_col)
+    sd_r = F.stddev_samp(ret_col)
+    return curve.groupBy(*keys).agg(
+        F.count("*").alias("n_bars"),
+        F.sum(trade_col).cast("double").alias("n_trades"),
+        (F.exp(F.sum(F.log1p(F.col(ret_col)))) - 1).alias("total_return"),
+        F.min(drawdown_col).alias("max_drawdown"),
+        F.when(sd_r.isNotNull() & (sd_r != 0), F.lit(ann) * mean_r / sd_r)
+        .alias("sharpe"),
+    )
