@@ -3676,41 +3676,49 @@ _BT_STRAT = (
     f" - 0.0005 * ABS(position - {_BT_POS_PREV})"
 )
 
-@q(
-    "u6_backtest",
-    f"""WITH sig AS (
-  SELECT suppkey, ts, okey, lnum, pkey, close,
-         COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
-                                  WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
-                  {_over(_CUM)}, 0) AS position
-  FROM (
-    SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
-    FROM (
-      SELECT *, CAST(({_roll('AVG', 'close', 10)}) > ({_roll('AVG', 'close', 50)}) AS INT) AS __above
-      FROM (SELECT suppkey, ts, okey, lnum, pkey,
-                   10000 + CAST(close AS DOUBLE) / 100 AS close
-            FROM ({MARKET_SQL}))
-    )
-  )
-),
-bt AS (
-  SELECT suppkey, ts, okey, lnum, pkey,
-         ABS(position - {_BT_POS_PREV}) AS trade,
-         {_BT_STRAT} AS strat
-  FROM sig
-),
-curve AS (
-  SELECT *, EXP(SUM(LN(1 + strat)) {_over(_CUM)}) AS equity FROM bt
-),
-dd AS (
-  SELECT *, equity / MAX(equity) {_over(_CUM)} - 1 AS drawdown FROM curve
-)
-SELECT suppkey, COUNT(*) AS n_bars, CAST(SUM(trade) AS DOUBLE) AS n_trades,
+
+def _bt_summary_sql(fast: int, slow: int, *, tag: bool = False) -> str:
+    """One SMA-crossover backtest summary as nested inline views (no
+    CTEs, so combos can be UNION ALL branches); ``tag`` prepends the
+    (fast, slow) combo columns for the param-sweep oracle."""
+    head = f"{fast} AS fast, {slow} AS slow, " if tag else ""
+    return f"""SELECT {head}suppkey, COUNT(*) AS n_bars,
+       CAST(SUM(trade) AS DOUBLE) AS n_trades,
        EXP(SUM(LN(1 + strat))) - 1 AS total_return,
        MIN(drawdown) AS max_drawdown,
        CASE WHEN STDDEV_SAMP(strat) IS NULL OR STDDEV_SAMP(strat) = 0 THEN NULL
             ELSE AVG(strat) / STDDEV_SAMP(strat) END AS sharpe
-FROM dd GROUP BY suppkey""",
+FROM (
+  SELECT *, equity / MAX(equity) {_over(_CUM)} - 1 AS drawdown
+  FROM (
+    SELECT *, EXP(SUM(LN(1 + strat)) {_over(_CUM)}) AS equity
+    FROM (
+      SELECT suppkey, ts, okey, lnum, pkey,
+             ABS(position - {_BT_POS_PREV}) AS trade,
+             {_BT_STRAT} AS strat
+      FROM (
+        SELECT suppkey, ts, okey, lnum, pkey, close,
+               COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
+                                        WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
+                        {_over(_CUM)}, 0) AS position
+        FROM (
+          SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
+          FROM (
+            SELECT *, CAST(({_roll('AVG', 'close', fast)}) > ({_roll('AVG', 'close', slow)}) AS INT) AS __above
+            FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                         10000 + CAST(close AS DOUBLE) / 100 AS close
+                  FROM ({MARKET_SQL}))
+          )
+        )
+      )
+    )
+  )
+) GROUP BY {'fast, slow, ' if tag else ''}suppkey"""
+
+
+@q(
+    "u6_backtest",
+    _bt_summary_sql(10, 50),
     cols=["suppkey", "n_bars", "n_trades", "total_return",
           "max_drawdown", "sharpe"],
     fcols=["n_trades", "total_return", "max_drawdown", "sharpe"],
@@ -3739,6 +3747,65 @@ def u6_backtest(spark, sf_dir):
         price_col="close", position_col="position", fee_bps=5.0,
     )
     return backtest_summary(curve, keys=KEYS)
+
+
+_SWEEP_GRID = [(5, 20), (10, 50), (20, 100)]
+
+
+def _damped_market(spark, sf_dir):
+    return _market(spark, sf_dir).withColumn(
+        "close", F.lit(10000.0) + F.col("close").cast("double") / 100
+    )
+
+
+_SWEEP_SQL = "\nUNION ALL\n".join(
+    _bt_summary_sql(f, s, tag=True) for f, s in _SWEEP_GRID
+)
+
+
+@q(
+    "u6_param_sweep",
+    _SWEEP_SQL,
+    cols=["fast", "slow", "suppkey", "n_bars", "n_trades",
+          "total_return", "max_drawdown", "sharpe"],
+    fcols=["n_trades", "total_return", "max_drawdown", "sharpe"],
+)
+def u6_param_sweep(spark, sf_dir):
+    """Strategy-parameter grid search (the reference's Optuna study,
+    HistoricalDataTest.py:120-175, re-expressed data-parallel): every
+    (fast, slow) combo backtested in one union-of-plans job over a
+    checkpoint-pinned scan."""
+    from .operators.backtest import sma_param_sweep
+
+    return sma_param_sweep(
+        _damped_market(spark, sf_dir), _SWEEP_GRID,
+        keys=KEYS, order=ORDER, price_col="close", fee_bps=5.0,
+    )
+
+
+@q(
+    "u6_best_params",
+    f"""SELECT suppkey, fast AS best_fast, slow AS best_slow,
+       total_return AS best_total_return
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY suppkey
+              ORDER BY total_return DESC, fast ASC, slow ASC) AS __rk
+  FROM ({_SWEEP_SQL})
+) WHERE __rk = 1""",
+    cols=["suppkey", "best_fast", "best_slow", "best_total_return"],
+    fcols=["best_total_return"],
+)
+def u6_best_params(spark, sf_dir):
+    """Argmax over the parameter sweep: best (fast, slow) per series
+    by total return — one max_by hash aggregate over the sweep, with
+    deterministic lexicographic tie-breaks."""
+    from .operators.backtest import best_params_per_series, sma_param_sweep
+
+    sweep = sma_param_sweep(
+        _damped_market(spark, sf_dir), _SWEEP_GRID,
+        keys=KEYS, order=ORDER, price_col="close", fee_bps=5.0,
+    )
+    return best_params_per_series(sweep, keys=KEYS, metric_col="total_return")
 
 
 # --------------------------------------------------------------------------

@@ -69,6 +69,82 @@ def backtest_positions(
     return df.withColumn(drawdown_out, F.col(equity_out) / peak - 1)
 
 
+def sma_param_sweep(
+    df: DataFrame,
+    grid: Sequence[tuple[int, int]],
+    *,
+    keys: Sequence[str],
+    order: str | Sequence[str],
+    price_col: str = "close",
+    fee_bps: float = 0.0,
+    periods_per_year: float | None = None,
+) -> DataFrame:
+    """Strategy-parameter grid search: backtest an SMA-crossover for
+    every ``(fast, slow)`` pair in ``grid`` and return the per-series
+    summary for each combo, tagged with ``fast``/``slow`` columns.
+
+    The reference searches this space with Optuna over an eager
+    single-machine backtest (``HistoricalDataTest.py:120-175``); a
+    trial there is sequential. Here the grid is data-parallel: window
+    frames must be plan-time constants, so each combo contributes one
+    statically-windowed plan and the union of plans executes as ONE
+    job whose stages run concurrently across the cluster. The input
+    frame is ``localCheckpoint``-pinned so the scan happens once and
+    every combo's window pass reads the pinned blocks (an n-combo
+    sweep costs n window passes + 1 scan, not n scans)."""
+    if not grid:
+        raise ValueError("empty parameter grid")
+    from .signals import with_sma_crossover_signals
+
+    base = df.localCheckpoint(eager=False)
+    outs: list[DataFrame] = []
+    for fast, slow in grid:
+        sig = with_sma_crossover_signals(
+            base, price_col, fast, slow, keys=keys, order=order
+        )
+        curve = backtest_positions(
+            sig, keys=keys, order=order,
+            price_col=price_col, position_col="position", fee_bps=fee_bps,
+        )
+        outs.append(
+            backtest_summary(
+                curve, keys=keys, periods_per_year=periods_per_year
+            ).select(
+                F.lit(fast).alias("fast"), F.lit(slow).alias("slow"), "*"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def best_params_per_series(
+    sweep: DataFrame,
+    *,
+    keys: Sequence[str],
+    metric_col: str = "total_return",
+) -> DataFrame:
+    """Argmax over a :func:`sma_param_sweep` result: the (fast, slow)
+    pair with the best ``metric_col`` per series, via ``max_by`` on a
+    (metric, fast, slow) struct — one hash aggregate, deterministic
+    under metric ties (lexicographically smallest (fast, slow) wins
+    because the struct comparison falls through to them)."""
+    pick = F.max_by(
+        F.struct(
+            F.col("fast"), F.col("slow"), F.col(metric_col).alias("metric")
+        ),
+        # tie-break: equal metrics resolve to the SMALLEST (fast, slow)
+        # pair — negate the params inside the ordering struct
+        F.struct(F.col(metric_col), (-F.col("fast")), (-F.col("slow"))),
+    )
+    return sweep.groupBy(*keys).agg(
+        pick.getField("fast").alias("best_fast"),
+        pick.getField("slow").alias("best_slow"),
+        pick.getField("metric").alias("best_" + metric_col),
+    )
+
+
 def backtest_summary(
     curve: DataFrame,
     *,

@@ -75,6 +75,67 @@ def test_summary_matches_curve(curve):
     assert row["sharpe"] == pytest.approx(mean / math.sqrt(var), rel=1e-12)
 
 
+def test_param_sweep_matches_per_combo_and_best_pick(spark):
+    """Each sweep combo row must equal a standalone backtest with those
+    params, and best_params_per_series must agree with a manual argmax
+    (ties resolved to the smallest (fast, slow))."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        best_params_per_series,
+        sma_param_sweep,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.signals import (
+        with_sma_crossover_signals,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for key in ("a", "b"):
+        px = 100.0
+        for t in range(120):
+            px *= 1 + rng.uniform(-0.03, 0.032)
+            rows.append((key, t, px))
+    df = spark.createDataFrame(rows, ["key", "ts", "close"])
+    grid = [(3, 10), (5, 20)]
+    sweep = sma_param_sweep(
+        df, grid, keys=["key"], order="ts", price_col="close", fee_bps=10.0
+    ).collect()
+    got = {(r["fast"], r["slow"], r["key"]): r for r in sweep}
+    assert len(got) == len(grid) * 2
+    for fast, slow in grid:
+        sig = with_sma_crossover_signals(
+            df, "close", fast, slow, keys=["key"], order="ts"
+        )
+        solo = backtest_summary(
+            backtest_positions(
+                sig, keys=["key"], order="ts",
+                price_col="close", position_col="position", fee_bps=10.0,
+            ),
+            keys=["key"],
+        ).collect()
+        for r in solo:
+            g = got[(fast, slow, r["key"])]
+            assert g["total_return"] == pytest.approx(r["total_return"], rel=1e-12)
+            assert g["n_trades"] == r["n_trades"]
+
+    best = {
+        r["key"]: r
+        for r in best_params_per_series(
+            sma_param_sweep(df, grid, keys=["key"], order="ts",
+                            price_col="close", fee_bps=10.0),
+            keys=["key"], metric_col="total_return",
+        ).collect()
+    }
+    for key in ("a", "b"):
+        manual = max(
+            ((fs, got[(fs[0], fs[1], key)]["total_return"]) for fs in grid),
+            key=lambda t: (t[1], -t[0][0], -t[0][1]),
+        )
+        assert (best[key]["best_fast"], best[key]["best_slow"]) == manual[0]
+        assert best[key]["best_total_return"] == pytest.approx(manual[1], rel=1e-12)
+
+
 def test_flat_series_has_null_sharpe_and_zero_return(spark):
     df = spark.createDataFrame(
         [(t, 100.0, 0) for t in range(4)], ["ts", "close", "position"]
