@@ -26,3 +26,24 @@ def bind_array(arr: Column, body: Callable[[Column], Column]) -> Column:
     for ``body`` (which may reference it any number of times — per
     element, per bucket, per window — at zero re-evaluation cost)."""
     return F.element_at(F.transform(F.array(arr), body), 1)
+
+
+def materialize_once(df, col: Column, alias: str):
+    """Project ``col`` through a Generate barrier so it is computed
+    exactly ONCE per row no matter how many downstream expressions
+    reference it.
+
+    ``bind_array`` shares work *within* one expression tree; it cannot
+    share the tree *across* consumers: ``withColumn`` aliases are
+    re-inlined into every reference by CollapseProject, and a
+    struct-typed result is worse — SimplifyExtractValueOps rewrites
+    each field access into a fresh copy of the producing tree. A
+    3-column stats struct consumed by a filter therefore evaluates its
+    HOF pipeline ~5x per row (measured: the chunk-prep repetition gate
+    at the 1.5M-doc tier ran 14.8 s duplicated vs 6.5 s behind this
+    barrier, row-identical). ``explode(array(col))`` introduces a
+    Generate node the optimizer cannot collapse through; the
+    single-element array yields exactly one output row per input row
+    (a NULL value still produces its row), so this is a pure
+    projection barrier — narrow, no shuffle, codegen-compatible."""
+    return df.select("*", F.explode(F.array(col)).alias(alias))

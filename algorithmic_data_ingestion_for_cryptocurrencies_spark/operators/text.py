@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.hof import bind_array
+from ..functions.hof import bind_array, materialize_once
 from .dedup import normalize_text
 
 # Minimal per-language stopword markers for the n-gram/stopword-ratio
@@ -49,30 +49,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``quality_score``. Mirrors the C4/Gopher-style cheap filters."""
     c = F.col(text_col)
     n_chars = F.length(c)
-    words = word_tokens(c)
-    n_words = F.size(words)
-    avg_word_len = F.when(
-        n_words > 0,
-        F.aggregate(words, F.lit(0.0), lambda acc, t: acc + F.length(t))
-        / n_words.cast("double"),
+    # token-derived stats behind ONE barrier-materialized struct: the
+    # tokenize tree is referenced by four output columns, and without
+    # the barrier each reference re-runs it per row (hof.py)
+    tok_st = bind_array(
+        word_tokens(c),
+        lambda ws: F.struct(
+            F.size(ws).alias("nw"),
+            F.when(
+                F.size(ws) > 0,
+                F.aggregate(ws, F.lit(0.0), lambda acc, t: acc + F.length(t))
+                / F.size(ws).cast("double"),
+            ).alias("awl"),
+            F.size(
+                F.filter(ws, lambda t: t.isin(*LANG_MARKERS["en"]))
+            ).alias("stop"),
+        ),
     )
+    df = materialize_once(df, tok_st, "__q_st")
+    n_words = F.col("__q_st")["nw"]
     n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
     n_digit = F.length(c) - F.length(F.regexp_replace(c, r"[0-9]", ""))
     n_upper = F.length(c) - F.length(F.regexp_replace(c, r"[A-Z]", ""))
-    stop_hits = F.size(
-        F.filter(words, lambda t: t.isin(*LANG_MARKERS["en"]))
-    )
     df = (
         df.withColumn("n_chars_text", n_chars)
         .withColumn("n_words", n_words)
-        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("avg_word_len", F.col("__q_st")["awl"])
         .withColumn("punct_ratio", n_punct / F.nullif(n_chars.cast("double"), F.lit(0.0)))
         .withColumn("digit_ratio", n_digit / F.nullif(n_chars.cast("double"), F.lit(0.0)))
         .withColumn("upper_ratio", n_upper / F.nullif(n_chars.cast("double"), F.lit(0.0)))
         .withColumn(
             "stopword_ratio",
-            stop_hits / F.nullif(F.size(words).cast("double"), F.lit(0.0)),
+            F.col("__q_st")["stop"] / F.nullif(n_words.cast("double"), F.lit(0.0)),
         )
+        .drop("__q_st")
     )
     # composite: long enough, word-shaped, not punctuation/digit soup
     score = (
@@ -188,8 +198,12 @@ def repetition_stats(
         )
 
     st = bind_array(word_tokens(text_col), body)
-    total = st["t"]
-    distinct = st["d"]
+    # Generate barrier: the struct is consumed by three columns (and
+    # typically a filter on the ratio) — without it each reference
+    # re-evaluates the whole tokenize+ngram+distinct tree (hof.py)
+    df = materialize_once(df, st, "__rep_st")
+    total = F.col("__rep_st")["t"]
+    distinct = F.col("__rep_st")["d"]
     return (
         df.withColumn("n_ngrams", total)
         .withColumn("n_distinct", distinct)
@@ -200,6 +214,7 @@ def repetition_stats(
                 F.lit(1.0) - distinct.cast("double") / total.cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("__rep_st")
     )
 
 
