@@ -113,15 +113,38 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
     """Language ID by stopword-marker ratio argmax; 'und' when no
-    marker hits (e.g. non-Latin scripts not in the marker table)."""
-    scores = lang_scores(text_col)
-    langs = list(scores)
+    marker hits (e.g. non-Latin scripts not in the marker table).
+
+    All per-language ratios are computed inside ONE bound lambda and
+    materialized behind a Generate barrier: the argmax chain
+    references every score ~L times (greatest + one when per
+    language), which without the barrier duplicates the tokenize tree
+    O(L²) times per row — ~40 copies at 6 languages (hof.py)."""
+
+    def marker_filter(markers: tuple[str, ...]):
+        return lambda t: t.isin(*markers)
+
+    langs = list(LANG_MARKERS)
+
+    def body(ws: F.Column) -> F.Column:
+        n = F.nullif(F.size(ws).cast("double"), F.lit(0.0))
+        return F.struct(
+            *[
+                (F.size(F.filter(ws, marker_filter(markers))) / n).alias(lang)
+                for lang, markers in LANG_MARKERS.items()
+            ]
+        )
+
+    df = materialize_once(
+        df, bind_array(word_tokens(text_col), body), "__lang_st"
+    )
+    scores = {lang: F.col("__lang_st")[lang] for lang in langs}
     best = F.greatest(*[scores[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):  # earlier langs win ties
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    df = df.withColumn(out, F.when(best > 0, pred).otherwise(F.lit("und")))
-    return df
+    return df.withColumn(out, F.when(best > 0, pred).otherwise(F.lit("und"))) \
+        .drop("__lang_st")
 
 
 def chunk_documents(
