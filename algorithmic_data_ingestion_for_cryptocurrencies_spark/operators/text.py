@@ -384,11 +384,17 @@ def bigram_pairs(col: Column | str, *, keep_tail: bool = False) -> Column:
     expression (regex normalize + split) in the lambda body, which
     Catalyst re-evaluates PER ELEMENT — O(n²) regex work per document
     (measured 20 s just to explode 4M bigrams at the 150k-doc tier;
-    this form is linear)."""
-    toks = word_tokens(col)
+    this form is linear). The token array itself is bound via
+    ``bind_array``: zip_with references it twice (left side + slice),
+    which would otherwise tokenize every document twice per row."""
+    return bind_array(word_tokens(col), lambda ws: _pairs_of(ws, keep_tail))
+
+
+def _pairs_of(ws: Column, keep_tail: bool) -> Column:
+    """Adjacent-pair builder over an already-bound array variable."""
     zipped = F.zip_with(
-        toks,
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+        ws,
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(1))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     if keep_tail:
@@ -504,25 +510,30 @@ def bigram_lm_train_score(
     scorer derive from it, saving a full regex-tokenize pass over the
     training subset (the scan + explode is the dominant map-side cost;
     the checkpoint row is 24 bytes once ``hash_tokens`` compresses the
-    keys). The model-side joins carry ``shuffle_hash`` hints: the
-    count tables are vocab²-bounded while the probe side is
-    corpus-instance-grain, so hash-building the small side beats
-    sort-merge's two full sorts of the probe frame at any scale where
-    a per-partition count-table build fits memory (it does by
-    construction — partitions scale with corpus bytes).
+    keys). With ``hash_tokens`` the TOKEN array is hashed before
+    pairing, so each token is hashed once (not once as w1 and once as
+    w2) and the pair explode moves int64 structs, not strings; the
+    zip's null tail pads to ``(last_hash, NULL)`` so nullness is
+    preserved without a post-hash guard. The model joins are left
+    UNHINTED on purpose: the count tables are vocab²-bounded and AQE's
+    runtime stats broadcast them when they fit (measured 89k bigram
+    types at the 15M-doc tier — both joins go broadcast, zero probe
+    shuffles), degrading to shuffled joins only when a huge vocabulary
+    actually warrants it. NOTE a pre-partition-by-w1 scheme (one
+    upfront exchange serving every downstream clustering requirement)
+    was prototyped and REJECTED: Dataset.localCheckpoint does not
+    propagate outputPartitioning in this build, and without the
+    checkpoint the shared scan re-executes per job (4.6 s vs 3.5 s at
+    the 1.5M-doc tier).
     """
-    bg_all = docs.select(
-        F.col(id_col),
-        F.explode(bigram_pairs(text_col, keep_tail=True)).alias("b"),
-    ).select(id_col, "b.w1", "b.w2")
     if hash_tokens:
-        # nullness preserved: the tail sentinel must stay NULL, not
-        # hash to xxhash64's seed constant (see bigram_lm)
-        bg_all = bg_all.select(
-            id_col,
-            F.xxhash64("w1").alias("w1"),
-            F.when(F.col("w2").isNotNull(), F.xxhash64("w2")).alias("w2"),
-        )
+        hashed = F.transform(word_tokens(text_col), lambda t: F.xxhash64(t))
+        pairs = bind_array(hashed, lambda hs: _pairs_of(hs, True))
+    else:
+        pairs = bigram_pairs(text_col, keep_tail=True)
+    bg_all = docs.select(
+        F.col(id_col), F.explode(pairs).alias("b")
+    ).select(id_col, "b.w1", "b.w2")
     # one tokenize pass feeds train aggregates AND the scorer, which
     # execute as separate jobs — pin it (ReuseExchange is job-local)
     bg_all = bg_all.localCheckpoint(eager=False)
@@ -537,8 +548,8 @@ def bigram_lm_train_score(
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         bg_all.filter(F.col("w2").isNotNull())
-        .join(c2.hint("shuffle_hash"), ["w1", "w2"], "left")
-        .join(c1.hint("shuffle_hash"), ["w1"], "left")
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             id_col,
