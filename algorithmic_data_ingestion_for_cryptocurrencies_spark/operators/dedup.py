@@ -148,6 +148,32 @@ def exploded_shingles(
     )
 
 
+def exploded_shingle_hashes(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows with the shingle keyed as ``xxhash64`` of the
+    TOKEN SLICE — same explode shape as :func:`exploded_shingles`, but
+    the n-gram never materializes as a string: ``xxhash64`` hashes the
+    sliced token array directly, so the per-shingle cost is a hash
+    over n small strings instead of allocate-concat-then-hash. Key
+    equality matches ``xxhash64(concat_ws(' ', slice))`` semantically
+    (not bit-wise): tokens cannot contain whitespace, so token-array
+    identity and joined-string identity are a bijection. For count
+    -level consumers (doc-frequency, containment) the results are
+    identical to the string-keyed path absent a 2^-64 collision."""
+    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
+    )
+    return staged.select("id", "__w", idx.alias("__i")).select(
+        "id", F.xxhash64(F.slice("__w", F.col("__i"), n)).alias("shingle")
+    )
+
+
 def shingle_rows(
     df: DataFrame,
     *,
@@ -681,9 +707,12 @@ def cross_doc_repetition(
 
     Returns (id_col, n_shingles, n_repeated, repeated_frac).
     """
-    sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
     if hash_shingles:
-        sh = sh.select("id", F.xxhash64("shingle").alias("shingle"))
+        # hash the token slice directly — the n-gram string never
+        # materializes (see exploded_shingle_hashes)
+        sh = exploded_shingle_hashes(df, id_col=id_col, text_col=text_col, n=n)
+    else:
+        sh = exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
     sh = sh.distinct()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__dfc"))
     return (
