@@ -289,7 +289,7 @@ def contamination_check(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    hash_shingles: bool = False,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Train/eval contamination scan: for each eval document, the
     fraction of its distinct n-gram shingles that appear anywhere in
@@ -304,19 +304,30 @@ def contamination_check(
     explode projection so the partial agg is map-side). No driver
     state, no broadcast of the big side.
 
-    ``hash_shingles=True`` replaces the shingle string key with
-    ``xxhash64(shingle)`` before the join — at 100 TB the join key
-    shrinks ~10×; collisions (2^-64) can only overcount matches by a
-    hair. Keep it off when an external engine must reproduce the
-    result string-for-string (the DuckDB oracle path).
+    ``hash_shingles=True`` keys the whole pipeline on ``xxhash64`` of
+    the TOKEN SLICE (see :func:`exploded_shingle_hashes`): the n-gram
+    string never materializes, and every exchange — the distincts AND
+    the join — carries 8-byte ints; at 100 TB the join key shrinks
+    ~10×. (The previous form hashed after a string-keyed distinct,
+    paying the string shuffle anyway.) The OUTPUT is count-level
+    (counts and a ratio per doc), so results are identical to the
+    string-keyed path absent a 2^-64 collision — same contract as
+    :func:`cross_doc_repetition`, and the string-keyed DuckDB oracle
+    stays value-exact. Turn it off only to materialize the matched
+    shingle STRINGS for inspection.
     """
-    key = "shingle"
-    tr = shingle_rows(train, id_col=id_col, text_col=text_col, n=n)
-    ev = shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
     if hash_shingles:
         key = "__sh_h"
-        tr = tr.select(F.xxhash64("shingle").alias(key))
-        ev = ev.select("id", F.xxhash64("shingle").alias(key))
+        tr = exploded_shingle_hashes(
+            train, id_col=id_col, text_col=text_col, n=n
+        ).select(F.col("shingle").alias(key))
+        ev = exploded_shingle_hashes(
+            eval_df, id_col=id_col, text_col=text_col, n=n
+        ).select("id", F.col("shingle").alias(key)).distinct()
+    else:
+        key = "shingle"
+        tr = shingle_rows(train, id_col=id_col, text_col=text_col, n=n)
+        ev = shingle_rows(eval_df, id_col=id_col, text_col=text_col, n=n)
     tr_set = tr.select(key).distinct().withColumn("__hit", F.lit(1))
     return (
         ev.join(tr_set, key, "left")

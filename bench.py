@@ -98,7 +98,12 @@ def main() -> None:
                      "dedup_minhash_pairs": max(runs, 5),
                      # r6 verdict: the committed a4 cells must be
                      # min-of-N so artifact and A/B claims agree
-                     "a4_depth": max(runs, 5)}
+                     "a4_depth": max(runs, 5),
+                     # r7: the shingle/bigram shuffle queries show the
+                     # same +-65% variance family as the jaccard joins
+                     "dedup_cross_doc_repetition": max(runs, 5),
+                     "text_bigram_lm": max(runs, 5),
+                     "pipeline_chunk_prep": max(runs, 5)}
     if run_spark:
         # Per-query warmup at the smallest SF: runs every headline plan
         # end-to-end once so each generated WholeStageCodegen class is
