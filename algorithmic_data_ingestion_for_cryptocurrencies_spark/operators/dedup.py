@@ -121,6 +121,27 @@ def ngram_shingles(col: Column | str, n: int = 3) -> Column:
     return bind_array(tokenize(col), body)
 
 
+def ngram_shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as ``xxhash64`` of the token
+    slice — the int64-keyed twin of :func:`ngram_shingles`: the n-gram
+    string never materializes (``xxhash64`` hashes the sliced array
+    directly) and the distinct runs over longs. Token arrays and
+    joined strings are a bijection (tokens cannot contain whitespace),
+    so set identity matches the string form absent a 2^-64 collision."""
+    from ..functions.hof import bind_array
+
+    def body(ws: Column) -> Column:
+        k = F.size(ws) - F.lit(n - 1)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.xxhash64(F.slice(ws, i, n)),
+            )
+        )
+
+    return bind_array(tokenize(col), body)
+
+
 def exploded_shingles(
     df: DataFrame,
     *,
@@ -195,6 +216,7 @@ def jaccard_similar_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     broadcast_sizes: bool = False,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -225,11 +247,19 @@ def jaccard_similar_pairs(
     broadcast-joined onto the pair aggregates — ~30% faster measured
     at sf0.1, correct only while one (id, n_sh) row per document fits
     a broadcast (bounded corpora; not the 5B-doc regime).
+
+    ``hash_shingles`` (default on) keys every stage — the set build,
+    the inverted index, and the self-join — on ``xxhash64`` of the
+    token slice (:func:`exploded_shingle_hashes`): the n-gram string
+    never materializes and all exchanges carry int64 keys. Jaccard is
+    a pure set-count statistic, so values are identical absent a
+    2^-64 collision; the string-keyed DuckDB oracle stays value-exact.
     """
     from pyspark.sql import Window
 
+    expl = exploded_shingle_hashes if hash_shingles else exploded_shingles
     sets = (
-        exploded_shingles(df, id_col=id_col, text_col=text_col, n=n)
+        expl(df, id_col=id_col, text_col=text_col, n=n)
         .groupBy("id")
         .agg(F.collect_set("shingle").alias("__shs"))
     )
@@ -346,8 +376,17 @@ def contamination_check(
 
 def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) -> Column:
     """MinHash signature: min over shingles of xxhash64(shingle, seed_i)
-    for each of ``num_hashes`` seeds. Array column, JVM-side."""
-    shingles = ngram_shingles(col, n)
+    for each of ``num_hashes`` seeds. Array column, JVM-side.
+
+    Shingles enter as int64 slice hashes (:func:`ngram_shingle_hashes`)
+    so the k seeded hashes each fold 8 bytes instead of a ~25-byte
+    string, and the shingle strings are never built. Seed-hashing a
+    uniform hash preserves the min-hash estimator (the composition is
+    still a uniform family per seed); signature VALUES differ from a
+    string-shingled signature, so compare signatures only against
+    signatures produced by the same pipeline (the incremental store
+    recomputes on its own path, unaffected)."""
+    shingles = ngram_shingle_hashes(col, n)
     return minhash_signature_from_shingles(shingles, num_hashes=num_hashes)
 
 
@@ -392,8 +431,14 @@ def minhash_signatures(
     shingles are fine: MIN over duplicates equals MIN over the
     distinct set, so the dedup shuffle is skipped — the signature
     aggregate is the first (and only doc-grain) exchange and it
-    combines map-side to one row per document."""
-    exploded = exploded_shingles(
+    combines map-side to one row per document.
+
+    Shingles enter as int64 slice hashes (the
+    :func:`exploded_shingle_hashes` keying, matching
+    :func:`minhash_signature`): each of the k seeded hashes folds 8
+    bytes instead of a ~25-byte string and the n-gram string is never
+    built. Seed-hashing a uniform hash preserves the estimator."""
+    exploded = exploded_shingle_hashes(
         df, id_col=id_col, text_col=text_col, n=n
     ).withColumnRenamed("shingle", "__shingle")
     return exploded.groupBy("id").agg(
