@@ -295,11 +295,13 @@ def bm25_scores(
     of corpus size; never a full-vocabulary index."""
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    words = word_tokens(text_col)
-    base = df.select(
+    # tokenize once: size() lives in a Project and explode() in a
+    # Generate — separate operators, so codegen subexpression
+    # elimination cannot share the tokenize tree between them (hof.py)
+    base = materialize_once(df, word_tokens(text_col), "__ws").select(
         F.col(id_col).alias("id"),
-        F.size(words).alias("__dl"),
-        F.explode(words).alias("__w"),
+        F.size("__ws").alias("__dl"),
+        F.explode("__ws").alias("__w"),
     ).filter(F.col("__w").isin(*query_terms))
     tf = base.groupBy("id", "__w").agg(
         F.count("*").alias("__tf"), F.first("__dl").alias("__dl")
