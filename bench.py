@@ -50,6 +50,10 @@ HEADLINE = [
     "dedup_cross_doc_repetition",
     "g1_pagerank",
     "e7_funnel",
+    # r7: the U6-closure backtest joins the headline (flagship-family
+    # window chain with a DuckDB twin); notes report the matched-set
+    # ratio with and without it so the composition change is explicit
+    "u6_backtest",
 ]
 
 
