@@ -3808,6 +3808,71 @@ def u6_best_params(spark, sf_dir):
     return best_params_per_series(sweep, keys=KEYS, metric_col="total_return")
 
 
+@q(
+    "st16_backtest_stream_curve",
+    f"""SELECT suppkey, ts, okey, lnum, trade, strategy_ret,
+       EXP(SUM(LN(1 + strategy_ret)) {_over(_CUM)}) AS equity
+FROM (
+  SELECT suppkey, ts, okey, lnum, pkey,
+         CAST(ABS(position - {_BT_POS_PREV}) AS DOUBLE) AS trade,
+         {_BT_STRAT} AS strategy_ret
+  FROM (
+  SELECT suppkey, ts, okey, lnum, pkey, close,
+         COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
+                                  WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
+                  {_over(_CUM)}, 0) AS position
+  FROM (
+    SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
+    FROM (
+      SELECT *, CAST(({_roll('AVG', 'close', 10)}) > ({_roll('AVG', 'close', 50)}) AS INT) AS __above
+      FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                   10000 + CAST(close AS DOUBLE) / 100 AS close
+            FROM ({MARKET_SQL}))
+    )
+  )
+  )
+)""",
+    cols=["suppkey", "ts", "okey", "lnum", "trade", "strategy_ret", "equity"],
+    fcols=["trade", "strategy_ret", "equity"],
+)
+def st16_backtest_stream_curve(spark, sf_dir):
+    """Streaming-continuity backtest curve (ST surface): every series
+    is processed in THREE sequential chunks through the O(1)-state
+    carry core that backs ``apply_stateful_backtest`` — the same code
+    path the real ``applyInPandasWithState`` runs per micro-batch —
+    and the emitted per-bar curve is VALUE-EXACT against the DuckDB
+    full-series window SQL. This pins the incremental==batch claim to
+    the oracle, not just a pytest: the state carry loses nothing.
+    Distributed via ``applyInPandas`` per series key; chunk state
+    never leaves the executor."""
+    import pandas as pd
+
+    from .operators.signals import with_sma_crossover_signals
+    from .streaming.backtest_stream import chunked_backtest_batch
+
+    sig = with_sma_crossover_signals(
+        _damped_market(spark, sf_dir), "close", 10, 50,
+        keys=KEYS, order=ORDER,
+    ).select("suppkey", "ts", "okey", "lnum", "pkey", "close", "position")
+
+    out_schema = sig.select("suppkey", "ts", "okey", "lnum").schema \
+        .add("trade", "double").add("strategy_ret", "double") \
+        .add("equity", "double")
+    sort_cols = ["ts", "okey", "lnum", "pkey"]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        n = max(1, -(-len(pdf) // 3))  # ceil(len/3): three chunks
+        out = chunked_backtest_batch(
+            pdf, n, price_col="close", position_col="position",
+            fee_bps=5.0, ts_col="ts", sort_cols=sort_cols,
+        )
+        return out[["suppkey", "ts", "okey", "lnum",
+                    "trade", "strategy_ret", "equity"]]
+
+    return sig.groupBy("suppkey").applyInPandas(per_series, out_schema)
+
+
 # --------------------------------------------------------------------------
 # Engine-level aggregate surface beyond the reference (SURVEY §7.1
 # north-star): grouping sets (ROLLUP/CUBE) and approximate aggregates.
