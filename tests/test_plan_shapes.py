@@ -425,3 +425,58 @@ def test_sft_prep_pipeline_exchange_budget(spark):
     for line in plan.splitlines():
         if "windowspecdefinition(" in line.lower():
             assert "rendered" in line or "doc_id" in line, line
+
+
+def test_backtest_curve_is_one_exchange_one_sort(spark):
+    """The whole backtest curve (rank/lag, cumulative log-equity,
+    running peak) must plan as ONE window family: a single exchange on
+    the series key and a single sort — adding curve columns must not
+    add passes."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        backtest_positions,
+    )
+
+    df = spark.createDataFrame(
+        [("s", t, 100.0 + t, t % 2) for t in range(10)],
+        ["sym", "ts", "close", "position"],
+    )
+    out = backtest_positions(
+        df, keys=["sym"], order="ts",
+        price_col="close", position_col="position", fee_bps=5.0,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.plans.inspect import (
+        physical_plan,
+    )
+
+    plan = physical_plan(out)
+    n_exchange = plan.count("Exchange hashpartitioning")
+    n_sort = sum(1 for ln in plan.splitlines() if "- Sort " in ln)
+    assert n_exchange == 1, f"curve should shuffle once, got {n_exchange}\n{plan}"
+    assert n_sort == 1, f"curve should sort once, got {n_sort}\n{plan}"
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line.lower():
+            assert "sym" in line, f"unpartitioned window: {line}"
+
+
+def test_param_sweep_summary_is_hash_agg_only_per_combo(spark):
+    """Each sweep combo contributes its own window pass, but the
+    summaries must stay hash aggregates — the sweep plan may not
+    contain a cartesian product, and the argmax must be a single
+    aggregate over the union (no join, no extra window)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        best_params_per_series,
+        sma_param_sweep,
+    )
+
+    df = spark.createDataFrame(
+        [("s", t, 100.0 + (t * 7) % 13) for t in range(60)],
+        ["sym", "ts", "close"],
+    )
+    sweep = sma_param_sweep(
+        df, [(3, 10), (5, 20)], keys=["sym"], order="ts",
+        price_col="close", fee_bps=5.0,
+    )
+    best = best_params_per_series(sweep, keys=["sym"])
+    plan = explain_str(best, "formatted")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, "argmax must be an aggregate, not a join"
