@@ -3873,6 +3873,42 @@ def st16_backtest_stream_curve(spark, sf_dir):
     return sig.groupBy("suppkey").applyInPandas(per_series, out_schema)
 
 
+@q("st17_strategy_stream", None)
+def st17_strategy_stream(spark, sf_dir):
+    """Fused live-trading loop (ST surface): SMA-crossover signal ->
+    position -> fee-aware curve, per series in three sequential chunks
+    through the SAME carry core ``apply_stateful_sma_strategy`` runs
+    per micro-batch (signal-warmup closes + O(1) backtest scalars).
+    Rows-only by design: the signal SMAs are recomputed in pandas
+    whose sliding-sum rolling mean can differ from an exact SQL window
+    mean in the last ulp on near-tie crossovers — chunked==batch and
+    the real micro-batch equivalence are pytest-asserted instead
+    (tests/test_strategy_stream.py, rtol 1e-12)."""
+    import pandas as pd
+
+    from .streaming.strategy_stream import chunked_strategy_batch
+
+    m = _damped_market(spark, sf_dir).select(
+        "suppkey", "ts", "okey", "lnum", "pkey", "close"
+    )
+    out_schema = m.select("suppkey", "ts", "okey", "lnum").schema \
+        .add("position", "long").add("equity", "double") \
+        .add("drawdown", "double")
+    sort_cols = ["ts", "okey", "lnum", "pkey"]
+
+    def per_series(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        n = max(1, -(-len(pdf) // 3))
+        out = chunked_strategy_batch(
+            pdf, n, fast=10, slow=50, fee_bps=5.0,
+            price_col="close", ts_col="ts",
+        )
+        return out[["suppkey", "ts", "okey", "lnum",
+                    "position", "equity", "drawdown"]]
+
+    return m.groupBy("suppkey").applyInPandas(per_series, out_schema)
+
+
 # --------------------------------------------------------------------------
 # Engine-level aggregate surface beyond the reference (SURVEY §7.1
 # north-star): grouping sets (ROLLUP/CUBE) and approximate aggregates.
