@@ -3901,7 +3901,7 @@ def st17_strategy_stream(spark, sf_dir):
         n = max(1, -(-len(pdf) // 3))
         out = chunked_strategy_batch(
             pdf, n, fast=10, slow=50, fee_bps=5.0,
-            price_col="close", ts_col="ts",
+            price_col="close", ts_col="ts", sort_cols=sort_cols,
         )
         return out[["suppkey", "ts", "okey", "lnum",
                     "position", "equity", "drawdown"]]

@@ -46,9 +46,13 @@ def _bt_combine_with_carry(
     """Chunk step: continue the curve from the carried scalars, emit
     the chunk's bars, return the new carry. ``sort_cols`` overrides
     the within-chunk ordering when ``ts_col`` alone is not unique
-    (tiebreak columns must match the batch operator's ``order``)."""
-    pdf = pdf.sort_values(list(sort_cols) if sort_cols else ts_col) \
-        .reset_index(drop=True)
+    (tiebreak columns must match the batch operator's ``order``).
+    The sort is STABLE so that rows tied on every sort column keep
+    their incoming order deterministically (pandas' default quicksort
+    would permute ties run-to-run)."""
+    pdf = pdf.sort_values(
+        list(sort_cols) if sort_cols else ts_col, kind="stable"
+    ).reset_index(drop=True)
     close = pdf[price_col].astype(float)
     pos = pdf[position_col].astype(float)
     prev_close = close.shift(1)
@@ -114,26 +118,36 @@ def stateful_backtest(
     position_col: str = "position",
     fee_bps: float = 0.0,
     ts_col: str = "ts",
+    sort_cols: Sequence[str] | None = None,
 ):
     """Build the ``applyInPandasWithState`` function: O(1) carry per
-    series (four scalars), exact continuation."""
+    series (four scalars), exact continuation.
+
+    A group's micro-batch may arrive as MULTIPLE Arrow chunks in
+    arbitrary row order, so the chunks are buffered, concatenated and
+    sorted ONCE before the carry runs (state is O(1); only the current
+    micro-batch is ever held in memory). Ordering ACROSS triggers is an
+    in-order-arrival assumption: bars later than anything already
+    carried must arrive in a later-or-same trigger — enforce it
+    upstream with a watermark or source ordering."""
     fee = fee_bps / 1e4
 
     def fn(key, pdf_iter, state: GroupState):
         carry = dict(zip(_CARRY_FIELDS, state.get)) if state.exists else None
-        outs = []
-        for pdf in pdf_iter:
-            out, carry = _bt_combine_with_carry(
-                pdf, carry, price_col=price_col,
-                position_col=position_col, fee=fee, ts_col=ts_col,
-            )
-            outs.append(out)
-        if carry is not None:
-            state.update(tuple(carry[f] for f in _CARRY_FIELDS))
-        for out in outs:
-            for i, k in enumerate(key_cols):
-                out[k] = key[i]
-            yield out
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = (chunks[0] if len(chunks) == 1
+               else pd.concat(chunks, ignore_index=True))
+        out, carry = _bt_combine_with_carry(
+            pdf, carry, price_col=price_col,
+            position_col=position_col, fee=fee, ts_col=ts_col,
+            sort_cols=sort_cols,
+        )
+        state.update(tuple(carry[f] for f in _CARRY_FIELDS))
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out
 
     return fn
 
@@ -146,10 +160,13 @@ def apply_stateful_backtest(
     position_col: str = "position",
     fee_bps: float = 0.0,
     ts_col: str = "ts",
+    sort_cols: Sequence[str] | None = None,
 ):
     """Wire the stateful backtest onto a (streaming) DataFrame grouped
     by ``keys``. Output: keys + ts + close + position + the four curve
-    columns; key types are taken from the input schema."""
+    columns; key types are taken from the input schema. Pass
+    ``sort_cols`` (e.g. ``(ts, okey, lnum)``) when ``ts_col`` alone is
+    not unique within a series so tied bars order deterministically."""
     key_schema = ", ".join(
         f"{k} {stream_df.schema[k].dataType.simpleString()}" for k in keys
     )
@@ -166,7 +183,7 @@ def apply_stateful_backtest(
     return stream_df.groupBy(*keys).applyInPandasWithState(
         stateful_backtest(
             list(keys), price_col=price_col, position_col=position_col,
-            fee_bps=fee_bps, ts_col=ts_col,
+            fee_bps=fee_bps, ts_col=ts_col, sort_cols=sort_cols,
         ),
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -75,11 +75,21 @@ class IncrementalDedup:
 
     # -- store access -------------------------------------------------
     def _read(self, sub: str, schema: str) -> DataFrame:
+        """Read one store table; ONLY a missing path yields the empty
+        frame (a brand-new store). Any other failure — corrupt footer,
+        permissions, FS hiccup — propagates: silently substituting an
+        empty store would make the anti-join re-emit previously-seen
+        docs as unique (the silent-reset failure mode
+        ``RollupStore._read_manifest`` guards against)."""
+        from pyspark.errors import AnalysisException
+
         p = os.path.join(self.path, sub)
         try:
             return self.spark.read.schema(schema).parquet(p)
-        except Exception:
-            return self.spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e):
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def keys(self) -> DataFrame:
         return self._read(
@@ -187,12 +197,19 @@ class IncrementalDedup:
             .localCheckpoint()
         )
 
-        new_rows.write.mode("append").parquet(
-            os.path.join(self.path, _KEYS_DIR)
-        )
+        # bands FIRST, keys last: the replay guard checks only keys/,
+        # so the keys append is the commit marker. A crash between the
+        # two appends leaves orphan band rows for an uncommitted batch;
+        # the replay re-appends them (benign — candidate pairs are
+        # dropDuplicates'd), whereas the reverse order would mark the
+        # batch seen with its band rows lost, silently dropping every
+        # future near-dup pair involving those docs.
         new_banded.select("band", "bucket", "id").withColumn(
             "__batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(os.path.join(self.path, _BANDS_DIR))
+        new_rows.write.mode("append").parquet(
+            os.path.join(self.path, _KEYS_DIR)
+        )
         return new_rows.select("id", "key"), pairs
 
     # -- structured-streaming wiring ----------------------------------

@@ -70,10 +70,16 @@ def _strategy_combine(
     fee: float,
     price_col: str = "close",
     ts_col: str = "ts",
+    sort_cols: Sequence[str] | None = None,
 ) -> tuple[pd.DataFrame, dict]:
     """Chunk step: recompute signals over (carried tail + chunk), emit
-    the chunk's bars with position + curve, return the new carry."""
-    pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+    the chunk's bars with position + curve, return the new carry.
+    ``sort_cols`` supplies tiebreak columns when ``ts_col`` alone is
+    not unique; the sort is STABLE so tied bars order
+    deterministically (matching ``_bt_combine_with_carry``)."""
+    pdf = pdf.sort_values(
+        list(sort_cols) if sort_cols else ts_col, kind="stable"
+    ).reset_index(drop=True)
     if carry is not None and len(carry["closes"]):
         prefix = pd.DataFrame({
             ts_col: pd.to_datetime(carry["ts"]),
@@ -100,7 +106,7 @@ def _strategy_combine(
     out["position"] = position.iloc[p:].astype("int64").to_numpy()
     out, new_bt = _bt_combine_with_carry(
         out, bt_carry, price_col=price_col, position_col="position",
-        fee=fee, ts_col=ts_col,
+        fee=fee, ts_col=ts_col, sort_cols=sort_cols,
     )
     tail = pd.concat(
         [pd.DataFrame({ts_col: pd.to_datetime(carry["ts"]),
@@ -127,9 +133,12 @@ def chunked_strategy_batch(
     fee_bps: float = 0.0,
     price_col: str = "close",
     ts_col: str = "ts",
+    sort_cols: Sequence[str] | None = None,
 ) -> pd.DataFrame:
     """Batch harness over the fused carry core (chunked == full-batch
-    equivalence twin)."""
+    equivalence twin). NOTE: chunks are taken from ``pdf`` in its GIVEN
+    row order; pass a pre-sorted frame (the sort inside the carry core
+    is per-chunk)."""
     fee = fee_bps / 1e4
     carry = None
     outs = []
@@ -137,6 +146,7 @@ def chunked_strategy_batch(
         out, carry = _strategy_combine(
             pdf.iloc[lo:lo + chunk_size], carry, fast=fast, slow=slow,
             fee=fee, price_col=price_col, ts_col=ts_col,
+            sort_cols=sort_cols,
         )
         outs.append(out)
     return pd.concat(outs, ignore_index=True)
@@ -154,9 +164,17 @@ def apply_stateful_sma_strategy(
     fee_bps: float = 0.0,
     price_col: str = "close",
     ts_col: str = "ts",
+    sort_cols: Sequence[str] | None = None,
 ):
     """Wire the fused signal+backtest onto a (streaming) DataFrame
-    grouped by ``keys``."""
+    grouped by ``keys``.
+
+    A group's micro-batch may arrive as multiple Arrow chunks in
+    arbitrary row order, so chunks are buffered, concatenated and
+    sorted ONCE before the carry runs (only the current micro-batch is
+    buffered; carried state stays bounded). Ordering ACROSS triggers is
+    an in-order-arrival assumption — enforce upstream. Pass
+    ``sort_cols`` when ``ts_col`` alone is not unique per series."""
     fee = fee_bps / 1e4
     key_cols = list(keys)
 
@@ -169,22 +187,22 @@ def apply_stateful_sma_strategy(
                 "last_pos": last_pos,
                 "bt": dict(zip(_BT_FIELDS, bt_vals)),
             }
-        outs = []
-        for pdf in pdf_iter:
-            out, carry = _strategy_combine(
-                pdf, carry, fast=fast, slow=slow, fee=fee,
-                price_col=price_col, ts_col=ts_col,
-            )
-            outs.append(out)
-        if carry is not None:
-            state.update((
-                carry["ts"], carry["closes"], carry["last_pos"],
-                *[carry["bt"][f] for f in _BT_FIELDS],
-            ))
-        for out in outs:
-            for i, k in enumerate(key_cols):
-                out[k] = key[i]
-            yield out
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if not chunks:
+            return
+        pdf = (chunks[0] if len(chunks) == 1
+               else pd.concat(chunks, ignore_index=True))
+        out, carry = _strategy_combine(
+            pdf, carry, fast=fast, slow=slow, fee=fee,
+            price_col=price_col, ts_col=ts_col, sort_cols=sort_cols,
+        )
+        state.update((
+            carry["ts"], carry["closes"], carry["last_pos"],
+            *[carry["bt"][f] for f in _BT_FIELDS],
+        ))
+        for i, k in enumerate(key_cols):
+            out[k] = key[i]
+        yield out
 
     return _wire(stream_df, fn, key_cols, price_col, ts_col)
 
