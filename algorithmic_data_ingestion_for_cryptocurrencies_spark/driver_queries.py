@@ -4464,3 +4464,42 @@ def text_wordcount(spark, sf_dir):
         .orderBy(F.col("n").desc(), "word")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# SQL registration layer (SURVEY §7.1, closed r8): the sql_* twins run
+# the EXACT oracle SQL text through spark.sql over the registered temp
+# views — the correctness gate then verifies Spark's SQL surface parses
+# and executes the same ANSI text DuckDB does, value-exact. One twin
+# per query family: window agg, hash agg, cumulative window, join,
+# union, filter/projection.
+# --------------------------------------------------------------------------
+
+def _sql_twin(src_name: str):
+    """Spark-side callable executing ``src_name``'s oracle SQL via
+    ``spark.sql`` after registering the domain views."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sql import register_views
+
+        ensure_session_defaults(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(REGISTRY[src_name][1])
+
+    fn.__name__ = f"sql_{src_name}"
+    fn.__doc__ = (
+        f"spark.sql twin of {src_name}: executes the registry's oracle "
+        "SQL text verbatim over register_views(sf_dir) temp views."
+    )
+    return fn
+
+
+for _src in (
+    "w04_rolling_mean",      # masked rolling window aggregate
+    "a1_imbalance",          # conditional hash aggregate
+    "w16_cum_drawdown",      # cumulative window + running max
+    "j1_equi_join",          # left equi join
+    "e1_union_agg",          # union-all + aggregate
+    "p_filter_flags",        # predicate + projection family
+):
+    q(f"sql_{_src}", REGISTRY[_src][1])(_sql_twin(_src))

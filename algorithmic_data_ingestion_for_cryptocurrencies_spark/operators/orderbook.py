@@ -138,6 +138,19 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
       above. Ties the fused tier at small group sizes; degrades on
       deep books (5.6 s at sf3 — JVM object churn grows with group
       size), kept as the window-memory fallback.
+    - ``"salted"`` (r8 prototype, verdict #3): no sort exchange —
+      salt-capped collect_list top-n partials per (group, side, salt)
+      merged by a second tiny aggregate. Measured LOSER at every tier
+      (tools/bench_depth_salted.py, interleaved min-of-5, one
+      session): sf1 1.41 s vs window 0.91 / prune 0.97; sf3 3.43 vs
+      2.46 / 1.81; sf10 17.2 vs 10.1 / 6.3 — the per-row struct
+      build + ObjectHashAggregate churn on ALL rows costs more than
+      the sort it avoids. Kept as the measured record; ``auto`` never
+      selects it. The a4 sf1/sf3 gap is hereby a documented hold: the
+      same A/B shows the auto choices (window at sf1, prune at
+      sf3/sf10) are already the best of four physical shapes, and the
+      r7 floor analysis stands (residual = executor sort throughput
+      on many small groups vs DuckDB's bare-aggregate-cost query).
 
     All tiers produce identical rows for any input (same deterministic
     tiebreak ordering; pytest-asserted).
@@ -255,6 +268,62 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             for side in ("bid", "ask")
             for i in range(1, n_levels + 1)
         ])
+    if strategy == "salted":
+        # SALTED PARTIAL TOP-K tier (r8 prototype, verdict #3): no sort
+        # exchange anywhere. Stage 1 hash-aggregates top-n per
+        # (keys, ts, side, salt) — collect_list into salt-capped lists,
+        # sort_array + slice truncate in-memory (the global top-n is a
+        # subset of the union of per-bucket top-n) — then stage 2
+        # merges the ≤ 2·S·n surviving entries per (keys, ts) and
+        # pivots. Exchange 1 ships every row (like the fused tier's)
+        # but feeds a HASH aggregate instead of a 2N-row SORT; exchange
+        # 2 is ~2·S·n entries per group. The salt caps stage-1 list
+        # length at ~rows/(2·S) per group, avoiding the object tier's
+        # churn-at-depth failure; deterministic salt (level identity
+        # hash) keeps the plan reproducible.
+        n_salt = 8
+        sort_key = F.when(
+            F.col(side_col) == "bid", -F.col(price_col)
+        ).otherwise(F.col(price_col))
+        entry = F.struct(
+            sort_key.alias("k"),
+            *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak_cols)],
+            F.col(amount_col).alias("a"),
+        )
+        salt = F.pmod(
+            F.xxhash64(*(tiebreak_cols or (price_col, amount_col))),
+            F.lit(n_salt),
+        )
+        partial = (
+            df.filter(F.col(side_col).isin("bid", "ask"))
+            .groupBy(*keys, ts_col, side_col, salt.alias("__salt"))
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_list(entry)), 1, n_levels
+                ).alias("__top")
+            )
+        )
+        merged = partial.groupBy(*keys, ts_col).agg(*[
+            F.slice(
+                F.sort_array(
+                    F.flatten(
+                        F.collect_list(
+                            F.when(F.col(side_col) == side, F.col("__top"))
+                        )
+                    )
+                ),
+                1, n_levels,
+            ).alias(f"__{side}s")
+            for side in ("bid", "ask")
+        ])
+        out_cols: list = [*keys, ts_col]
+        for side in ("bid", "ask"):
+            for i in range(1, n_levels + 1):
+                out_cols.append(
+                    F.element_at(F.col(f"__{side}s"), i)["a"]
+                    .alias(f"{side}_depth_{i}")
+                )
+        return merged.select(*out_cols)
     if strategy != "object":
         raise ValueError(f"unknown strategy: {strategy!r}")
     df = df.repartition(n_shuffle, *[F.col(c) for c in (*keys, ts_col)])

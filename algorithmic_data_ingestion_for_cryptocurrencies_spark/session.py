@@ -45,16 +45,18 @@ def default_driver_memory() -> str:
 
 def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
     """Shuffle-partition count sized to the DATA, not the core count:
-    one partition per ~32 MB of on-disk parquet (≈150-250 MB of
+    one partition per ~20 MB of on-disk parquet (≈100-160 MB of
     in-flight row data per task after decode), floored at the core
     count. Sort-heavy stages (windows, sort-merge joins) spill once a
     task's partition outgrows its execution-memory share — measured on
     the flagship window chain: 60M rows at 32 partitions ran 74 s
-    (spilling) vs 35 s at 64; 180M rows 357 s vs 80 s at 128. On a
-    real cluster this is the same arithmetic executors do with
-    AQE's ``initialPartitionNum`` / target partition bytes; AQE
-    coalescing still shrinks small stages, so oversizing is cheap and
-    undersizing is not."""
+    (spilling) vs 35 s at 64; 180M rows (sf30) at the old ~32 MB
+    divisor (98 partitions) 132.3 s vs 90.7 s at 128 vs 82.3 s at 160
+    — the r7→r8 change from 32 MB to 20 MB lands sf30 at ~157, right
+    at the measured optimum. On a real cluster this is the same
+    arithmetic executors do with AQE's ``initialPartitionNum`` /
+    target partition bytes; AQE coalescing still shrinks small stages,
+    so oversizing is cheap and undersizing is not."""
     cores = cores or default_parallelism()
     total = 0
     for root, _dirs, files in os.walk(path):
@@ -63,7 +65,7 @@ def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
                 total += os.path.getsize(os.path.join(root, f))
             except OSError:
                 pass
-    return max(cores, total // (32 * 1024 * 1024))
+    return max(cores, total // (20 * 1024 * 1024))
 
 
 def clear_persisted_blocks(spark: SparkSession) -> int:

@@ -271,8 +271,10 @@ def test_depth_series_window_tier_matches_object_tier(spark):
     obj = depth_series(df, 3, strategy="object", **kw).orderBy("symbol", "ts").collect()
     win = depth_series(df, 3, strategy="window", **kw).orderBy("symbol", "ts").collect()
     prune = depth_series(df, 3, strategy="prune", **kw).orderBy("symbol", "ts").collect()
+    salted = depth_series(df, 3, strategy="salted", **kw).orderBy("symbol", "ts").collect()
     assert obj == win
     assert obj == prune
+    assert obj == salted
     # auto tier resolves by rows-per-group and stays row-identical
     auto_deep = depth_series(
         df, 3, strategy="auto", rows_per_group=1e4, **kw
@@ -480,3 +482,60 @@ def test_param_sweep_summary_is_hash_agg_only_per_combo(spark):
     plan = explain_str(best, "formatted")
     assert "CartesianProduct" not in plan
     assert "Join" not in plan, "argmax must be an aggregate, not a join"
+
+
+def test_scrub_pii_single_project_with_codegen_cse(spark):
+    """r8 CSE audit (verdict #8): scrub_pii's count/replace chain must
+    collapse into ONE Project (no Generate/Window split), where
+    whole-stage-codegen subexpression elimination shares each
+    cumulative regexp_replace between its count consumer and the next
+    stage — measured equal to an explicit materialize_once-barriered
+    variant at 500k docs (5.9 s both, min-of-3 interleaved), so no
+    barrier is warranted. The assert pins the single-operator shape
+    (operator-LOCAL CSE applies only within one operator) and that
+    codegen actually emitted shared-subexpression functions."""
+    import contextlib
+    import io
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "visit http://x.co mail a@b.c call +1 (555) 123-4567")],
+        ["doc_id", "text"],
+    )
+    out = scrub_pii(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one Project over the relation: nothing splits the chain across
+    # operators, so codegen CSE can share the replace trees
+    assert plan.count("Project") == 1, plan
+    assert "Generate" not in plan and "Window" not in plan, plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain(mode="codegen")
+    code = buf.getvalue()
+    assert "WholeStageCodegen" in code
+    assert code.count("subExpr") > 0, "codegen emitted no shared subexpressions"
+
+
+def test_spread_series_single_window_evaluation(spark):
+    """spread_series references the forward-filled best_ask twice
+    (spread arithmetic + projection); both must resolve to the ONE
+    Window operator's output attribute — a single windowspecdefinition
+    in the physical plan, never a re-derived window per consumer."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import (
+        spread_series,
+    )
+
+    df = spark.createDataFrame(
+        [("s", 1, 10.0, "bid"), ("s", 1, 11.0, "ask"), ("s", 2, 10.5, "bid")],
+        ["symbol", "ts", "price", "side"],
+    )
+    out = spread_series(df, keys=["symbol"])
+    full = explain_str(out, "formatted")
+    tree = full.split("\n\n")[0]
+    win_ops = [
+        ln for ln in tree.splitlines()
+        if ln.lstrip("+-* (0123456789)").startswith("Window")
+    ]
+    assert len(win_ops) == 1, tree
+    assert full.lower().count("windowspecdefinition") == 1, full
