@@ -23,6 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # noqa: E402
 
+#: min-of-5 set (r8, verdict #2): the high-variance shingle/shuffle
+#: queries AND the floor family — committed scaled cells for these must
+#: be min-of-5 so the scaled artifact can never disagree with the
+#: min-of-5 floor artifact on a shared (query, tier) cell (the r7
+#: e7_funnel contradiction: a bad min-of-2 pair shipped 4.16 s while
+#: the floor artifact's min-of-5 of the same query read 2.38 s).
+RUNS5 = {
+    "dedup_jaccard_pairs", "dedup_minhash_pairs", "a4_depth",
+    "dedup_cross_doc_repetition", "text_bigram_lm", "pipeline_chunk_prep",
+    "a1_imbalance", "a5_resample", "e1_union_agg", "e7_funnel",
+    "sim_knn_join",
+}
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -87,7 +100,7 @@ def main() -> None:
             except Exception:
                 pass
             best = None
-            for _ in range(args.runs):
+            for _ in range(max(args.runs, 5) if name in RUNS5 else args.runs):
                 # sweep blocks pinned by PRIOR queries/runs (iterative
                 # operators localCheckpoint by design) so every run
                 # measures this query on a clean block manager, not
@@ -115,7 +128,7 @@ def main() -> None:
             if sql is None:
                 return None
             best = None
-            for _ in range(args.runs):
+            for _ in range(max(args.runs, 5) if name in RUNS5 else args.runs):
                 t0 = time.perf_counter()
                 con.sql(sql).fetchall()
                 best = min(best or 9e9, time.perf_counter() - t0)
