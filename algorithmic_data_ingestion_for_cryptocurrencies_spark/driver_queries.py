@@ -4503,3 +4503,39 @@ for _src in (
     "p_filter_flags",        # predicate + projection family
 ):
     q(f"sql_{_src}", REGISTRY[_src][1])(_sql_twin(_src))
+
+
+# The EWM twin needs a Spark-dialect text (the DuckDB oracle leans on
+# LIST_REDUCE for its sequential fold): ewm_spark_sql renders the SAME
+# expression graph with_ewm builds, so the spark.sql path is
+# bit-identical to the DataFrame path and oracle-exact by inheritance.
+from .operators.ewm import ewm_spark_sql  # noqa: E402
+
+_SQL_W09_SPARK = (
+    f"SELECT suppkey, ts, okey, lnum, {SR('ema_12')} AS ema_12, "
+    f"{SR('ema_26')} AS ema_26 FROM ("
+    + ewm_spark_sql(
+        ewm_spark_sql(
+            "SELECT * FROM market", "close", "ema_12",
+            keys=[PART], order=ORDER, keep=_EMA_KEEP, span=12,
+        ),
+        "close", "ema_26",
+        keys=[PART], order=ORDER, keep=_EMA_KEEP + ["ema_12"], span=26,
+    )
+    + ")"
+)
+
+
+def _sql_w09_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.sql twin of w09_ema: the blocked-renormalization EWM
+    executed as ONE Spark SQL statement over the registered market
+    view (hardest window operator through the SQL API; oracle = the
+    registry's DuckDB ewm_sql rendering)."""
+    from .sql import register_views
+
+    ensure_session_defaults(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_W09_SPARK)
+
+
+q("sql_w09_ema", REGISTRY["w09_ema"][1])(_sql_w09_ema)

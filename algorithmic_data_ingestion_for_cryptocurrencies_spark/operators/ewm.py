@@ -391,3 +391,85 @@ FROM (
   )
 )
 """
+
+
+def ewm_spark_sql(
+    inner: str,
+    value_expr: str,
+    out: str,
+    *,
+    keys: Sequence[str],
+    order: Sequence[str],
+    keep: Sequence[str],
+    span: int | None = None,
+    alpha: float | None = None,
+    com: float | None = None,
+    k: int | None = None,
+) -> str:
+    """Spark-dialect text twin of :func:`ewm_sql` (SURVEY §7.1 SQL
+    surface): ONE nested SELECT containing the IDENTICAL expression
+    graph :func:`with_ewm_multi` attaches through ``withColumns`` —
+    same ``_d``-embedded constants, same multiply/divide/sum shapes,
+    same window specs — so ``spark.sql(ewm_spark_sql(...))`` is
+    bit-identical to the DataFrame API path (and therefore inherits its
+    oracle parity). The DuckDB rendering needs LIST_REDUCE for a
+    sequential fold; Spark's running-window SUM already folds
+    left-to-right, so the blocked prefix sum is a plain window here."""
+    a = _alpha(span, alpha, com)
+    r = 1.0 - a
+    k = k or _block_size(r)
+    hi, lo, rho = _pow_tables(r, k)
+
+    part_keys = ", ".join(f"`{c}`" for c in keys)
+    ordr = ", ".join(f"`{c}`" for c in order)
+    keep_cols = ", ".join(f"`{c}`" for c in keep)
+    hi_arr, lo_arr = _sql_array(hi), _sql_array(lo)
+    rinvp = (
+        f"(element_at({hi_arr}, CAST((FLOOR(__p / {_CHUNK}) + 1) AS INT)) * "
+        f"element_at({lo_arr}, CAST((__p % {_CHUNK} + 1) AS INT)))"
+    )
+    rp = f"({_d(1.0)} / {rinvp})"
+    over_cum = (
+        f"OVER ({'PARTITION BY ' + part_keys + ' ' if keys else ''}"
+        f"ORDER BY {ordr} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    over_blk = (
+        f"OVER (PARTITION BY {part_keys + ', ' if keys else ''}__b "
+        f"ORDER BY {ordr} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    over_b = (
+        f"OVER ({'PARTITION BY ' + part_keys + ' ' if keys else ''}"
+        "ORDER BY __b"
+    )
+    lags = [
+        f"COALESCE(MAX(__Le) {over_b} "
+        f"RANGE BETWEEN {i} PRECEDING AND {i} PRECEDING), {_d(0.0)})"
+        for i in range(1, _CHAIN + 1)
+    ]
+    carry = f"{lags[0]} + {_d(rho)} * {lags[1]} + {_d(rho * rho)} * {lags[2]}"
+    return f"""
+SELECT {keep_cols},
+       CASE WHEN __idx >= 0
+            THEN __L + {rp} * {_d(r)} * ({carry}) END AS {out}
+FROM (
+  SELECT *, MAX_BY(__L, __p) OVER (PARTITION BY {part_keys + ', ' if keys else ''}__b) AS __Le
+  FROM (
+    SELECT *, {rp} * SUM(__u) {over_blk} AS __L
+    FROM (
+      SELECT *,
+             CASE WHEN {value_expr} IS NULL THEN NULL
+                  WHEN __idx = 0 THEN CAST({value_expr} AS DOUBLE)
+                  ELSE {_d(a)} * CAST({value_expr} AS DOUBLE) * {rinvp} END AS __u
+      FROM (
+        SELECT *,
+               CASE WHEN __idx >= 0 THEN FLOOR(__idx / {k}) ELSE 0 END AS __b,
+               CASE WHEN __idx >= 0 THEN __idx % {k} ELSE 0 END AS __p
+        FROM (
+          SELECT *, COUNT({value_expr}) {over_cum} - 1 AS __idx
+          FROM ({inner})
+        )
+      )
+    )
+  )
+)
+"""

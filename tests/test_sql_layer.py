@@ -33,7 +33,7 @@ def test_register_views_registers_tables_and_domain(spark):
 
 @pytest.mark.parametrize("src", [
     "w04_rolling_mean", "a1_imbalance", "w16_cum_drawdown",
-    "j1_equi_join", "e1_union_agg", "p_filter_flags",
+    "j1_equi_join", "e1_union_agg", "p_filter_flags", "w09_ema",
 ])
 def test_sql_twin_equals_dataframe_api(spark, src):
     """The sql_* twin executes the oracle SQL text verbatim through
