@@ -58,14 +58,34 @@ def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
     target partition bytes; AQE coalescing still shrinks small stages,
     so oversizing is cheap and undersizing is not."""
     cores = cores or default_parallelism()
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
+    # size to the LARGEST single table under the dir, not the dir
+    # total: sorts and joins run over the dominant fact table, and
+    # sibling tables a query never touches must not inflate its
+    # partition count (r8 interleaved A/B at sf30: dir-total sizing
+    # gave 199 partitions and 97.5 s on the flagship vs 85.1 s at the
+    # lineitem-sized 157; sf10 was flat 64-96). Top-level entries are
+    # tables (either a single parquet file or a directory of parts).
+    largest = 0
+    try:
+        entries = [os.path.join(path, e) for e in os.listdir(path)]
+    except OSError:
+        entries = []
+    for entry in entries:
+        size = 0
+        if os.path.isdir(entry):
+            for root, _dirs, files in os.walk(entry):
+                for f in files:
+                    try:
+                        size += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        else:
             try:
-                total += os.path.getsize(os.path.join(root, f))
+                size = os.path.getsize(entry)
             except OSError:
                 pass
-    return max(cores, total // (20 * 1024 * 1024))
+        largest = max(largest, size)
+    return max(cores, largest // (20 * 1024 * 1024))
 
 
 def clear_persisted_blocks(spark: SparkSession) -> int:

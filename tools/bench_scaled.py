@@ -36,6 +36,19 @@ RUNS5 = {
     "sim_knn_join",
 }
 
+#: Spark-only min-of-5 additions (r8): the expensive window-chain
+#: queries whose min-of-2 cells swung ±50% with documented host drift
+#: (interleaved A/B showed u6 15.4 s -> 27.5 s across reps at FIXED
+#: partition counts) while the SAME campaign's DuckDB cells moved <12%
+#: — Spark's JVM/executor threads are far more sensitive to the box's
+#: multi-minute load waves, so only the Spark side needs the extra
+#: reps (5x DuckDB reps on a 457 s flagship cell would cost 38 min for
+#: noise DuckDB does not exhibit).
+RUNS5_SPARK = RUNS5 | {
+    "flagship_market_features", "flagship_arrow", "u6_backtest",
+    "g1_pagerank", "training_matrix",
+}
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -100,7 +113,8 @@ def main() -> None:
             except Exception:
                 pass
             best = None
-            for _ in range(max(args.runs, 5) if name in RUNS5 else args.runs):
+            for _ in range(max(args.runs, 5) if name in RUNS5_SPARK
+                           else args.runs):
                 # sweep blocks pinned by PRIOR queries/runs (iterative
                 # operators localCheckpoint by design) so every run
                 # measures this query on a clean block manager, not
