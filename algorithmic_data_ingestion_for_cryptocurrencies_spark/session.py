@@ -56,15 +56,25 @@ def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
     at the measured optimum. On a real cluster this is the same
     arithmetic executors do with AQE's ``initialPartitionNum`` /
     target partition bytes; AQE coalescing still shrinks small stages,
-    so oversizing is cheap and undersizing is not."""
+    so oversizing is cheap and undersizing is not.
+
+    CONTRACT: ``path`` is a DATASET directory whose top-level entries
+    are the tables (``<dir>/lineitem.parquet`` as a file or a
+    directory of part files) — pass the sf dir, never a single table
+    directory (the "largest entry" of a table dir would be one part
+    file and the count would collapse to the core floor). Only
+    parquet data is counted: a top-level entry qualifies as a table
+    candidate only if it is a ``*.parquet`` file or a directory
+    containing ``*.parquet`` parts, so checkpoint/metadata siblings
+    (``_checkpoint``, ``.crc`` droppings) never inflate the count.
+    """
     cores = cores or default_parallelism()
     # size to the LARGEST single table under the dir, not the dir
     # total: sorts and joins run over the dominant fact table, and
     # sibling tables a query never touches must not inflate its
     # partition count (r8 interleaved A/B at sf30: dir-total sizing
     # gave 199 partitions and 97.5 s on the flagship vs 85.1 s at the
-    # lineitem-sized 157; sf10 was flat 64-96). Top-level entries are
-    # tables (either a single parquet file or a directory of parts).
+    # lineitem-sized 157; sf10 was flat 64-96).
     largest = 0
     try:
         entries = [os.path.join(path, e) for e in os.listdir(path)]
@@ -75,11 +85,13 @@ def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
         if os.path.isdir(entry):
             for root, _dirs, files in os.walk(entry):
                 for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
                     try:
                         size += os.path.getsize(os.path.join(root, f))
                     except OSError:
                         pass
-        else:
+        elif entry.endswith(".parquet"):
             try:
                 size = os.path.getsize(entry)
             except OSError:

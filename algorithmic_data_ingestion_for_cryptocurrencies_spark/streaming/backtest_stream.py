@@ -129,7 +129,15 @@ def stateful_backtest(
     micro-batch is ever held in memory). Ordering ACROSS triggers is an
     in-order-arrival assumption: bars later than anything already
     carried must arrive in a later-or-same trigger — enforce it
-    upstream with a watermark or source ordering."""
+    upstream with a watermark or source ordering.
+
+    Memory note: because the chunks are concatenated, peak executor
+    memory per group is O(micro-batch), not O(Arrow chunk). An
+    unthrottled FIRST trigger over a large backfill therefore holds a
+    group's entire history in one pandas frame — bound micro-batches
+    at the source for backfill starts (``maxFilesPerTrigger`` /
+    ``maxOffsetsPerTrigger``); steady-state triggers are small by
+    construction."""
     fee = fee_bps / 1e4
 
     def fn(key, pdf_iter, state: GroupState):

@@ -174,7 +174,13 @@ def apply_stateful_sma_strategy(
     sorted ONCE before the carry runs (only the current micro-batch is
     buffered; carried state stays bounded). Ordering ACROSS triggers is
     an in-order-arrival assumption — enforce upstream. Pass
-    ``sort_cols`` when ``ts_col`` alone is not unique per series."""
+    ``sort_cols`` when ``ts_col`` alone is not unique per series.
+
+    Memory note: peak executor memory per group is O(micro-batch)
+    because the chunks are concatenated — bound the FIRST trigger of a
+    large backfill at the source (``maxFilesPerTrigger`` /
+    ``maxOffsetsPerTrigger``) or it holds a group's entire history in
+    one pandas frame."""
     fee = fee_bps / 1e4
     key_cols = list(keys)
 

@@ -75,12 +75,30 @@ def main() -> None:
     ap.add_argument("--sf-dir", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--no-runs5", action="store_true",
+                    help="honor --runs exactly; disable the min-of-5 "
+                         "override for the variance/floor families "
+                         "(use for quick smoke passes)")
     ap.add_argument("--skip", default="")
     ap.add_argument("--queries", default="",
                     help="comma-separated override of the headline list")
     args = ap.parse_args()
 
     skip = {s for s in args.skip.split(",") if s}
+
+    def reps_for(name: str, family: set[str]) -> int:
+        """min-of-5 override for the variance/floor families so the
+        committed scaled artifact can never disagree with the min-of-5
+        floor artifact on a shared cell; --no-runs5 restores plain
+        --runs for smoke passes, and any raise is LOGGED so a quick
+        --runs 1 pass is never silently 5x as expensive."""
+        if args.no_runs5 or name not in family:
+            return args.runs
+        if args.runs < 5:
+            print(f"note: {name}: min-of-5 override raises --runs "
+                  f"{args.runs} -> 5 (disable with --no-runs5)",
+                  flush=True)
+        return max(args.runs, 5)
     todo = [q for q in (args.queries.split(",") if args.queries else HEADLINE)
             if q and q not in skip]
     state = _load(args.out)
@@ -113,8 +131,7 @@ def main() -> None:
             except Exception:
                 pass
             best = None
-            for _ in range(max(args.runs, 5) if name in RUNS5_SPARK
-                           else args.runs):
+            for _ in range(reps_for(name, RUNS5_SPARK)):
                 # sweep blocks pinned by PRIOR queries/runs (iterative
                 # operators localCheckpoint by design) so every run
                 # measures this query on a clean block manager, not
@@ -142,7 +159,7 @@ def main() -> None:
             if sql is None:
                 return None
             best = None
-            for _ in range(max(args.runs, 5) if name in RUNS5 else args.runs):
+            for _ in range(reps_for(name, RUNS5)):
                 t0 = time.perf_counter()
                 con.sql(sql).fetchall()
                 best = min(best or 9e9, time.perf_counter() - t0)
