@@ -3873,17 +3873,49 @@ def st16_backtest_stream_curve(spark, sf_dir):
     return sig.groupBy("suppkey").applyInPandas(per_series, out_schema)
 
 
-@q("st17_strategy_stream", None)
+@q(
+    "st17_strategy_stream",
+    f"""SELECT suppkey, ts, okey, lnum, position, equity,
+       equity / MAX(equity) {_over(_CUM)} - 1 AS drawdown
+FROM (
+  SELECT suppkey, ts, okey, lnum, pkey, position,
+         EXP(SUM(LN(1 + strategy_ret)) {_over(_CUM)}) AS equity
+  FROM (
+    SELECT suppkey, ts, okey, lnum, pkey, position, close,
+           {_BT_STRAT} AS strategy_ret
+    FROM (
+      SELECT suppkey, ts, okey, lnum, pkey, close,
+             COALESCE(LAST_VALUE(CASE WHEN __crossed = 1 THEN 1
+                                      WHEN __crossed = -1 THEN 0 END IGNORE NULLS)
+                      {_over(_CUM)}, 0) AS position
+      FROM (
+        SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
+        FROM (
+          SELECT *, CAST(({_roll('AVG', 'close', 10)}) > ({_roll('AVG', 'close', 50)}) AS INT) AS __above
+          FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                       10000 + CAST(close AS DOUBLE) / 100 AS close
+                FROM ({MARKET_SQL}))
+        )
+      )
+    )
+  )
+)""",
+    cols=["suppkey", "ts", "okey", "lnum", "position", "equity", "drawdown"],
+    fcols=["equity", "drawdown"],
+)
 def st17_strategy_stream(spark, sf_dir):
     """Fused live-trading loop (ST surface): SMA-crossover signal ->
     position -> fee-aware curve, per series in three sequential chunks
     through the SAME carry core ``apply_stateful_sma_strategy`` runs
     per micro-batch (signal-warmup closes + O(1) backtest scalars).
-    Rows-only by design: the signal SMAs are recomputed in pandas
-    whose sliding-sum rolling mean can differ from an exact SQL window
-    mean in the last ulp on near-tie crossovers — chunked==batch and
-    the real micro-batch equivalence are pytest-asserted instead
-    (tests/test_strategy_stream.py, rtol 1e-12)."""
+    VALUE-EXACT against the DuckDB full-series window SQL since the
+    carry core's SMAs switched to the left-fold summation
+    (``strategy_stream._sma_left_fold``) that reproduces Spark's
+    window ``AVG`` bit-for-bit — the pandas sliding-sum rolling mean
+    it replaced could flip a near-tie crossover in the last ulp, which
+    kept this row rows-only through r8. chunked==batch and the real
+    micro-batch equivalence remain pytest-asserted
+    (tests/test_strategy_stream.py)."""
     import pandas as pd
 
     from .streaming.strategy_stream import chunked_strategy_batch

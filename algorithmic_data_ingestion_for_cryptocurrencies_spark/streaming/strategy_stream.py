@@ -37,12 +37,33 @@ except ImportError:  # pragma: no cover - older layout
     from pyspark.sql.streaming import GroupState, GroupStateTimeout  # type: ignore
 
 
+def _sma_left_fold(close: pd.Series, w: int) -> pd.Series:
+    """Trailing SMA with the window summed LEFT-TO-RIGHT — bit-identical
+    to Spark's window ``AVG`` (``SlidingWindowFunctionFrame``
+    re-evaluates each frame in row order: ``((0 + v0) + v1) + ...``),
+    so the streamed signals reproduce the batch operator pair EXACTLY
+    instead of to within an ulp. pandas' ``rolling().mean()`` is a
+    sliding add/subtract accumulator whose drift can flip a near-tie
+    ``fast > slow`` crossover (the reason st17 used to be a rows-only
+    oracle row). One vector add per window offset keeps the fold
+    vectorized: O(n·w) flops, same as Spark's own re-evaluation."""
+    vals = close.to_numpy(dtype="float64")
+    out = np.full(len(vals), np.nan)
+    if len(vals) >= w:
+        windows = np.lib.stride_tricks.sliding_window_view(vals, w)
+        acc = np.zeros(len(windows))
+        for j in range(w):
+            acc = acc + windows[:, j]
+        out[w - 1:] = acc / w
+    return pd.Series(out, index=close.index)
+
+
 def _signals_frame(
     close: pd.Series, fast: int, slow: int
 ) -> tuple[pd.Series, pd.Series, pd.Series]:
     """(entry, exit, raw signal) with Spark-NULL-faithful semantics."""
-    fast_ma = close.rolling(fast).mean()
-    slow_ma = close.rolling(slow).mean()
+    fast_ma = _sma_left_fold(close, fast)
+    slow_ma = _sma_left_fold(close, slow)
     above = pd.Series(
         np.where(
             fast_ma.isna() | slow_ma.isna(), np.nan,
