@@ -4163,12 +4163,56 @@ def st12_rollup_distinct(spark, sf_dir):
     )
 
 
-@q("st14_rollup_percentiles", None)
+def _hist_pctl_sql(p: float) -> str:
+    """DuckDB twin of ``finalize_rollup``'s histogram percentile: the
+    estimate is the RIGHT EDGE of the bin holding the ceil(n*p)-th
+    smallest value (under/overflow clamp to lo/hi), which for a sorted
+    per-group slot list is just ``slots[ceil(n*p)]`` — deterministic
+    bin-edge math, no interpolation, so the mergeable-state estimator
+    has an exact SQL rendering (lo=0, hi=1000, 100 bins, width 10)."""
+    idx = f"CAST(CEIL(CAST(n_value AS DOUBLE) * {p}) AS BIGINT)"
+    return (
+        f"CASE WHEN n_value = 0 THEN NULL "
+        f"WHEN slots[{idx}] = 0 THEN 0.0 "
+        f"WHEN slots[{idx}] = 101 THEN 1000.0 "
+        f"ELSE slots[{idx}] * 10.0 END"
+    )
+
+
+@q(
+    "st14_rollup_percentiles",
+    f"""SELECT event_type, bucket_ts, n_value,
+       {_hist_pctl_sql(0.5)} AS p50_value,
+       {_hist_pctl_sql(0.95)} AS p95_value,
+       {_hist_pctl_sql(0.99)} AS p99_value
+FROM (
+  SELECT event_type, bucket_ts,
+         COUNT(slot) AS n_value,
+         LIST(slot ORDER BY slot) FILTER (WHERE slot IS NOT NULL) AS slots
+  FROM (
+    SELECT event_type,
+           CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 604800) * 604800
+                AS BIGINT) AS bucket_ts,
+           CASE WHEN v IS NULL THEN NULL
+                WHEN v < 0.0 THEN 0
+                WHEN v >= 1000.0 THEN 101
+                ELSE CAST(FLOOR((v - 0.0) / 1000.0 * 100) AS INT) + 1 END AS slot
+    FROM (SELECT event_type, ts, CAST(value AS DOUBLE) AS v FROM events)
+  ) GROUP BY 1, 2
+)""",
+    cols=["event_type", "bucket_ts", "n_value",
+          "p50_value", "p95_value", "p99_value"],
+    fcols=["p50_value", "p95_value", "p99_value"],
+)
 def st14_rollup_percentiles(spark, sf_dir):
-    # continuous-aggregate percentiles via MERGEABLE fixed-bin
-    # histogram states (elementwise-add merge; estimate bounded by the
-    # bin width — pytest-asserted vs exact percentiles, rows-only here
-    # since the estimator is interpolation-specific)
+    """Continuous-aggregate percentiles via MERGEABLE fixed-bin
+    histogram states (elementwise-add merge across increments). The
+    estimator — right edge of the bin holding the ceil(n*p)-th value,
+    clamped at the under/overflow edges — is deterministic bin math,
+    so it IS SQL-expressible and VALUE-EXACT against a DuckDB
+    recomputation from raw events (the merged two-increment state
+    must equal the one-shot histogram). Bin-width error bounds vs
+    exact percentiles stay pytest-asserted."""
     import tempfile
 
     from .store.rollup import RollupStore
@@ -4195,14 +4239,22 @@ def st14_rollup_percentiles(spark, sf_dir):
     )
 
 
-@q("st15_dedup_incremental", None)
+@q(
+    "st15_dedup_incremental",
+    "SELECT MIN(CAST(doc_id AS BIGINT)) AS id FROM documents GROUP BY text",
+    cols=["id"],
+)
 def st15_dedup_incremental(spark, sf_dir):
-    # incremental exact+minhash dedup: three arrival batches against a
-    # persisted signature store; the accumulated survivor set equals
-    # batch exact-dedup and the accumulated candidate pairs equal the
-    # batch minhash pairs over the deduped corpus
-    # (tests/test_streaming_dedup.py equivalence pytest). Stateful
-    # store path -> rows-only.
+    """Incremental exact+minhash dedup: three arrival batches (split
+    by doc_id range, so arrival order == id order) against a persisted
+    signature store. The accumulated survivor set is VALUE-EXACT
+    against batch exact dedup — first-arrival-wins over id-ordered
+    batches is min(doc_id) per distinct text, which IS the DuckDB
+    oracle (the store's xxhash64 content key only merges distinct
+    texts at 2^-64). The minhash candidate-pair side stays
+    pytest-asserted (tests/test_streaming_dedup.py: accumulated pairs
+    == batch minhash pairs) since xxhash64 signatures have no DuckDB
+    twin."""
     import tempfile
 
     from .streaming.dedup_incremental import IncrementalDedup
@@ -4222,7 +4274,7 @@ def st15_dedup_incremental(spark, sf_dir):
         "b2",
     )
     inc.process_batch(docs.filter(F.col("doc_id") > cuts[1]), "b3")
-    return inc.survivors()
+    return inc.survivors().select("id")
 
 
 @q("sim_ivf_index_topk", None)
