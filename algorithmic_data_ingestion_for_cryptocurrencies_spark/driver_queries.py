@@ -2096,8 +2096,13 @@ SELECT node, pr AS pagerank FROM r3""",
 def g1_pagerank(spark, sf_dir):
     """Interaction-graph authority: PageRank (3 fixed power
     iterations, d=0.85, dangling mass dropped) over the bipartite
-    customer->supplier purchase graph. Each round is one src join +
-    one dst aggregate, localCheckpoint-pinned — linear in |E|."""
+    customer->supplier purchase graph. Each round moves O(N) rank
+    rows into the stationary cached edge partitioning (Pregel shape,
+    ``operators/graph.pagerank``). The iteration runs on packed LONG
+    node ids (customer 2k / supplier 2k+1) — every distinct, join,
+    and aggregate shuffles 8-byte keys instead of 'c…'/'s…' strings —
+    and renders the oracle's string ids only on the final N-row
+    output."""
     from .operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders")
@@ -2105,11 +2110,18 @@ def g1_pagerank(spark, sf_dir):
     edges = (
         o.join(li, o["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("bigint") * 2).alias("src"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("dst"),
         )
     )
-    return pagerank(edges, iterations=3, damping=0.85)
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    node_str = F.when(
+        pr["node"] % 2 == 0,
+        F.concat(F.lit("c"), F.expr("node div 2").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), F.expr("(node - 1) div 2").cast("string")),
+    )
+    return pr.select(node_str.alias("node"), "pagerank")
 
 
 @q(

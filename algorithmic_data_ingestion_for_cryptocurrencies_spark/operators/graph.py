@@ -10,6 +10,7 @@ No counterpart in the reference; beyond-reference scale surface.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def pagerank(
@@ -19,6 +20,7 @@ def pagerank(
     dst_col: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    plan_probe=None,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list, a FIXED number of
     rounds (rank ordering stabilizes in a handful of iterations; a
@@ -32,52 +34,64 @@ def pagerank(
     per round, and relative ordering (the curation signal) is
     unaffected; document-level convention, mirrored by the oracle.
 
-    Scale shape (the :func:`..dedup.connected_components` discipline):
-    every round is edges ⋈ ranks on the src key + one dst-keyed
-    aggregate — linear in |E|, shuffles only on graph keys; the rank
-    frame is ``localCheckpoint``-pinned per round so iteration k+1's
-    plan does not nest k join trees; out-degrees compute once. The
-    only driver-side values are scalar counts."""
-    # e and nodes are consumed by EVERY iteration's checkpoint job;
-    # without their own localCheckpoint each round re-runs the edge
-    # scan + distinct shuffles (ReuseExchange does not span the jobs
-    # the per-round checkpoints split execution into) — measured 3x
-    # the per-round cost at the 18M-row tier
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct().localCheckpoint(eager=False)
+    Scale shape (Pregel-style stationary edges): the edge list is
+    hash-partitioned by ``src`` ONCE and pinned as a compressed
+    columnar cache (off the GC-churned object heap, unlike a
+    deserialized localCheckpoint — the r8 sf30 run showed GCLocker
+    stalls from |E|-sized pinned row blocks); every round then moves
+    only O(N) rank rows INTO the stationary edge partitioning via a
+    shuffle-hash join (the pre-r9 shape re-shuffled the |E|-row
+    weighted edge list against the ranks every round, 3x 180M rows at
+    sf30). Out-degrees fold into the rank side (N rows) instead of a
+    second |E|-sized weighted-edge pin. The dst aggregate map-side
+    combines to at most (distinct dst per partition) before its
+    shuffle. Ranks stay ``localCheckpoint``-pinned per round so
+    iteration k+1's plan does not nest k join trees; the only
+    driver-side values are scalar counts."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
-    n = nodes.count()  # materializes the nodes (and e) checkpoints
+    n = nodes.count()  # materializes the nodes checkpoint (and e's cache)
     if n == 0:  # empty edge list: no nodes, not a ZeroDivisionError
         return nodes.withColumn("pagerank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    e_w = e.join(deg, "src").localCheckpoint(eager=False)
+    # N rows; checkpointed so rounds do not re-aggregate the edge cache
+    deg = (
+        e.groupBy("src").agg(F.count("*").alias("__deg"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(iterations):
+        # rank mass per out-edge, keyed by src: N rows, built from the
+        # two small frames, then shuffle-hashed into e's partitioning
+        # (e side never moves; rd is always the bounded build side)
+        rd = (
+            deg.join(ranks, deg["src"] == ranks["node"])
+            .select("src", (F.col("pagerank") / F.col("__deg")).alias("__w"))
+        )
         contrib = (
-            e_w.join(ranks, e_w["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("pagerank") / F.col("__deg")).alias("__c"),
-            )
+            e.join(rd.hint("shuffle_hash"), "src")
+            .select(F.col("dst").alias("node"), F.col("__w").alias("__c"))
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (F.lit(base)
-                 + damping * F.coalesce(F.col("__in"), F.lit(0.0))
-                 ).alias("pagerank"),
-            )
-            .localCheckpoint(eager=False)
+        next_ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(base)
+             + damping * F.coalesce(F.col("__in"), F.lit(0.0))
+             ).alias("pagerank"),
         )
+        if plan_probe is not None:  # plan-shape tests: the returned
+            plan_probe(next_ranks)  # frame is checkpoint-truncated
+        ranks = next_ranks.localCheckpoint(eager=False)
     return ranks
