@@ -4597,6 +4597,11 @@ for _src in (
     "j1_equi_join",          # left equi join
     "e1_union_agg",          # union-all + aggregate
     "p_filter_flags",        # predicate + projection family
+    # r9 widening: one twin per remaining dialect-neutral family
+    "tpch_q1_lite",          # scan-filter-group-aggregate (TPC-H Q1)
+    "o_top3_orders_per_cust",  # ranked window + top-n filter
+    "agg_rollup",            # grouping sets: ROLLUP
+    "agg_cube",              # grouping sets: CUBE
 ):
     q(f"sql_{_src}", REGISTRY[_src][1])(_sql_twin(_src))
 

@@ -34,6 +34,8 @@ def test_register_views_registers_tables_and_domain(spark):
 @pytest.mark.parametrize("src", [
     "w04_rolling_mean", "a1_imbalance", "w16_cum_drawdown",
     "j1_equi_join", "e1_union_agg", "p_filter_flags", "w09_ema",
+    # r9 widening: TPC-H agg, ranked window, grouping sets
+    "tpch_q1_lite", "o_top3_orders_per_cust", "agg_rollup", "agg_cube",
 ])
 def test_sql_twin_equals_dataframe_api(spark, src):
     """The sql_* twin executes the oracle SQL text verbatim through
