@@ -4306,6 +4306,45 @@ def sim_ivf_index(spark, sf_dir):
     return ivf_index_topk(spark, path, queries, k=5, nprobe=8)
 
 
+@q("sim_ivf_upsert_topk", None)
+def sim_ivf_upsert(spark, sf_dir):
+    # incremental IVF maintenance (r9): build the persisted index on
+    # the head of the corpus, upsert the tail in two manifest-tracked
+    # batches (one deliberately replayed — must be a no-op), serve
+    # top-k through the partition-pruned read path. Batch-split
+    # invariance, replay idempotence, last-writer-wins re-upsert, and
+    # compaction equivalence are pytest-asserted
+    # (tests/test_ivf_upsert.py); kmeans state has no DuckDB twin ->
+    # rows-only.
+    import tempfile
+
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_index_upsert,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    hi = emb.agg(F.max("vec_id")).first()[0] or 0
+    path = tempfile.mkdtemp(prefix="adi_ivf_up_") + "/idx"
+    build_ivf_index(emb.filter(F.col("vec_id") <= hi // 2), path, n_centroids=16)
+    mid = hi // 2 + (hi - hi // 2) // 2
+    ivf_index_upsert(
+        spark, path,
+        emb.filter((F.col("vec_id") > hi // 2) & (F.col("vec_id") <= mid)),
+        batch_id="b1",
+    )
+    ivf_index_upsert(
+        spark, path, emb.filter(F.col("vec_id") > mid), batch_id="b2"
+    )
+    ivf_index_upsert(  # replayed batch: exactly-once no-op
+        spark, path, emb.filter(F.col("vec_id") > mid), batch_id="b2"
+    )
+    return ivf_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 3), k=5, nprobe=8
+    )
+
+
 @q(
     "a6b_robust_stats",
     """SELECT okey, lnum,

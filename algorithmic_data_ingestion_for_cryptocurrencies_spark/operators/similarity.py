@@ -551,10 +551,16 @@ def build_ivf_index(
     )
     cents.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
     (
-        assigned.write.mode("overwrite")
+        assigned.withColumn("__batch_seq", F.lit(0).cast("bigint"))
+        .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(path.rstrip("/") + "/lists")
     )
+    # seed the upsert manifest (see ivf_index_upsert): the build is
+    # generation 0, so the first incremental batch sequences after it
+    corpus.sparkSession.createDataFrame(
+        [("__build", 0)], "batch_id string, seq bigint"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/batches")
 
 
 def ivf_index_topk(
@@ -596,6 +602,27 @@ def ivf_index_topk(
     lists = spark.read.parquet(path.rstrip("/") + "/lists").filter(
         F.col("centroid_id").isin(probed_lists)
     )
+    if "__batch_seq" in lists.columns:
+        # last-writer-wins over the probed lists: a re-upserted id
+        # (ivf_index_upsert) must serve its latest vector. The collapse
+        # is skipped for a never-upserted index (single manifest row)
+        # so the common serve path stays aggregate-free.
+        seen, _next = _ivf_batches(spark, path)
+        if len(seen) > 1:
+            lists = (
+                lists.groupBy(F.col(id_col))
+                .agg(
+                    F.max_by(
+                        F.struct(F.col(vec_col), F.col("centroid_id")),
+                        F.col("__batch_seq"),
+                    ).alias("__l")
+                )
+                .select(
+                    id_col,
+                    F.col(f"__l.{vec_col}").alias(vec_col),
+                    F.col("__l.centroid_id").alias("centroid_id"),
+                )
+            )
     scored = (
         probes.join(
             lists.select(
@@ -617,6 +644,142 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _ivf_batches(spark, path: str) -> tuple[set, int]:
+    """(seen batch_ids, next sequence) from the tiny append-only
+    manifest dir ``<index>/batches`` — one row per committed append,
+    the :class:`..store.rollup.RollupStore` idempotence pattern. Only
+    a MISSING path reads as a fresh index (structured error class
+    first, the r8 ADVICE discipline); any other failure propagates."""
+    from pyspark.errors import AnalysisException
+
+    p = path.rstrip("/") + "/batches"
+    try:
+        rows = spark.read.schema("batch_id string, seq bigint").parquet(p).collect()
+    except AnalysisException as e:
+        cond = None
+        for accessor in ("getCondition", "getErrorClass"):
+            fn = getattr(e, accessor, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:
+                cond = None
+            if cond is not None:
+                break
+        missing = (cond == "PATH_NOT_FOUND") if cond is not None \
+            else ("PATH_NOT_FOUND" in str(e))
+        if missing:
+            return set(), 1
+        raise
+    return (
+        {r["batch_id"] for r in rows},
+        max((r["seq"] for r in rows), default=0) + 1,
+    )
+
+
+def ivf_index_upsert(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    *,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """Incrementally ingest ``vectors`` into a persisted IVF index
+    (the serving-path maintenance op: an embedding pipeline appends
+    new/updated vectors continuously; rebuilding the quantizer per
+    batch would rescan the corpus). New vectors are assigned against
+    the FROZEN centroids (standard IVF practice — the coarse quantizer
+    is only refreshed by a full rebuild) and APPENDED to the
+    partitioned inverted lists, so an upsert touches only the new
+    rows' bytes. Returns True if the batch was applied, False for a
+    replayed ``batch_id`` (exactly-once via the batches manifest;
+    lists are written FIRST, the manifest row is the commit marker —
+    a crash between the two replays cleanly because the re-append
+    writes identical (id, vec, seq) rows and the read path's
+    last-writer-wins collapse keeps one).
+
+    Consistency: a RE-upserted id supersedes its old version at read
+    time (max ``__batch_seq``) within the probed lists; an update that
+    MOVES a vector to a different list is fully reconciled only by
+    :func:`compact_ivf_index` — eventual consistency, the standard
+    ANN-serving trade."""
+    seen, seq = _ivf_batches(spark, path)
+    if batch_id in seen:
+        return False
+    cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    assigned = (
+        vectors.select(id_col, vec_col)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
+        .groupBy(F.col(id_col), F.col(vec_col))
+        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+        .withColumn("__batch_seq", F.lit(seq).cast("bigint"))
+    )
+    (
+        assigned.write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path.rstrip("/") + "/lists")
+    )
+    spark.createDataFrame(
+        [(batch_id, seq)], "batch_id string, seq bigint"
+    ).write.mode("append").parquet(path.rstrip("/") + "/batches")
+    return True
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Collapse the inverted lists to one latest-version row per id
+    (global last-writer-wins across ALL lists — this is what
+    reconciles an update that moved a vector to a different list) and
+    rewrite them as a fresh generation. OFFLINE maintenance op: the
+    lists directory is staged to a sibling and swapped with renames,
+    so a concurrent reader mid-swap can fail — run it like any ANN
+    index rebuild, between serving windows."""
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    lists = spark.read.parquet(base + "/lists")
+    seq_col = (
+        F.col("__batch_seq") if "__batch_seq" in lists.columns
+        else F.lit(0).cast("bigint")
+    )
+    latest = (
+        lists.withColumn("__seq", seq_col)
+        .groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct(F.col(vec_col), F.col("centroid_id")), F.col("__seq")
+            ).alias("__l"),
+            F.max("__seq").alias("__batch_seq"),
+        )
+        .select(
+            id_col,
+            F.col(f"__l.{vec_col}").alias(vec_col),
+            "__batch_seq",
+            F.col("__l.centroid_id").alias("centroid_id"),
+        )
+    )
+    tmp = base + "/lists__compacting"
+    (
+        latest.write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    old = base + "/lists__old"
+    os.rename(base + "/lists", old)
+    os.rename(tmp, base + "/lists")
+    shutil.rmtree(old)
 
 
 def semantic_dedup(

@@ -1,0 +1,105 @@
+"""Incremental IVF maintenance (r9): append-only upsert into the
+persisted index with frozen centroids, exactly-once via the batches
+manifest, read-path last-writer-wins, and offline compaction. The
+invariant mirrored from the streaming family: results must not depend
+on HOW arrivals were batched (incremental == batch)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+    build_ivf_index,
+    compact_ivf_index,
+    ivf_index_topk,
+    ivf_index_upsert,
+)
+
+EMB = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def _topk(spark, path, k=5, nprobe=8):
+    q = spark.read.parquet(EMB).filter(F.col("vec_id") < 5)
+    rows = ivf_index_topk(spark, path, q, k=k, nprobe=nprobe).collect()
+    return {(r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+            for r in rows}
+
+
+def _split(spark):
+    emb = spark.read.parquet(EMB)
+    hi = emb.agg(F.max("vec_id")).first()[0]
+    half, third = hi // 2, hi // 2 + (hi - hi // 2) // 2
+    return (
+        emb.filter(F.col("vec_id") <= half),
+        emb.filter((F.col("vec_id") > half) & (F.col("vec_id") <= third)),
+        emb.filter(F.col("vec_id") > third),
+    )
+
+
+def test_upsert_batch_split_invariance(spark):
+    """Ingesting the tail in one batch vs two must serve identical
+    top-k (frozen centroids make assignment batch-independent)."""
+    base, t1, t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+        p1, p2 = d1 + "/idx", d2 + "/idx"
+        build_ivf_index(base, p1, n_centroids=8)
+        build_ivf_index(base, p2, n_centroids=8)
+        assert ivf_index_upsert(spark, p1, t1.unionByName(t2), batch_id="all")
+        assert ivf_index_upsert(spark, p2, t1, batch_id="b1")
+        assert ivf_index_upsert(spark, p2, t2, batch_id="b2")
+        assert _topk(spark, p1) == _topk(spark, p2)
+
+
+def test_upsert_replay_is_noop(spark):
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        assert ivf_index_upsert(spark, p, t1, batch_id="b1") is True
+        before = _topk(spark, p)
+        assert ivf_index_upsert(spark, p, t1, batch_id="b1") is False
+        assert _topk(spark, p) == before
+        # the replayed rows were never appended
+        lists = spark.read.parquet(p + "/lists")
+        assert lists.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_reupsert_serves_latest_vector_and_compacts(spark):
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        ivf_index_upsert(spark, p, t1, batch_id="b1")
+        # overwrite vec 1 with an exact copy of vec 2's embedding: it
+        # must now rank as vec 2's perfect (cosine ~1) neighbor
+        v2 = base.filter(F.col("vec_id") == 2).select(
+            F.lit(1).cast(base.schema["vec_id"].dataType).alias("vec_id"),
+            "embedding",
+        )
+        ivf_index_upsert(spark, p, v2, batch_id="b2")
+        got = ivf_index_topk(
+            spark, p, base.filter(F.col("vec_id") == 2), k=1, nprobe=8
+        ).collect()
+        assert got[0]["neighbor_id"] == 1
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+        # compaction collapses to one latest row per id, same serving
+        before = _topk(spark, p)
+        compact_ivf_index(spark, p)
+        lists = spark.read.parquet(p + "/lists")
+        assert lists.groupBy("vec_id").count().filter("count > 1").count() == 0
+        assert _topk(spark, p) == before
+
+
+def test_upserted_index_still_prunes_partitions(spark):
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        ivf_index_upsert(spark, p, t1, batch_id="b1")
+        q = spark.read.parquet(EMB).filter(F.col("vec_id") < 3)
+        plan = ivf_index_topk(spark, p, q, k=3, nprobe=2)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "centroid_id" in plan  # probe filter reached the scan
