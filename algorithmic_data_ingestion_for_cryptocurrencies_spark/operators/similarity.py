@@ -711,6 +711,15 @@ def ivf_index_upsert(
     seen, seq = _ivf_batches(spark, path)
     if batch_id in seen:
         return False
+    existing = spark.read.parquet(path.rstrip("/") + "/lists")
+    if "__batch_seq" not in existing.columns:
+        # a pre-versioning index: appending versioned rows would mix
+        # parquet schemas and make the LWW read flaky — fail loudly
+        raise ValueError(
+            "IVF index at %r predates upsert support (lists lack "
+            "__batch_seq) — rebuild it with build_ivf_index first"
+            % path
+        )
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
     assigned = (
         vectors.select(id_col, vec_col)
@@ -744,7 +753,10 @@ def compact_ivf_index(
     rewrite them as a fresh generation. OFFLINE maintenance op: the
     lists directory is staged to a sibling and swapped with renames,
     so a concurrent reader mid-swap can fail — run it like any ANN
-    index rebuild, between serving windows."""
+    index rebuild, between serving windows. The swap uses
+    ``os.rename``: on an object store without atomic directory rename
+    (S3), stage to a new generation path and flip a pointer instead
+    (the :class:`..store.rollup.RollupStore` generation pattern)."""
     import os
     import shutil
 
