@@ -33,6 +33,51 @@ except ImportError:  # pragma: no cover - older layout
 _CARRY_FIELDS = ("last_close", "last_position", "cum_logeq", "peak_equity")
 
 
+def _ordered_chunks(pdf_iter, *, batch_order: str, cols):
+    """Yield sorted pandas frames for one group's micro-batch.
+
+    ``"buffer"``: concatenate every Arrow chunk first (tolerates
+    arbitrary row order within the micro-batch; peak memory
+    O(micro-batch) — the pre-r10 behavior).
+
+    ``"chunk"`` (r10, closes the r8/r9 buffering advice in code): fold
+    chunk-by-chunk — each chunk is sorted internally and yielded
+    immediately, so peak per-group memory is O(Arrow chunk) even on an
+    unthrottled backfill first-trigger. The price is an ordering
+    contract WITHIN the micro-batch: each chunk must start at or after
+    the previous chunk's last sort key. A violation raises (the query
+    fails visibly) rather than silently producing a wrong curve —
+    after a grouped shuffle Spark does not order rows within a group,
+    so use this mode when the source feeds each group's rows in order
+    (single upstream partition per key, pre-sorted files) and
+    ``"buffer"`` otherwise.
+    """
+    cols = list(cols)
+    if batch_order == "buffer":
+        chunks = [p for p in pdf_iter if len(p)]
+        if chunks:
+            yield (chunks[0] if len(chunks) == 1
+                   else pd.concat(chunks, ignore_index=True))
+        return
+    if batch_order != "chunk":
+        raise ValueError(f"unknown batch_order: {batch_order!r}")
+    prev_max = None
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        s = pdf.sort_values(cols, kind="stable").reset_index(drop=True)
+        lo = tuple(s[c].iloc[0] for c in cols)
+        if prev_max is not None and lo < prev_max:
+            raise ValueError(
+                "batch_order='chunk': an Arrow chunk starts before the "
+                f"previous chunk's last row ({lo!r} < {prev_max!r}) — "
+                "this micro-batch is not chunk-ordered; use "
+                "batch_order='buffer' or order the source per group"
+            )
+        prev_max = tuple(s[c].iloc[-1] for c in cols)
+        yield s
+
+
 def _bt_combine_with_carry(
     pdf: pd.DataFrame,
     carry: dict | None,
@@ -119,43 +164,41 @@ def stateful_backtest(
     fee_bps: float = 0.0,
     ts_col: str = "ts",
     sort_cols: Sequence[str] | None = None,
+    batch_order: str = "buffer",
 ):
     """Build the ``applyInPandasWithState`` function: O(1) carry per
     series (four scalars), exact continuation.
 
-    A group's micro-batch may arrive as MULTIPLE Arrow chunks in
-    arbitrary row order, so the chunks are buffered, concatenated and
-    sorted ONCE before the carry runs (state is O(1); only the current
-    micro-batch is ever held in memory). Ordering ACROSS triggers is an
-    in-order-arrival assumption: bars later than anything already
-    carried must arrive in a later-or-same trigger — enforce it
-    upstream with a watermark or source ordering.
-
-    Memory note: because the chunks are concatenated, peak executor
-    memory per group is O(micro-batch), not O(Arrow chunk). An
-    unthrottled FIRST trigger over a large backfill therefore holds a
-    group's entire history in one pandas frame — bound micro-batches
-    at the source for backfill starts (``maxFilesPerTrigger`` /
-    ``maxOffsetsPerTrigger``); steady-state triggers are small by
-    construction."""
+    ``batch_order`` governs how a group's micro-batch (possibly many
+    Arrow chunks, in arbitrary row order) is consumed — see
+    :func:`_ordered_chunks`. ``"buffer"`` (default) concatenates and
+    sorts once, peak memory O(micro-batch); ``"chunk"`` folds and
+    emits chunk-by-chunk, peak memory O(Arrow chunk) — the backfill-
+    safe mode — under a fail-loud within-batch ordering contract.
+    Ordering ACROSS triggers is an in-order-arrival assumption either
+    way: bars later than anything already carried must arrive in a
+    later-or-same trigger — enforce it upstream with a watermark or
+    source ordering."""
     fee = fee_bps / 1e4
 
     def fn(key, pdf_iter, state: GroupState):
         carry = dict(zip(_CARRY_FIELDS, state.get)) if state.exists else None
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if not chunks:
-            return
-        pdf = (chunks[0] if len(chunks) == 1
-               else pd.concat(chunks, ignore_index=True))
-        out, carry = _bt_combine_with_carry(
-            pdf, carry, price_col=price_col,
-            position_col=position_col, fee=fee, ts_col=ts_col,
-            sort_cols=sort_cols,
-        )
-        state.update(tuple(carry[f] for f in _CARRY_FIELDS))
-        for i, k in enumerate(key_cols):
-            out[k] = key[i]
-        yield out
+        emitted = False
+        for pdf in _ordered_chunks(
+            pdf_iter, batch_order=batch_order,
+            cols=sort_cols if sort_cols else [ts_col],
+        ):
+            out, carry = _bt_combine_with_carry(
+                pdf, carry, price_col=price_col,
+                position_col=position_col, fee=fee, ts_col=ts_col,
+                sort_cols=sort_cols,
+            )
+            for i, k in enumerate(key_cols):
+                out[k] = key[i]
+            emitted = True
+            yield out
+        if emitted:
+            state.update(tuple(carry[f] for f in _CARRY_FIELDS))
 
     return fn
 
@@ -169,12 +212,15 @@ def apply_stateful_backtest(
     fee_bps: float = 0.0,
     ts_col: str = "ts",
     sort_cols: Sequence[str] | None = None,
+    batch_order: str = "buffer",
 ):
     """Wire the stateful backtest onto a (streaming) DataFrame grouped
     by ``keys``. Output: keys + ts + close + position + the four curve
     columns; key types are taken from the input schema. Pass
     ``sort_cols`` (e.g. ``(ts, okey, lnum)``) when ``ts_col`` alone is
-    not unique within a series so tied bars order deterministically."""
+    not unique within a series so tied bars order deterministically.
+    ``batch_order="chunk"`` caps peak per-group memory at O(Arrow
+    chunk) for ordered sources (see :func:`_ordered_chunks`)."""
     key_schema = ", ".join(
         f"{k} {stream_df.schema[k].dataType.simpleString()}" for k in keys
     )
@@ -192,6 +238,7 @@ def apply_stateful_backtest(
         stateful_backtest(
             list(keys), price_col=price_col, position_col=position_col,
             fee_bps=fee_bps, ts_col=ts_col, sort_cols=sort_cols,
+            batch_order=batch_order,
         ),
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -29,7 +29,7 @@ from collections.abc import Sequence
 import numpy as np
 import pandas as pd
 
-from .backtest_stream import _bt_combine_with_carry
+from .backtest_stream import _bt_combine_with_carry, _ordered_chunks
 
 try:  # pyspark >= 3.4
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -186,22 +186,21 @@ def apply_stateful_sma_strategy(
     price_col: str = "close",
     ts_col: str = "ts",
     sort_cols: Sequence[str] | None = None,
+    batch_order: str = "buffer",
 ):
     """Wire the fused signal+backtest onto a (streaming) DataFrame
     grouped by ``keys``.
 
-    A group's micro-batch may arrive as multiple Arrow chunks in
-    arbitrary row order, so chunks are buffered, concatenated and
-    sorted ONCE before the carry runs (only the current micro-batch is
-    buffered; carried state stays bounded). Ordering ACROSS triggers is
-    an in-order-arrival assumption — enforce upstream. Pass
-    ``sort_cols`` when ``ts_col`` alone is not unique per series.
-
-    Memory note: peak executor memory per group is O(micro-batch)
-    because the chunks are concatenated — bound the FIRST trigger of a
-    large backfill at the source (``maxFilesPerTrigger`` /
-    ``maxOffsetsPerTrigger``) or it holds a group's entire history in
-    one pandas frame."""
+    ``batch_order`` governs micro-batch consumption (see
+    :func:`backtest_stream._ordered_chunks`): ``"buffer"`` (default)
+    concatenates and sorts the group's chunks once — tolerant of
+    arbitrary within-batch row order, peak memory O(micro-batch);
+    ``"chunk"`` folds and emits chunk-by-chunk through the same carry
+    core — peak memory O(Arrow chunk), the backfill-safe mode — and
+    fails loudly if the batch is not chunk-ordered. Ordering ACROSS
+    triggers is an in-order-arrival assumption either way — enforce
+    upstream. Pass ``sort_cols`` when ``ts_col`` alone is not unique
+    per series."""
     fee = fee_bps / 1e4
     key_cols = list(keys)
 
@@ -214,22 +213,24 @@ def apply_stateful_sma_strategy(
                 "last_pos": last_pos,
                 "bt": dict(zip(_BT_FIELDS, bt_vals)),
             }
-        chunks = [pdf for pdf in pdf_iter if len(pdf)]
-        if not chunks:
-            return
-        pdf = (chunks[0] if len(chunks) == 1
-               else pd.concat(chunks, ignore_index=True))
-        out, carry = _strategy_combine(
-            pdf, carry, fast=fast, slow=slow, fee=fee,
-            price_col=price_col, ts_col=ts_col, sort_cols=sort_cols,
-        )
-        state.update((
-            carry["ts"], carry["closes"], carry["last_pos"],
-            *[carry["bt"][f] for f in _BT_FIELDS],
-        ))
-        for i, k in enumerate(key_cols):
-            out[k] = key[i]
-        yield out
+        emitted = False
+        for pdf in _ordered_chunks(
+            pdf_iter, batch_order=batch_order,
+            cols=sort_cols if sort_cols else [ts_col],
+        ):
+            out, carry = _strategy_combine(
+                pdf, carry, fast=fast, slow=slow, fee=fee,
+                price_col=price_col, ts_col=ts_col, sort_cols=sort_cols,
+            )
+            for i, k in enumerate(key_cols):
+                out[k] = key[i]
+            emitted = True
+            yield out
+        if emitted:
+            state.update((
+                carry["ts"], carry["closes"], carry["last_pos"],
+                *[carry["bt"][f] for f in _BT_FIELDS],
+            ))
 
     return _wire(stream_df, fn, key_cols, price_col, ts_col)
 
