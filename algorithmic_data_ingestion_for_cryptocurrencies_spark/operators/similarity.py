@@ -561,6 +561,18 @@ def build_ivf_index(
     corpus.sparkSession.createDataFrame(
         [("__build", 0)], "batch_id string, seq bigint"
     ).write.mode("overwrite").parquet(path.rstrip("/") + "/batches")
+    # a REBUILD over a previously-compacted index must reset the
+    # generation state, or readers would resolve a stale lists_g{N}
+    # pointer over the fresh gen-0 build
+    spark = corpus.sparkSession
+    fs, hpath = _ivf_fs(spark, path)
+    base = path.rstrip("/")
+    for st in fs.listStatus(hpath(base)):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g"):
+            fs.delete(st.getPath(), False)
+        elif st.isDirectory() and name.startswith("lists_g"):
+            fs.delete(st.getPath(), True)
 
 
 def ivf_index_topk(
@@ -579,12 +591,18 @@ def ivf_index_topk(
     unprobed inverted list at planning time, which is the entire point
     of the layout. Exact rerank within the probed lists.
 
-    The probed-list set is collected to the driver (bounded:
-    ``<= n_queries * nprobe`` ints) so the filter is a LITERAL the
-    planner can prune partitions with; a join would scan everything.
-    For huge query batches, group queries by probe signature and issue
-    per-group reads instead."""
+    Driver round-trip (r10 note): the probe frame is checkpointed once
+    and only its DISTINCT centroid ids are collected — bounded by
+    ``n_centroids``, O(1) in the query-batch size — so the filter is a
+    LITERAL the planner can prune partitions with (a join would scan
+    everything), and the probe assignment is computed once, not once
+    for the collect and again in the serve join. A single union read
+    over all probed lists beats per-probe-signature reads: the
+    equi-join on ``centroid_id`` already restricts every query to its
+    own probed lists, and a list probed by two signature groups is
+    scanned once instead of twice."""
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    lists_dir, folded_seq = _ivf_lists_path(spark, path)
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__d").desc(), F.col("centroid_id")
     )
@@ -595,20 +613,25 @@ def ivf_index_topk(
         .withColumn("__pr", F.row_number().over(w_probe))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", "centroid_id")
+        # materialize once: the distinct-collect below and the serve
+        # join both read the checkpointed probe rows (n_queries*nprobe,
+        # bounded) instead of re-running the crossJoin+window twice
+        .localCheckpoint(eager=True)
     )
     probed_lists = sorted(
         {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
     )
-    lists = spark.read.parquet(path.rstrip("/") + "/lists").filter(
+    lists = spark.read.parquet(lists_dir).filter(
         F.col("centroid_id").isin(probed_lists)
     )
     if "__batch_seq" in lists.columns:
         # last-writer-wins over the probed lists: a re-upserted id
         # (ivf_index_upsert) must serve its latest vector. The collapse
-        # is skipped for a never-upserted index (single manifest row)
-        # so the common serve path stays aggregate-free.
-        seen, _next = _ivf_batches(spark, path)
-        if len(seen) > 1:
+        # runs only when the manifest holds seqs NEWER than the
+        # committed generation's folded_through_seq (fresh build or
+        # just-compacted index: aggregate-free serve path).
+        _seen, next_seq = _ivf_batches(spark, path)
+        if next_seq - 1 > folded_seq:
             lists = (
                 lists.groupBy(F.col(id_col))
                 .agg(
@@ -644,6 +667,94 @@ def ivf_index_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+#: generation-pointer prefix: ``_ivf_lists.g{N}.json`` in the index
+#: root names the committed lists directory (``lists`` for generation
+#: 0, ``lists_g{N}`` after the Nth compaction) — the
+#: :class:`..store.rollup.RollupStore` manifest pattern, which closes
+#: the r9 local crash window (the old two-rename swap could crash
+#: between renames and leave NO lists directory) and is object-store
+#: safe (no directory rename anywhere; the pointer write is one small
+#: file rename, and readers resolve the max generation so a torn or
+#: missing pointer falls back to the previous committed one).
+_IVF_PTR_PREFIX = "_ivf_lists"
+
+
+def _ivf_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    return hpath(path).getFileSystem(conf), hpath
+
+
+def _ivf_pointer(spark, path: str) -> dict:
+    """Committed generation = the highest-generation parseable pointer
+    file; no pointer (or none parses) = generation 0 (``lists``,
+    nothing folded). Torn writes resolve to the previous generation —
+    never to a missing directory."""
+    import json as _json
+
+    fs, hpath = _ivf_fs(spark, path)
+    base = path.rstrip("/")
+    root = hpath(base)
+    best: dict | None = None
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g")
+                    and name.endswith(".json")):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                data = []
+                while True:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    data.append(b)
+                meta = _json.loads(bytes(data).decode("utf-8"))
+            except Exception:
+                continue  # torn/corrupt pointer: older generation wins
+            finally:
+                stream.close()
+            if best is None or meta.get("generation", -1) > best["generation"]:
+                best = meta
+    return best or {"generation": 0, "folded_through_seq": 0}
+
+
+def _ivf_lists_path(spark, path: str) -> tuple[str, int]:
+    """(current committed lists directory, highest folded seq)."""
+    meta = _ivf_pointer(spark, path)
+    gen = meta["generation"]
+    base = path.rstrip("/")
+    lists = base + ("/lists" if gen == 0 else f"/lists_g{gen}")
+    return lists, int(meta.get("folded_through_seq", 0))
+
+
+def _ivf_write_pointer(spark, path: str, meta: dict) -> None:
+    """Commit = atomic rename of a tmp file onto the NEW
+    generation-suffixed pointer name; superseded pointers are swept
+    only after the new one exists (rename atomicity is
+    filesystem-level — object stores need a conditional put, same
+    caveat as the rollup store)."""
+    import json as _json
+
+    fs, hpath = _ivf_fs(spark, path)
+    base = path.rstrip("/")
+    name = f"{_IVF_PTR_PREFIX}.g{meta['generation']}.json"
+    tmp = hpath(base + "/." + name + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps(meta).encode("utf-8")))
+    finally:
+        out.close()
+    fs.rename(tmp, hpath(base + "/" + name))
+    for st in fs.listStatus(hpath(base)):
+        n = st.getPath().getName()
+        if (st.isFile() and n.startswith(_IVF_PTR_PREFIX + ".g")
+                and n.endswith(".json") and n != name):
+            fs.delete(st.getPath(), False)
 
 
 def _ivf_batches(spark, path: str) -> tuple[set, int]:
@@ -711,7 +822,8 @@ def ivf_index_upsert(
     seen, seq = _ivf_batches(spark, path)
     if batch_id in seen:
         return False
-    existing = spark.read.parquet(path.rstrip("/") + "/lists")
+    lists_dir, _folded = _ivf_lists_path(spark, path)
+    existing = spark.read.parquet(lists_dir)
     if "__batch_seq" not in existing.columns:
         # a pre-versioning index: appending versioned rows would mix
         # parquet schemas and make the LWW read flaky — fail loudly
@@ -732,7 +844,7 @@ def ivf_index_upsert(
     (
         assigned.write.mode("append")
         .partitionBy("centroid_id")
-        .parquet(path.rstrip("/") + "/lists")
+        .parquet(lists_dir)
     )
     spark.createDataFrame(
         [(batch_id, seq)], "batch_id string, seq bigint"
@@ -750,18 +862,30 @@ def compact_ivf_index(
     """Collapse the inverted lists to one latest-version row per id
     (global last-writer-wins across ALL lists — this is what
     reconciles an update that moved a vector to a different list) and
-    rewrite them as a fresh generation. OFFLINE maintenance op: the
-    lists directory is staged to a sibling and swapped with renames,
-    so a concurrent reader mid-swap can fail — run it like any ANN
-    index rebuild, between serving windows. The swap uses
-    ``os.rename``: on an object store without atomic directory rename
-    (S3), stage to a new generation path and flip a pointer instead
-    (the :class:`..store.rollup.RollupStore` generation pattern)."""
-    import os
-    import shutil
+    commit them as a fresh GENERATION (r10, closing the r9 staged-swap
+    crash window): the compacted lists are written to a brand-new
+    ``lists_g{N}`` directory, and the commit point is the atomic
+    rename of the tiny generation-pointer file
+    (``_ivf_lists.g{N}.json``) — a crash anywhere leaves the previous
+    generation fully readable (no directory is ever renamed or deleted
+    before the pointer commits), and the scheme needs no atomic
+    directory rename, so it holds on object stores too. The pointer
+    records ``folded_through_seq``; the serve path re-enables its LWW
+    collapse only for manifest seqs newer than it, so a compacted
+    index serves aggregate-free again. The superseded generation
+    directory is swept best-effort AFTER the commit; a crash mid-sweep
+    leaves garbage the next compaction removes.
 
+    Still an OFFLINE maintenance op with respect to WRITERS: an upsert
+    racing the compaction snapshot can commit rows into the old
+    generation and lose them at the pointer flip — serialize upserts
+    against compaction (the RollupStore in-process-lock pattern).
+    Concurrent READERS are now safe mid-compaction."""
     base = path.rstrip("/")
-    lists = spark.read.parquet(base + "/lists")
+    cur_lists, _folded = _ivf_lists_path(spark, path)
+    meta = _ivf_pointer(spark, path)
+    _seen, next_seq = _ivf_batches(spark, path)
+    lists = spark.read.parquet(cur_lists)
     seq_col = (
         F.col("__batch_seq") if "__batch_seq" in lists.columns
         else F.lit(0).cast("bigint")
@@ -782,16 +906,32 @@ def compact_ivf_index(
             F.col("__l.centroid_id").alias("centroid_id"),
         )
     )
-    tmp = base + "/lists__compacting"
+    new_gen = meta["generation"] + 1
+    new_dir = base + f"/lists_g{new_gen}"
     (
-        latest.write.mode("overwrite")
-        .partitionBy("centroid_id")
-        .parquet(tmp)
+        latest.write.mode("overwrite")  # overwrite: a crashed earlier
+        .partitionBy("centroid_id")     # attempt at this gen is garbage
+        .parquet(new_dir)
     )
-    old = base + "/lists__old"
-    os.rename(base + "/lists", old)
-    os.rename(tmp, base + "/lists")
-    shutil.rmtree(old)
+    _ivf_write_pointer(
+        spark, path,
+        {"generation": new_gen, "folded_through_seq": next_seq - 1},
+    )
+    # post-commit sweep of superseded generation dirs (best-effort)
+    fs, hpath = _ivf_fs(spark, path)
+    for st in fs.listStatus(hpath(base)):
+        name = st.getPath().getName()
+        stale = (
+            name == "lists" or (
+                name.startswith("lists_g")
+                and name != f"lists_g{new_gen}"
+            )
+        )
+        if st.isDirectory() and stale:
+            try:
+                fs.delete(st.getPath(), True)
+            except Exception:
+                pass  # garbage is invisible to readers; next sweep
 
 
 def semantic_dedup(

@@ -12,6 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+    _ivf_lists_path,
     build_ivf_index,
     compact_ivf_index,
     ivf_index_topk,
@@ -85,12 +86,71 @@ def test_reupsert_serves_latest_vector_and_compacts(spark):
         ).collect()
         assert got[0]["neighbor_id"] == 1
         assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
-        # compaction collapses to one latest row per id, same serving
+        # compaction collapses to one latest row per id, same serving;
+        # the committed lists now live in a fresh generation dir
+        # resolved through the pointer file
         before = _topk(spark, p)
         compact_ivf_index(spark, p)
-        lists = spark.read.parquet(p + "/lists")
+        lists_dir, folded = _ivf_lists_path(spark, p)
+        assert lists_dir.endswith("/lists_g1") and folded == 2
+        lists = spark.read.parquet(lists_dir)
         assert lists.groupBy("vec_id").count().filter("count > 1").count() == 0
         assert _topk(spark, p) == before
+        # upsert-after-compaction lands in the new generation and serves
+        v3 = base.filter(F.col("vec_id") == 3).select(
+            F.lit(0).cast(base.schema["vec_id"].dataType).alias("vec_id"),
+            "embedding",
+        )
+        assert ivf_index_upsert(spark, p, v3, batch_id="b3")
+        got = ivf_index_topk(
+            spark, p, base.filter(F.col("vec_id") == 3), k=1, nprobe=8
+        ).collect()
+        assert got[0]["neighbor_id"] == 0
+
+
+def test_compaction_crash_windows_leave_index_readable(spark, monkeypatch):
+    """r9 ADVICE (low): the old two-rename swap had a window with NO
+    lists directory. Generation commit: a crash BEFORE the pointer
+    write leaves the previous generation fully live; re-running the
+    compaction succeeds; a rebuilt index resets the generation."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import similarity as sim
+
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        ivf_index_upsert(spark, p, t1, batch_id="b1")
+        before = _topk(spark, p)
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before pointer commit")
+
+        monkeypatch.setattr(sim, "_ivf_write_pointer", boom)
+        with pytest.raises(RuntimeError):
+            compact_ivf_index(spark, p)
+        monkeypatch.undo()
+        # old generation still committed and serving identically
+        lists_dir, _ = _ivf_lists_path(spark, p)
+        assert lists_dir.endswith("/lists")
+        assert _topk(spark, p) == before
+        # retry succeeds (overwrites the orphaned staging dir)
+        compact_ivf_index(spark, p)
+        lists_dir, _ = _ivf_lists_path(spark, p)
+        assert lists_dir.endswith("/lists_g1")
+        assert _topk(spark, p) == before
+        # a second compaction advances the generation and sweeps g1
+        ivf_index_upsert(spark, p, t1.limit(0), batch_id="b2")  # no-op rows
+        compact_ivf_index(spark, p)
+        lists_dir, _ = _ivf_lists_path(spark, p)
+        assert lists_dir.endswith("/lists_g2")
+        assert _topk(spark, p) == before
+        import os
+        assert not os.path.exists(p + "/lists_g1")
+        assert not os.path.exists(p + "/lists")
+        # full rebuild resets to generation 0
+        build_ivf_index(base, p, n_centroids=8)
+        lists_dir, folded = _ivf_lists_path(spark, p)
+        assert lists_dir.endswith("/lists") and folded == 0
 
 
 def test_upserted_index_still_prunes_partitions(spark):
