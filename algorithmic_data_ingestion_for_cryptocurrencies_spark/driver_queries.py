@@ -27,6 +27,7 @@ Reference parity citations live in the underlying operator modules.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -4614,39 +4615,95 @@ def text_wordcount(spark, sf_dir):
 # union, filter/projection.
 # --------------------------------------------------------------------------
 
-def _sql_twin(src_name: str):
+def _spark_dialect(sql: str) -> str:
+    """Minimal mechanical dialect map for oracle texts that are ANSI
+    except for two DuckDB spellings Spark rejects — each rewrite is
+    purely syntactic (same semantics on both engines):
+
+    - ``CAST(x AS VARCHAR)``            -> ``CAST(x AS STRING)``
+    - ``fn(args IGNORE NULLS) OVER``    -> ``fn(args) IGNORE NULLS OVER``
+      (DuckDB puts the null-treatment clause inside the call
+      parentheses; Spark after them)
+
+    Anything further (QUALIFY, list lambdas, EPOCH_MS, 'g' regexp
+    flags) stays out of the SQL layer rather than growing a
+    transpiler; those families remain DataFrame-API-only and their
+    oracle texts DuckDB-only."""
+    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", sql, flags=re.I)
+    out = re.sub(
+        r"\b(\w+)\(([^()]*?)\s+IGNORE\s+NULLS\)", r"\1(\2) IGNORE NULLS", out
+    )
+    return out
+
+
+def _sql_twin(src_name: str, *, dialect: bool = False):
     """Spark-side callable executing ``src_name``'s oracle SQL via
-    ``spark.sql`` after registering the domain views."""
+    ``spark.sql`` after registering the domain views (verbatim text,
+    or through :func:`_spark_dialect` when ``dialect``)."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .sql import register_views
 
         ensure_session_defaults(spark)
         register_views(spark, sf_dir)
-        return spark.sql(REGISTRY[src_name][1])
+        text = REGISTRY[src_name][1]
+        return spark.sql(_spark_dialect(text) if dialect else text)
 
     fn.__name__ = f"sql_{src_name}"
     fn.__doc__ = (
         f"spark.sql twin of {src_name}: executes the registry's oracle "
-        "SQL text verbatim over register_views(sf_dir) temp views."
+        "SQL text over register_views(sf_dir) temp views"
+        + (" after the documented mechanical dialect map." if dialect
+           else " verbatim.")
     )
     return fn
 
 
-for _src in (
-    "w04_rolling_mean",      # masked rolling window aggregate
-    "a1_imbalance",          # conditional hash aggregate
-    "w16_cum_drawdown",      # cumulative window + running max
-    "j1_equi_join",          # left equi join
-    "e1_union_agg",          # union-all + aggregate
-    "p_filter_flags",        # predicate + projection family
-    # r9 widening: one twin per remaining dialect-neutral family
-    "tpch_q1_lite",          # scan-filter-group-aggregate (TPC-H Q1)
-    "o_top3_orders_per_cust",  # ranked window + top-n filter
-    "agg_rollup",            # grouping sets: ROLLUP
-    "agg_cube",              # grouping sets: CUBE
-):
+#: every registry oracle whose text parses AND runs in Spark SQL
+#: verbatim (probed exhaustively in r10) — the SQL surface now covers
+#: the join, window/indicator, set-op, sampling, text, streaming-twin
+#: and pipeline families, not just one representative per family
+_SQL_VERBATIM_TWINS = (
+    # pre-r10 set
+    "w04_rolling_mean", "a1_imbalance", "w16_cum_drawdown",
+    "j1_equi_join", "e1_union_agg", "p_filter_flags",
+    "tpch_q1_lite", "o_top3_orders_per_cust", "agg_rollup", "agg_cube",
+    # r10 widening: windows/indicators
+    "w01_lag_diff_lead", "w02_pct_change", "w03_log_return",
+    "w05_rolling_std", "w06_rolling_sum", "w07_rolling_min_max",
+    "w10_rsi_sma", "w12_bollinger", "w13_vwap", "w14_atr", "w15_obv",
+    "w19_stochastic", "w20_adx", "w21_mfi", "w22_volatility",
+    "w23_roc", "w25_trend_flag", "w27_rolling_corr", "w28_xsec_rank",
+    "w29_rolling_outliers",
+    # aggregates / orderbook / analytics
+    "a4_depth", "a6_global_zscore", "a7_book_from_deltas",
+    "a8_contribution_share", "a9_hhi_concentration",
+    "w24_batch_orderbook",
+    # joins / set ops / shape ops
+    "j2_spine_join", "e2_columnwise_extremes", "e3_anti_join",
+    "e4_semi_subquery", "e5_except", "e6_intersect", "o7_unpivot",
+    "o4_range_read", "p5_any_nonnull_mask", "tpch_q5_lite",
+    # sampling / quality / labels
+    "samp_split_groups", "f_psi_drift", "f_scaler_fit_transform",
+    "q_constraints", "u5_labels", "u5b_triple_barrier",
+    # text / streaming twins / sessionization
+    "text_render_chat", "st7_session_window",
+    "st15_dedup_incremental",
+)
+
+#: oracles that need only the mechanical dialect map above
+_SQL_DIALECT_TWINS = (
+    "a2_spread",                # LAST_VALUE(x IGNORE NULLS) position
+    "w26_ffill",                # idem (the ffill primitive)
+    "u6_sma_crossover_signals",  # idem inside the position fill
+    "samp_bernoulli_strata",    # idem
+    "samp_top_n_per_group",     # idem
+)
+
+for _src in _SQL_VERBATIM_TWINS:
     q(f"sql_{_src}", REGISTRY[_src][1])(_sql_twin(_src))
+for _src in _SQL_DIALECT_TWINS:
+    q(f"sql_{_src}", REGISTRY[_src][1])(_sql_twin(_src, dialect=True))
 
 
 # The EWM twin needs a Spark-dialect text (the DuckDB oracle leans on

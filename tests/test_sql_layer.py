@@ -31,12 +31,16 @@ def test_register_views_registers_tables_and_domain(spark):
     assert register_views(spark, "/nonexistent-dir") == []
 
 
-@pytest.mark.parametrize("src", [
-    "w04_rolling_mean", "a1_imbalance", "w16_cum_drawdown",
-    "j1_equi_join", "e1_union_agg", "p_filter_flags", "w09_ema",
-    # r9 widening: TPC-H agg, ranked window, grouping sets
-    "tpch_q1_lite", "o_top3_orders_per_cust", "agg_rollup", "agg_cube",
-])
+def _twin_sources():
+    """Every registered sql_* twin, derived from the registry so new
+    twins are covered automatically (r10: 61 twins across the window,
+    indicator, join, set-op, sampling, text and streaming families)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
+
+    return sorted(n[4:] for n in REGISTRY if n.startswith("sql_"))
+
+
+@pytest.mark.parametrize("src", _twin_sources())
 def test_sql_twin_equals_dataframe_api(spark, src):
     """The sql_* twin executes the oracle SQL text verbatim through
     spark.sql; rows must equal the DataFrame-API query exactly."""
