@@ -163,3 +163,39 @@ def test_upserted_index_still_prunes_partitions(spark):
         plan = ivf_index_topk(spark, p, q, k=3, nprobe=2)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "centroid_id" in plan  # probe filter reached the scan
+
+
+def test_large_query_batch_serve_stays_bounded(spark):
+    """r9 verdict #7: the serve path's driver round-trip must be O(1)
+    in the query-batch size. With a 5000-query batch: the probe frame
+    is computed ONCE (checkpointed — one extra scan would double the
+    crossJoin+window work), the collected literal set is the DISTINCT
+    probed centroids (<= n_centroids), and the single union read still
+    prunes unprobed inverted lists (a list probed by two signature
+    groups is scanned once, which is why one union read beats
+    per-signature reads)."""
+    base, _t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        emb = spark.read.parquet(EMB)
+        n_small = emb.count()
+        reps = max(1, 5000 // n_small + 1)
+        big = (
+            emb.crossJoin(spark.range(reps).select(F.col("id").alias("__r")))
+            .select(
+                (F.col("vec_id") * reps + F.col("__r")).alias("vec_id"),
+                "embedding",
+            )
+            .limit(5000)
+        )
+        out = ivf_index_topk(spark, p, big, k=2, nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one scan of the lists dir, partition-filtered
+        lists_scans = [ln for ln in plan.splitlines()
+                       if "lists" in ln and "Scan parquet" in ln]
+        assert len(lists_scans) == 1, plan
+        # every query served k neighbors despite the 5000-query batch
+        got = out.groupBy("query_id").count()
+        assert got.filter(F.col("count") != 2).count() == 0
+        assert got.count() == 5000

@@ -231,9 +231,9 @@ def test_chunk_prep_pipeline_is_single_dedup_exchange(spark):
     repartition, nothing else. The dedup is the min_by AGGREGATE tier
     (r6): a partial aggregate below the exchange collapses co-located
     duplicate chunks map-side before the wire."""
-    import __spark_entry__ as E
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
 
-    df = E.queries()["pipeline_chunk_prep"](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["pipeline_chunk_prep"][0](spark, "/root/testdata/sf0.001")
     plan = explain_str(df, "formatted").split("\n\n")[0]
     assert plan.count("Exchange") <= 2, plan
     assert "CartesianProduct" not in plan
@@ -322,9 +322,9 @@ def test_corpus_curation_pipeline_is_single_exchange(spark):
     quality scoring and hash sampling are projections/filters, and the
     dedup survivor is a WindowGroupLimit-pushed rank over the content
     key."""
-    import __spark_entry__ as E
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
 
-    df = E.queries()["pipeline_corpus_curation"](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["pipeline_corpus_curation"][0](spark, "/root/testdata/sf0.001")
     plan = explain_str(df, "formatted").split("\n\n")[0]
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
@@ -418,9 +418,9 @@ def test_sft_prep_pipeline_exchange_budget(spark):
     must stay within its documented exchange budget: the entropy
     aggregates, the doc_id join back, and the dedup rank — no
     cartesian products, no data-sized unpartitioned windows."""
-    import __spark_entry__ as E
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import REGISTRY
 
-    df = E.queries()["pipeline_sft_prep"](spark, "/root/testdata/sf0.001")
+    df = REGISTRY["pipeline_sft_prep"][0](spark, "/root/testdata/sf0.001")
     plan = explain_str(df, "formatted").split("\n\n")[0]
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 5, plan

@@ -87,6 +87,9 @@ def main() -> int:
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
     names = sys.argv[1:]
 
+    # this tool IS the full local gate: always check the whole registry
+    # regardless of the driver-panel rotation in __spark_entry__
+    os.environ.setdefault("SPARK_GRAFT_PANEL", "full")
     import __spark_entry__ as E
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
 
