@@ -271,3 +271,52 @@ def zorder_key(
     return staged.withColumn(out, key).drop(
         *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Hive-style BUCKETED table write — the co-located-join layout
+    (r10; no counterpart in the reference, whose store is Redis).
+
+    Bucketing is the lake-level twin of :func:`~..operators.skew`'s
+    runtime tricks: rows are hash-clustered into a fixed number of
+    buckets on the join/aggregation key AT WRITE TIME, and the bucket
+    spec is recorded in the catalog, so every later join or aggregate
+    on that key reads the clustering instead of re-shuffling — on a
+    100-TB fact table joined daily against a same-bucketed dimension,
+    the per-query exchange of the big side disappears entirely
+    (plan-asserted in ``tests/test_bucketed_join.py``: two tables
+    bucketed (same count, same key) sort-merge-join with ZERO
+    Exchange on either side, vs two exchanges unbucketed).
+
+    Mechanics and contracts:
+
+    - requires ``saveAsTable`` (the bucket spec lives in the catalog;
+      ``parquet(path)`` alone would silently drop it). Pass ``path``
+      to keep the data EXTERNAL at a caller-owned location; otherwise
+      it lands under ``spark.sql.warehouse.dir``.
+    - ``sort_cols`` additionally sorts within each bucket file
+      (row-group stats + merge-ready runs).
+    - pick ``buckets`` like shuffle partitions at the table's target
+      scale (~one bucket per 100-200 MB of key-clustered data); both
+      join sides must agree on count and key for exchange-free plans.
+    - Spark writes one file per (task, bucket) — compact upstream or
+      repartition by the bucket key first to keep file counts sane.
+    """
+    writer = df.repartition(buckets, *[F.col(c) for c in bucket_cols]) \
+        .write.mode(mode).format("parquet") \
+        .bucketBy(buckets, *list(bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*list(sort_cols))
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return table
