@@ -4740,3 +4740,117 @@ def _sql_w09_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 q("sql_w09_ema", REGISTRY["w09_ema"][1])(_sql_w09_ema)
+
+
+# Hand-authored Spark-dialect twins (r10) for the families whose
+# DuckDB oracle texts are structurally non-portable (QUALIFY, UNNEST /
+# GENERATE_SERIES, EPOCH/EPOCH_MS, ASOF JOIN, 'g' regexp flags): each
+# sql_* below is a Spark SQL statement expressing the SAME semantics
+# (verified value-exact against the unchanged DuckDB oracle), closing
+# the r9 verdict's "joins/dedup/text families have no SQL twin" gap.
+# Dialect mapping used: QUALIFY -> ranked subquery; UNNEST(
+# GENERATE_SERIES) -> EXPLODE(SEQUENCE); EPOCH(ts) -> CAST(ts AS
+# DOUBLE); EPOCH_MS(s*1000) -> TIMESTAMP_SECONDS(s); DuckDB's 'g'
+# regexp flag -> Spark regexp_replace (global by default); ASOF LEFT
+# JOIN -> range LEFT JOIN + ROW_NUMBER() = 1 on the latest quote.
+
+_SQL_SPARK_NORM = "TRIM(REGEXP_REPLACE(LOWER({c}), '\\\\s+', ' '))"
+
+_SQL_SPARK_TEXTS: dict[str, str] = {
+    "dedup_exact": f"""
+SELECT doc_id, snippet FROM (
+  SELECT doc_id, __snip AS snippet,
+         ROW_NUMBER() OVER (
+           PARTITION BY {_SQL_SPARK_NORM.format(c='__snip')}
+           ORDER BY doc_id) AS __rn
+  FROM (SELECT doc_id, SUBSTRING(text, 1, 30) AS __snip FROM documents)
+) WHERE __rn = 1""",
+    "text_wordcount_top20": f"""
+SELECT word, n FROM (
+  SELECT word, COUNT(*) AS n
+  FROM (SELECT EXPLODE(SPLIT({_SQL_SPARK_NORM.format(c='text')}, ' ')) AS word
+        FROM documents)
+  GROUP BY word)
+ORDER BY n DESC, word LIMIT 20""",
+    "j4_find_gaps": """
+SELECT user_id, expected_ts FROM (
+  SELECT u.user_id, g.expected_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT EXPLODE(SEQUENCE(TIMESTAMP '2024-01-01',
+                              TIMESTAMP '2024-01-30', INTERVAL 1 DAY))
+                AS expected_ts) g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT DISTINCT user_id,
+             TIMESTAMP_SECONDS(CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT)
+               - CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) % 86400) AS d
+      FROM events) e
+    WHERE e.user_id = u.user_id AND e.d = g.expected_ts))""",
+    "e7_funnel": """
+SELECT user_id, FLOOR((t_step_1) * 1e6 + 0.5) / 1e6 AS t_step_1,
+       FLOOR((t_step_2) * 1e6 + 0.5) / 1e6 AS t_step_2,
+       FLOOR((t_step_3) * 1e6 + 0.5) / 1e6 AS t_step_3, steps_completed
+FROM (WITH s1 AS (SELECT user_id, MIN(CAST(ts AS DOUBLE)) AS t_step_1
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+ s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS DOUBLE)) AS t_step_2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS DOUBLE) > s1.t_step_1
+        GROUP BY 1),
+ s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS DOUBLE)) AS t_step_3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS DOUBLE) > s2.t_step_2
+        GROUP BY 1)
+SELECT s1.user_id, t_step_1, t_step_2, t_step_3,
+       CAST(CASE WHEN t_step_1 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_step_2 IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN t_step_3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS steps_completed
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))""",
+    # the ASOF backward join against the weekly-max quote frame is,
+    # for THIS pairing, an exact week-floor EQUI-join: the quote frame
+    # is built from the same rows, so the probe row's own week bucket
+    # always exists and is always the latest bucket <= its ts (the
+    # j5_range_join bucketed-rewrite idea applied to as-of). A ranked
+    # range-join rewrite is NOT row-preserving here because the
+    # synthetic (suppkey, okey, lnum) keys carry duplicates.
+    "j3_asof_join": f"""
+SELECT suppkey, ts, okey, lnum,
+       FLOOR((weekly_max_asof) * 1e6 + 0.5) / 1e6 AS weekly_max_asof
+FROM (
+  SELECT m.suppkey, m.ts, m.okey, m.lnum, w.weekly_max AS weekly_max_asof
+  FROM ({MARKET_SQL}) m
+  LEFT JOIN (
+    SELECT suppkey,
+           TIMESTAMP_SECONDS(__e - __e % 604800) AS ts,
+           MAX(close) AS weekly_max
+    FROM (SELECT suppkey,
+                 CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) AS __e, close
+          FROM ({MARKET_SQL}))
+    GROUP BY 1, 2) w
+    ON m.suppkey = w.suppkey
+   AND w.ts = TIMESTAMP_SECONDS(
+         CAST(FLOOR(CAST(m.ts AS DOUBLE)) AS BIGINT)
+         - CAST(FLOOR(CAST(m.ts AS DOUBLE)) AS BIGINT) % 604800))""",
+}
+
+
+def _sql_spark_text_twin(src_name: str):
+    text = _SQL_SPARK_TEXTS[src_name]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .sql import register_views
+
+        ensure_session_defaults(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(text)
+
+    fn.__name__ = f"sql_{src_name}"
+    fn.__doc__ = (
+        f"Spark-dialect SQL twin of {src_name} (hand-authored text, "
+        "same semantics; oracle = the registry's DuckDB text)."
+    )
+    return fn
+
+
+for _src in _SQL_SPARK_TEXTS:
+    q(f"sql_{_src}", REGISTRY[_src][1])(_sql_spark_text_twin(_src))
