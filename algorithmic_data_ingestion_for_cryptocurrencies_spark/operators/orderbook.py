@@ -187,7 +187,17 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         # group key hash — an aggregate job over the pruned 2-3 column
         # scan, a small fraction of the main query at any SF; hot-path
         # callers should pass the hint to skip it).
+        if rows_per_group is None and df.isStreaming:
+            # a streaming frame cannot run the estimate job (and the
+            # rank tiers are batch operators anyway): keep the old
+            # lazy default rather than raising at plan-build time
+            rows_per_group = 0.0
         if rows_per_group is None:
+            # NOTE this makes an unhinted auto call EAGER: one
+            # count+HLL job over the pruned group-key columns runs at
+            # plan-BUILD time (and the upstream plan executes again in
+            # the real query). Callers composing plans ahead of data,
+            # or on a hot path, should pass the hint or a fixed tier.
             est = df.select(
                 F.count(F.lit(1)).alias("__n"),
                 F.approx_count_distinct(

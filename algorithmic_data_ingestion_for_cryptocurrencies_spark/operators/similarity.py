@@ -549,30 +549,34 @@ def build_ivf_index(
         .groupBy(F.col(id_col), F.col(vec_col))
         .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
     )
-    cents.write.mode("overwrite").parquet(path.rstrip("/") + "/centroids")
+    # a REBUILD over a previously-compacted index resets the
+    # generation state FIRST (r10 review fix): deleting the stale
+    # pointer before any write means a crash mid-rebuild leaves
+    # readers failing loudly on the half-built gen-0 layout instead of
+    # silently serving the OLD generation's vectors against the NEW
+    # centroids. Rebuild is an offline op; rerun it after a crash.
+    spark = corpus.sparkSession
+    fs, hpath = _ivf_fs(spark, path)
+    base = path.rstrip("/")
+    if fs.exists(hpath(base)):
+        for st in fs.listStatus(hpath(base)):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g"):
+                fs.delete(st.getPath(), False)
+            elif st.isDirectory() and name.startswith("lists_g"):
+                fs.delete(st.getPath(), True)
+    cents.write.mode("overwrite").parquet(base + "/centroids")
     (
         assigned.withColumn("__batch_seq", F.lit(0).cast("bigint"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
-        .parquet(path.rstrip("/") + "/lists")
+        .parquet(base + "/lists")
     )
     # seed the upsert manifest (see ivf_index_upsert): the build is
     # generation 0, so the first incremental batch sequences after it
     corpus.sparkSession.createDataFrame(
         [("__build", 0)], "batch_id string, seq bigint"
-    ).write.mode("overwrite").parquet(path.rstrip("/") + "/batches")
-    # a REBUILD over a previously-compacted index must reset the
-    # generation state, or readers would resolve a stale lists_g{N}
-    # pointer over the fresh gen-0 build
-    spark = corpus.sparkSession
-    fs, hpath = _ivf_fs(spark, path)
-    base = path.rstrip("/")
-    for st in fs.listStatus(hpath(base)):
-        name = st.getPath().getName()
-        if st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g"):
-            fs.delete(st.getPath(), False)
-        elif st.isDirectory() and name.startswith("lists_g"):
-            fs.delete(st.getPath(), True)
+    ).write.mode("overwrite").parquet(base + "/batches")
 
 
 def ivf_index_topk(
@@ -615,7 +619,12 @@ def ivf_index_topk(
         .select("query_id", "__qvec", "centroid_id")
         # materialize once: the distinct-collect below and the serve
         # join both read the checkpointed probe rows (n_queries*nprobe,
-        # bounded) instead of re-running the crossJoin+window twice
+        # bounded) instead of re-running the crossJoin+window twice.
+        # Lifecycle: localCheckpoint blocks (unlike persist()) are
+        # ContextCleaner-managed — they live exactly as long as the
+        # returned result frame is reachable and are reclaimed when
+        # the caller drops it; a long-lived server should not hold old
+        # result frames (and may sweep with clear_persisted_blocks)
         .localCheckpoint(eager=True)
     )
     probed_lists = sorted(
@@ -625,13 +634,22 @@ def ivf_index_topk(
         F.col("centroid_id").isin(probed_lists)
     )
     if "__batch_seq" in lists.columns:
-        # last-writer-wins over the probed lists: a re-upserted id
-        # (ivf_index_upsert) must serve its latest vector. The collapse
-        # runs only when the manifest holds seqs NEWER than the
-        # committed generation's folded_through_seq (fresh build or
-        # just-compacted index: aggregate-free serve path).
+        # exactly-once read discipline (r10 review fix): rows whose
+        # seq exceeds the manifest's max COMMITTED seq are an
+        # in-flight/crashed upsert's orphans (lists are written before
+        # the manifest commit marker) — filter them out, exactly like
+        # the rollup store drops un-manifested batches. The replay
+        # re-appends identical rows and commits, at which point they
+        # become visible. Then last-writer-wins over the probed lists:
+        # a re-upserted id must serve its latest vector; the collapse
+        # runs only when COMMITTED seqs exist beyond the generation's
+        # folded_through_seq (fresh build or just-compacted index:
+        # aggregate-free serve path — safe because orphans are already
+        # filtered, so every visible id is single-version).
         _seen, next_seq = _ivf_batches(spark, path)
-        if next_seq - 1 > folded_seq:
+        committed_max = next_seq - 1
+        lists = lists.filter(F.col("__batch_seq") <= committed_max)
+        if committed_max > folded_seq:
             lists = (
                 lists.groupBy(F.col(id_col))
                 .agg(
@@ -699,12 +717,14 @@ def _ivf_pointer(spark, path: str) -> dict:
     base = path.rstrip("/")
     root = hpath(base)
     best: dict | None = None
+    n_files = 0
     if fs.exists(root):
         for st in fs.listStatus(root):
             name = st.getPath().getName()
             if not (st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g")
                     and name.endswith(".json")):
                 continue
+            n_files += 1
             stream = fs.open(st.getPath())
             try:
                 data = []
@@ -720,6 +740,14 @@ def _ivf_pointer(spark, path: str) -> dict:
                 stream.close()
             if best is None or meta.get("generation", -1) > best["generation"]:
                 best = meta
+    if best is None and n_files:
+        # the rollup-store guard, mirrored (r10 review): pointer files
+        # exist but none parses — resolving to generation 0 here could
+        # point readers at a lists dir a compaction already swept
+        raise IOError(
+            f"IVF index {base!r}: {n_files} generation pointer file(s) "
+            "exist but none parses — refusing to reset to generation 0"
+        )
     return best or {"generation": 0, "folded_through_seq": 0}
 
 
@@ -749,7 +777,17 @@ def _ivf_write_pointer(spark, path: str, meta: dict) -> None:
         out.write(bytearray(_json.dumps(meta).encode("utf-8")))
     finally:
         out.close()
-    fs.rename(tmp, hpath(base + "/" + name))
+    # Hadoop FileSystem.rename reports most failures by RETURNING
+    # false (r10 review fix): a silently-failed commit followed by the
+    # sweep below would delete the previous pointer and reset the
+    # index to a generation whose directory may be gone — fail loudly
+    # instead, leaving the old pointer committed
+    if not fs.rename(tmp, hpath(base + "/" + name)):
+        raise IOError(
+            f"IVF pointer commit failed: rename to {name!r} returned "
+            f"false (index at {base!r} still serves the previous "
+            "generation)"
+        )
     for st in fs.listStatus(hpath(base)):
         n = st.getPath().getName()
         if (st.isFile() and n.startswith(_IVF_PTR_PREFIX + ".g")
@@ -880,10 +918,31 @@ def compact_ivf_index(
     racing the compaction snapshot can commit rows into the old
     generation and lose them at the pointer flip — serialize upserts
     against compaction (the RollupStore in-process-lock pattern).
-    Concurrent READERS are now safe mid-compaction."""
+    Readers racing the compaction resolve either generation and read
+    it intact: the just-superseded directory is left on disk and only
+    swept at the START of the NEXT compaction (r10 review fix — an
+    immediate sweep could delete files under a reader that resolved
+    the old pointer moments earlier), so a reader is only at risk if
+    it straddles TWO full compaction cycles. Orphan rows from a
+    crashed upsert (seq beyond the manifest's committed max) are
+    EXCLUDED from the fold — baking them in would let the read-side
+    orphan filter hide an id entirely until the upsert replays."""
     base = path.rstrip("/")
     cur_lists, _folded = _ivf_lists_path(spark, path)
     meta = _ivf_pointer(spark, path)
+    fs, hpath = _ivf_fs(spark, path)
+    # sweep generations made stale by the PREVIOUS compaction (and any
+    # crashed staging dirs): everything but the current committed dir
+    cur_name = cur_lists.rsplit("/", 1)[-1]
+    for st in fs.listStatus(hpath(base)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name != cur_name and (
+            name == "lists" or name.startswith("lists_g")
+        ):
+            try:
+                fs.delete(st.getPath(), True)
+            except Exception:
+                pass  # garbage is invisible to readers; next sweep
     _seen, next_seq = _ivf_batches(spark, path)
     lists = spark.read.parquet(cur_lists)
     seq_col = (
@@ -892,6 +951,7 @@ def compact_ivf_index(
     )
     latest = (
         lists.withColumn("__seq", seq_col)
+        .filter(seq_col <= F.lit(next_seq - 1))
         .groupBy(F.col(id_col))
         .agg(
             F.max_by(
@@ -917,21 +977,9 @@ def compact_ivf_index(
         spark, path,
         {"generation": new_gen, "folded_through_seq": next_seq - 1},
     )
-    # post-commit sweep of superseded generation dirs (best-effort)
-    fs, hpath = _ivf_fs(spark, path)
-    for st in fs.listStatus(hpath(base)):
-        name = st.getPath().getName()
-        stale = (
-            name == "lists" or (
-                name.startswith("lists_g")
-                and name != f"lists_g{new_gen}"
-            )
-        )
-        if st.isDirectory() and stale:
-            try:
-                fs.delete(st.getPath(), True)
-            except Exception:
-                pass  # garbage is invisible to readers; next sweep
+    # the superseded generation dir is deliberately NOT deleted here —
+    # in-flight readers may have resolved it; the NEXT compaction's
+    # start-of-run sweep (above) removes it
 
 
 def semantic_dedup(

@@ -138,19 +138,64 @@ def test_compaction_crash_windows_leave_index_readable(spark, monkeypatch):
         lists_dir, _ = _ivf_lists_path(spark, p)
         assert lists_dir.endswith("/lists_g1")
         assert _topk(spark, p) == before
-        # a second compaction advances the generation and sweeps g1
+        # a second compaction advances the generation; the sweep is
+        # DEFERRED — it removes generations made stale by the
+        # PREVIOUS compaction (gen0 'lists'), while the just-superseded
+        # g1 stays on disk for in-flight readers
         ivf_index_upsert(spark, p, t1.limit(0), batch_id="b2")  # no-op rows
         compact_ivf_index(spark, p)
         lists_dir, _ = _ivf_lists_path(spark, p)
         assert lists_dir.endswith("/lists_g2")
         assert _topk(spark, p) == before
         import os
-        assert not os.path.exists(p + "/lists_g1")
-        assert not os.path.exists(p + "/lists")
+        assert not os.path.exists(p + "/lists")      # swept (2 gens stale)
+        assert os.path.exists(p + "/lists_g1")        # deferred for readers
+        assert os.path.exists(p + "/lists_g2")
         # full rebuild resets to generation 0
         build_ivf_index(base, p, n_centroids=8)
         lists_dir, folded = _ivf_lists_path(spark, p)
         assert lists_dir.endswith("/lists") and folded == 0
+
+
+def test_orphaned_upsert_rows_invisible_until_commit(spark, monkeypatch):
+    """r10 review fix: an upsert that crashed BETWEEN the lists append
+    and its manifest commit marker must be invisible to readers (its
+    rows' seq exceeds the committed max) — on a just-compacted index
+    the old gate skipped the collapse and served the orphan as a
+    duplicate/stale neighbor. Replay commits the batch and makes the
+    same rows visible."""
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        ivf_index_upsert(spark, p, t1, batch_id="b1")
+        compact_ivf_index(spark, p)  # folded_through_seq = 1
+        before = _topk(spark, p)
+
+        # crash the manifest commit: lists rows land, marker doesn't
+        real_create = spark.createDataFrame
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before manifest commit")
+
+        v2 = base.filter(F.col("vec_id") == 2).select(
+            F.lit(1).cast(base.schema["vec_id"].dataType).alias("vec_id"),
+            "embedding",
+        )
+        monkeypatch.setattr(spark, "createDataFrame", boom)
+        with pytest.raises(RuntimeError):
+            ivf_index_upsert(spark, p, v2, batch_id="b2")
+        monkeypatch.setattr(spark, "createDataFrame", real_create)
+
+        # orphan rows exist on disk but must not be served
+        assert _topk(spark, p) == before
+        # replay commits: now vec 1 serves vec 2's embedding
+        assert ivf_index_upsert(spark, p, v2, batch_id="b2") is True
+        got = ivf_index_topk(
+            spark, p, base.filter(F.col("vec_id") == 2), k=1, nprobe=8
+        ).collect()
+        assert got[0]["neighbor_id"] == 1
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
 
 
 def test_upserted_index_still_prunes_partitions(spark):

@@ -88,8 +88,10 @@ def main() -> int:
     names = sys.argv[1:]
 
     # this tool IS the full local gate: always check the whole registry
-    # regardless of the driver-panel rotation in __spark_entry__
-    os.environ.setdefault("SPARK_GRAFT_PANEL", "full")
+    # regardless of the driver-panel rotation in __spark_entry__ — a
+    # hard assignment, not setdefault, so an inherited rotate value
+    # can't silently shrink the artifact to a third of the queries
+    os.environ["SPARK_GRAFT_PANEL"] = "full"
     import __spark_entry__ as E
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import get_spark
 
