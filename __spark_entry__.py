@@ -43,37 +43,19 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _round_number() -> int:
-    """Current build round = 1 + the highest committed BENCH_r{N}
-    artifact (the driver writes one per completed round)."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    ns = []
-    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.match(r"BENCH_r(\d+)\.json$", os.path.basename(f))
-        if m:
-            ns.append(int(m.group(1)))
-    return (max(ns) + 1) if ns else 1
-
-
 def _panel(names: list[str]) -> list[str]:
-    """Driver-panel rotation (adopted r10, proposed r8): the driver
-    runs whatever ``queries()`` returns, and the full registry (206
-    queries) is too large for its per-round window — so expose a
-    deterministic third of the sorted registry keyed on the round
-    number (``k = round mod 3``). Every query gets driver-side oracle
-    coverage every 3 rounds; the committed full-registry gate
-    (CORRECTNESS_LOCAL_r{N}.json, tools/oracle_check.py) remains the
-    complete per-round check. ``SPARK_GRAFT_PANEL=full`` restores the
-    whole registry; ``SPARK_GRAFT_PANEL=rotate:K`` pins the slice."""
-    mode = os.environ.get("SPARK_GRAFT_PANEL", "rotate")
-    if mode == "full":
-        return names
-    k = (int(mode.split(":", 1)[1]) if mode.startswith("rotate:")
-         else _round_number()) % 3
-    return sorted(names)[k::3]
+    """Default contract: the FULL registry, deterministically (r11,
+    advisor finding — the r10 rotation keyed itself off whatever
+    BENCH_r*.json files sat on disk, so a clean clone and this working
+    tree exposed different slices; and the driver caps its own panel
+    at 50 queries anyway, so rotation bought nothing).  An explicit
+    ``SPARK_GRAFT_PANEL=rotate:K`` pins a one-third slice (k = K mod
+    3) for callers that genuinely want a subset."""
+    mode = os.environ.get("SPARK_GRAFT_PANEL", "full")
+    if mode.startswith("rotate:"):
+        k = int(mode.split(":", 1)[1]) % 3
+        return sorted(names)[k::3]
+    return names
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -4128,10 +4128,11 @@ def sim_semantic_dedup_q(spark, sf_dir):
     "st13_sessionize_batch",
     """SELECT event_id, user_id, session_id FROM (
   SELECT event_id, user_id,
-         SUM(CASE WHEN prev IS NULL OR EPOCH(ts) - prev > 1800
-                  THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(SUM(CASE WHEN prev IS NULL OR EPOCH(ts) - prev > 1800
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM (SELECT event_id, user_id, ts,
                LAG(EPOCH(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         FROM events))""",
@@ -4629,6 +4630,21 @@ def _spark_dialect(sql: str) -> str:
     flags) stays out of the SQL layer rather than growing a
     transpiler; those families remain DataFrame-API-only and their
     oracle texts DuckDB-only."""
+    # Guard rails (r11 advisor finding): the naive regex would turn a
+    # parameterized CAST(x AS VARCHAR(10)) into invalid STRING(10) and
+    # would also rewrite matches inside string literals.  Refuse both
+    # shapes loudly instead of silently corrupting the twin — any
+    # future twin that needs them gets a hand-authored Spark text.
+    if re.search(r"\bVARCHAR\s*\(", sql, flags=re.I):
+        raise ValueError(
+            "_spark_dialect cannot rewrite parameterized VARCHAR(n); "
+            "hand-author a Spark twin for this query"
+        )
+    if re.search(r"'[^']*VARCHAR[^']*'", sql, flags=re.I):
+        raise ValueError(
+            "_spark_dialect would rewrite VARCHAR inside a string "
+            "literal; hand-author a Spark twin for this query"
+        )
     out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", sql, flags=re.I)
     out = re.sub(
         r"\b(\w+)\(([^()]*?)\s+IGNORE\s+NULLS\)", r"\1(\2) IGNORE NULLS", out

@@ -198,6 +198,19 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             # plan-BUILD time (and the upstream plan executes again in
             # the real query). Callers composing plans ahead of data,
             # or on a hot path, should pass the hint or a fixed tier.
+            # r11 (advisor): warn loudly — pre-r10 callers got a pure
+            # lazy builder here, so the silent semantics change is
+            # surfaced instead of discovered in a trace.
+            import warnings
+
+            warnings.warn(
+                "depth_series(strategy='auto') without rows_per_group "
+                "runs an eager count+HLL estimate job at plan-build "
+                "time; pass rows_per_group= or strategy='window'/"
+                "'prune' to keep plan construction lazy",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             est = df.select(
                 F.count(F.lit(1)).alias("__n"),
                 F.approx_count_distinct(

@@ -13,6 +13,8 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..store import genfile
+
 #: Measured crossover for the unrolled ``element_at`` expression tier
 #: (tools/bench_unroll_dim.py, pairwise-scoring workload, min-of-3):
 #: dim=4 the unrolled chain wins (0.40x the HOF tier); dim>=8 it LOSES
@@ -568,6 +570,7 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(base + "/centroids")
     (
         assigned.withColumn("__batch_seq", F.lit(0).cast("bigint"))
+        .withColumn("__batch_id", F.lit("__build"))
         .write.mode("overwrite")
         .partitionBy("centroid_id")
         .parquet(base + "/lists")
@@ -634,11 +637,12 @@ def ivf_index_topk(
         F.col("centroid_id").isin(probed_lists)
     )
     if "__batch_seq" in lists.columns:
-        # exactly-once read discipline (r10 review fix): rows whose
-        # seq exceeds the manifest's max COMMITTED seq are an
-        # in-flight/crashed upsert's orphans (lists are written before
-        # the manifest commit marker) — filter them out, exactly like
-        # the rollup store drops un-manifested batches. The replay
+        # exactly-once read discipline (r10 review fix, hardened r11):
+        # rows from an in-flight/crashed upsert (lists are written
+        # before the manifest commit marker) are orphans — invisible
+        # until their batch commits (:func:`_ivf_visible`; membership
+        # on (batch_id, seq), not max-seq, so a later batch committing
+        # at a colliding seq cannot resurrect them). The replay
         # re-appends identical rows and commits, at which point they
         # become visible. Then last-writer-wins over the probed lists:
         # a re-upserted id must serve its latest vector; the collapse
@@ -646,9 +650,12 @@ def ivf_index_topk(
         # folded_through_seq (fresh build or just-compacted index:
         # aggregate-free serve path — safe because orphans are already
         # filtered, so every visible id is single-version).
-        _seen, next_seq = _ivf_batches(spark, path)
+        _seen, next_seq, pairs = _ivf_batches(spark, path)
         committed_max = next_seq - 1
-        lists = lists.filter(F.col("__batch_seq") <= committed_max)
+        lists = _ivf_visible(
+            spark, lists, pairs=pairs,
+            folded_seq=folded_seq, committed_max=committed_max,
+        )
         if committed_max > folded_seq:
             lists = (
                 lists.groupBy(F.col(id_col))
@@ -700,55 +707,22 @@ _IVF_PTR_PREFIX = "_ivf_lists"
 
 
 def _ivf_fs(spark, path: str):
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    hpath = jvm.org.apache.hadoop.fs.Path
-    return hpath(path).getFileSystem(conf), hpath
+    return genfile.hadoop_fs(spark, path)
 
 
 def _ivf_pointer(spark, path: str) -> dict:
     """Committed generation = the highest-generation parseable pointer
-    file; no pointer (or none parses) = generation 0 (``lists``,
+    file (:mod:`..store.genfile` protocol, shared with the rollup
+    store since r11); no pointer at all = generation 0 (``lists``,
     nothing folded). Torn writes resolve to the previous generation —
-    never to a missing directory."""
-    import json as _json
-
-    fs, hpath = _ivf_fs(spark, path)
-    base = path.rstrip("/")
-    root = hpath(base)
-    best: dict | None = None
-    n_files = 0
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isFile() and name.startswith(_IVF_PTR_PREFIX + ".g")
-                    and name.endswith(".json")):
-                continue
-            n_files += 1
-            stream = fs.open(st.getPath())
-            try:
-                data = []
-                while True:
-                    b = stream.read()
-                    if b < 0:
-                        break
-                    data.append(b)
-                meta = _json.loads(bytes(data).decode("utf-8"))
-            except Exception:
-                continue  # torn/corrupt pointer: older generation wins
-            finally:
-                stream.close()
-            if best is None or meta.get("generation", -1) > best["generation"]:
-                best = meta
-    if best is None and n_files:
-        # the rollup-store guard, mirrored (r10 review): pointer files
-        # exist but none parses — resolving to generation 0 here could
-        # point readers at a lists dir a compaction already swept
-        raise IOError(
-            f"IVF index {base!r}: {n_files} generation pointer file(s) "
-            "exist but none parses — refusing to reset to generation 0"
-        )
-    return best or {"generation": 0, "folded_through_seq": 0}
+    never to a missing directory; present-but-unparseable pointers
+    with no parseable sibling raise (r10 review) instead of pointing
+    readers at a lists dir a compaction already swept."""
+    return genfile.read_committed(
+        spark, path, _IVF_PTR_PREFIX,
+        default={"generation": 0, "folded_through_seq": 0},
+        store_desc="IVF index",
+    )
 
 
 def _ivf_lists_path(spark, path: str) -> tuple[str, int]:
@@ -763,43 +737,21 @@ def _ivf_lists_path(spark, path: str) -> tuple[str, int]:
 def _ivf_write_pointer(spark, path: str, meta: dict) -> None:
     """Commit = atomic rename of a tmp file onto the NEW
     generation-suffixed pointer name; superseded pointers are swept
-    only after the new one exists (rename atomicity is
-    filesystem-level — object stores need a conditional put, same
-    caveat as the rollup store)."""
-    import json as _json
-
-    fs, hpath = _ivf_fs(spark, path)
-    base = path.rstrip("/")
-    name = f"{_IVF_PTR_PREFIX}.g{meta['generation']}.json"
-    tmp = hpath(base + "/." + name + ".tmp")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(_json.dumps(meta).encode("utf-8")))
-    finally:
-        out.close()
-    # Hadoop FileSystem.rename reports most failures by RETURNING
-    # false (r10 review fix): a silently-failed commit followed by the
-    # sweep below would delete the previous pointer and reset the
-    # index to a generation whose directory may be gone — fail loudly
-    # instead, leaving the old pointer committed
-    if not fs.rename(tmp, hpath(base + "/" + name)):
-        raise IOError(
-            f"IVF pointer commit failed: rename to {name!r} returned "
-            f"false (index at {base!r} still serves the previous "
-            "generation)"
-        )
-    for st in fs.listStatus(hpath(base)):
-        n = st.getPath().getName()
-        if (st.isFile() and n.startswith(_IVF_PTR_PREFIX + ".g")
-                and n.endswith(".json") and n != name):
-            fs.delete(st.getPath(), False)
+    only after the new one exists, and a false-returning rename fails
+    loudly (:func:`..store.genfile.commit_generation` — rename
+    atomicity is filesystem-level; object stores need a conditional
+    put, same caveat as the rollup store)."""
+    genfile.commit_generation(
+        spark, path, _IVF_PTR_PREFIX, meta, store_desc="IVF index",
+    )
 
 
-def _ivf_batches(spark, path: str) -> tuple[set, int]:
-    """(seen batch_ids, next sequence) from the tiny append-only
-    manifest dir ``<index>/batches`` — one row per committed append,
-    the :class:`..store.rollup.RollupStore` idempotence pattern. Only
-    a MISSING path reads as a fresh index (structured error class
+def _ivf_batches(spark, path: str) -> tuple[set, int, list]:
+    """(seen batch_ids, next sequence, committed (batch_id, seq)
+    pairs) from the tiny append-only manifest dir ``<index>/batches``
+    — one row per committed append, the
+    :class:`..store.rollup.RollupStore` idempotence pattern. Only a
+    MISSING path reads as a fresh index (structured error class
     first, the r8 ADVICE discipline); any other failure propagates."""
     from pyspark.errors import AnalysisException
 
@@ -821,11 +773,50 @@ def _ivf_batches(spark, path: str) -> tuple[set, int]:
         missing = (cond == "PATH_NOT_FOUND") if cond is not None \
             else ("PATH_NOT_FOUND" in str(e))
         if missing:
-            return set(), 1
+            return set(), 1, []
         raise
     return (
         {r["batch_id"] for r in rows},
         max((r["seq"] for r in rows), default=0) + 1,
+        sorted({(r["batch_id"], r["seq"]) for r in rows}),
+    )
+
+
+def _ivf_visible(spark, lists: DataFrame, *, pairs: list,
+                 folded_seq: int, committed_max: int) -> DataFrame:
+    """Committed-visible rows of an inverted-lists scan.
+
+    r11 advisor fix: visibility used to be ``__batch_seq <=
+    committed_max``, but seq numbers are allocated as
+    manifest-max + 1 — so a crashed upsert's orphan rows at seq S
+    became visible (resurrected) the moment any DIFFERENT later batch
+    committed at the same S, with nondeterministic LWW ties between
+    the orphan and the committed row. Visibility is now MEMBERSHIP:
+    a row is visible iff it predates the fold horizon
+    (``__batch_seq <= folded_seq`` — compaction output) or its
+    ``(__batch_id, __batch_seq)`` pair appears in the committed
+    manifest (broadcast left join against the tiny manifest frame —
+    bounded by upserts-since-compaction, never corpus-sized). An
+    orphan's pair is never committed under its own seq (a replay
+    re-allocates past the colliding batch), so it stays invisible
+    forever and is dropped for good by the next compaction's fold.
+
+    Legacy lists without ``__batch_id`` keep the old max-seq gate
+    (documented weaker; one compaction migrates them)."""
+    if "__batch_seq" not in lists.columns:
+        return lists
+    if "__batch_id" not in lists.columns:
+        return lists.filter(F.col("__batch_seq") <= committed_max)
+    marker = spark.createDataFrame(
+        [(b, s) for b, s in pairs], "__batch_id string, __batch_seq bigint"
+    ).withColumn("__committed", F.lit(True))
+    return (
+        lists.join(F.broadcast(marker), ["__batch_id", "__batch_seq"], "left")
+        .filter(
+            (F.col("__batch_seq") <= F.lit(folded_seq))
+            | F.col("__committed").isNotNull()
+        )
+        .drop("__committed")
     )
 
 
@@ -857,7 +848,7 @@ def ivf_index_upsert(
     MOVES a vector to a different list is fully reconciled only by
     :func:`compact_ivf_index` — eventual consistency, the standard
     ANN-serving trade."""
-    seen, seq = _ivf_batches(spark, path)
+    seen, seq, _pairs = _ivf_batches(spark, path)
     if batch_id in seen:
         return False
     lists_dir, _folded = _ivf_lists_path(spark, path)
@@ -870,6 +861,15 @@ def ivf_index_upsert(
             "__batch_seq) — rebuild it with build_ivf_index first"
             % path
         )
+    if "__batch_id" not in existing.columns:
+        # r11 visibility protocol: rows must carry their batch_id so
+        # the read path can gate on manifest MEMBERSHIP (orphan-seq
+        # collision fix). One compaction migrates an r10-layout index.
+        raise ValueError(
+            "IVF index at %r predates batch-id visibility (lists lack "
+            "__batch_id) — run compact_ivf_index once to migrate it"
+            % path
+        )
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
     assigned = (
         vectors.select(id_col, vec_col)
@@ -878,6 +878,7 @@ def ivf_index_upsert(
         .groupBy(F.col(id_col), F.col(vec_col))
         .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
         .withColumn("__batch_seq", F.lit(seq).cast("bigint"))
+        .withColumn("__batch_id", F.lit(batch_id))
     )
     (
         assigned.write.mode("append")
@@ -943,15 +944,23 @@ def compact_ivf_index(
                 fs.delete(st.getPath(), True)
             except Exception:
                 pass  # garbage is invisible to readers; next sweep
-    _seen, next_seq = _ivf_batches(spark, path)
+    _seen, next_seq, pairs = _ivf_batches(spark, path)
     lists = spark.read.parquet(cur_lists)
-    seq_col = (
-        F.col("__batch_seq") if "__batch_seq" in lists.columns
-        else F.lit(0).cast("bigint")
-    )
+    if "__batch_seq" in lists.columns:
+        # same committed-visibility gate as the serve path (r11:
+        # membership, not max-seq — see _ivf_visible): orphans from
+        # crashed upserts are excluded from the fold, INCLUDING one
+        # whose seq a different later batch re-used
+        lists = _ivf_visible(
+            spark, lists, pairs=pairs,
+            folded_seq=int(meta.get("folded_through_seq", 0)),
+            committed_max=next_seq - 1,
+        )
+        seq_col = F.col("__batch_seq")
+    else:
+        seq_col = F.lit(0).cast("bigint")
     latest = (
         lists.withColumn("__seq", seq_col)
-        .filter(seq_col <= F.lit(next_seq - 1))
         .groupBy(F.col(id_col))
         .agg(
             F.max_by(
@@ -965,6 +974,9 @@ def compact_ivf_index(
             "__batch_seq",
             F.col("__l.centroid_id").alias("centroid_id"),
         )
+        # folded rows are visible via seq <= folded_through_seq; the
+        # tag just keeps the lists schema uniform for future appends
+        .withColumn("__batch_id", F.lit("__fold"))
     )
     new_gen = meta["generation"] + 1
     new_dir = base + f"/lists_g{new_gen}"

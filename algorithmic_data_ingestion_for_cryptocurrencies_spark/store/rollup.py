@@ -70,12 +70,12 @@ raw on every backfill); this is the beyond-reference scale surface.
 
 from __future__ import annotations
 
-import json
-import re
 import threading
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import genfile
 
 COMPACTED_PREFIX = "__compacted"
 MANIFEST_PREFIX = "_rollup_manifest"
@@ -276,98 +276,31 @@ class RollupStore:
     # -- manifest -----------------------------------------------------
 
     def _fs(self):
-        jvm = self.spark.sparkContext._jvm
-        conf = self.spark.sparkContext._jsc.hadoopConfiguration()
-        Path = jvm.org.apache.hadoop.fs.Path
-        return Path(self.path).getFileSystem(conf), Path
-
-    def _manifest_files(self):
-        """(generation, hadoop Path) for every manifest file present —
-        generation-suffixed ``_rollup_manifest.g{N}.json`` plus the
-        legacy unsuffixed ``_rollup_manifest.json`` (generation read
-        from its body)."""
-        fs, Path = self._fs()
-        root = Path(self.path)
-        if not fs.exists(root):
-            return []
-        out = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not (st.isFile() and name.startswith(MANIFEST_PREFIX)
-                    and name.endswith(".json")):
-                continue
-            m = re.match(rf"{MANIFEST_PREFIX}\.g(\d+)\.json$", name)
-            if m:
-                out.append((int(m.group(1)), st.getPath()))
-            elif name == MANIFEST_NAME:  # legacy layout
-                out.append((-1, st.getPath()))
-        return out
-
-    def _read_manifest_file(self, fs, p) -> dict:
-        stream = fs.open(p)
-        try:
-            data = []
-            while True:
-                b = stream.read()
-                if b < 0:
-                    break
-                data.append(b)
-            return json.loads(bytes(data).decode("utf-8"))
-        finally:
-            stream.close()
+        return genfile.hadoop_fs(self.spark, self.path)
 
     def _read_manifest(self) -> dict:
-        """Committed manifest = the highest-generation manifest file.
-        Manifests are never deleted before their successor exists
-        (see :meth:`_write_manifest`), so a crash anywhere leaves at
-        least the previous committed manifest readable — the store
-        can never silently reset to generation 0 while
-        ``__compacted_g{N}`` rows exist."""
-        fs, _Path = self._fs()
-        files = self._manifest_files()
-        if not files:
-            return {"generation": 0, "compacted_batch_ids": []}
-        best: dict | None = None
-        for gen, p in sorted(files):  # ascending: suffixed beats legacy
-            try:
-                best = self._read_manifest_file(fs, p)
-            except (json.JSONDecodeError, UnicodeDecodeError, ValueError):
-                continue  # torn/corrupt file: fall back to older gen
-            # transient IO errors propagate — falling past them could
-            # resolve to generation 0 after older manifests were swept,
-            # silently un-compacting the store
-        if best is None:
-            raise IOError(
-                f"rollup store {self.path!r}: {len(files)} manifest "
-                "file(s) exist but none parses — refusing to reset to "
-                "generation 0"
-            )
-        return best
+        """Committed manifest = the highest-generation parseable
+        manifest file (:mod:`.genfile` protocol — shared with the IVF
+        index since r11). Manifests are never deleted before their
+        successor exists, so the store can never silently reset to
+        generation 0 while ``__compacted_g{N}`` rows exist; torn
+        files fall back, unparseable-with-no-sibling raises."""
+        return genfile.read_committed(
+            self.spark, self.path, MANIFEST_PREFIX,
+            default={"generation": 0, "compacted_batch_ids": []},
+            legacy_name=MANIFEST_NAME, store_desc="rollup store",
+        )
 
     def _write_manifest(self, manifest: dict) -> None:
-        """Commit = atomic rename of a tmp file onto the NEW
-        generation-suffixed name (``_rollup_manifest.g{N}.json``).
-        The previous manifest is only swept AFTER the new one exists,
-        so there is no window with no manifest on disk; a crash
-        mid-sweep leaves stale lower-generation manifests that
-        :meth:`_read_manifest` resolves away by max. (Rename
-        atomicity is filesystem-level: local FS/HDFS yes, bare object
-        stores need a conditional-put.)"""
-        fs, Path = self._fs()
-        base = self.path.rstrip("/")
-        gen = manifest["generation"]
-        name = f"{MANIFEST_PREFIX}.g{gen}.json"
-        tmp = Path(base + "/." + name + ".tmp")
-        out = fs.create(tmp, True)
-        try:
-            out.write(bytearray(json.dumps(manifest).encode("utf-8")))
-        finally:
-            out.close()
-        fs.rename(tmp, Path(base + "/" + name))
-        # sweep superseded manifests (best-effort, post-commit)
-        for g, p in self._manifest_files():
-            if g < gen:
-                fs.delete(p, False)
+        """Commit = atomic rename onto the NEW generation-suffixed
+        name (``_rollup_manifest.g{N}.json``); superseded manifests
+        (including the legacy unsuffixed layout) are swept only after
+        the new one exists (:func:`.genfile.commit_generation`, which
+        also fails loudly on a false-returning rename)."""
+        genfile.commit_generation(
+            self.spark, self.path, MANIFEST_PREFIX, manifest,
+            legacy_name=MANIFEST_NAME, store_desc="rollup store",
+        )
 
     def _data_files(self) -> list[str]:
         """Visible parquet part files currently in the table dir."""

@@ -244,3 +244,53 @@ def test_large_query_batch_serve_stays_bounded(spark):
         got = out.groupBy("query_id").count()
         assert got.filter(F.col("count") != 2).count() == 0
         assert got.count() == 5000
+
+
+def test_orphan_not_resurrected_by_colliding_seq(spark, monkeypatch):
+    """r11 advisor fix: seq numbers are allocated as manifest-max + 1,
+    so a crashed upsert's orphan rows at seq S collide with the NEXT
+    committed batch's seq. Visibility is membership on
+    (batch_id, seq), so the orphan must stay invisible even after a
+    DIFFERENT batch commits at the same seq — and stay invisible
+    forever once its own batch_id replays at a later seq."""
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+        ivf_index_upsert(spark, p, t1, batch_id="b1")
+        before = _topk(spark, p)
+
+        # batch A: remap query vec 0's id onto vec 4's embedding, crash
+        # before the manifest commit -> orphan rows at seq 2
+        real_create = spark.createDataFrame
+
+        def boom(*a, **k):
+            raise RuntimeError("crash before manifest commit")
+
+        vec_a = base.filter(F.col("vec_id") == 4).select(
+            F.lit(0).cast(base.schema["vec_id"].dataType).alias("vec_id"),
+            "embedding",
+        )
+        monkeypatch.setattr(spark, "createDataFrame", boom)
+        with pytest.raises(RuntimeError):
+            ivf_index_upsert(spark, p, vec_a, batch_id="A")
+        monkeypatch.setattr(spark, "createDataFrame", real_create)
+
+        # batch B (different id, EMPTY payload) commits at the SAME seq
+        assert ivf_index_upsert(spark, p, t1.limit(0), batch_id="B")
+        # A's orphan rows must NOT become visible via B's commit
+        assert _topk(spark, p) == before
+
+        # A replays under its own batch_id at a fresh seq and commits
+        assert ivf_index_upsert(spark, p, vec_a, batch_id="A") is True
+        got = ivf_index_topk(
+            spark, p, base.filter(F.col("vec_id") == 4), k=1, nprobe=8
+        ).collect()
+        assert got[0]["neighbor_id"] == 0
+        assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+        # compaction folds committed state only; orphan rows are
+        # dropped for good and serving is unchanged
+        want = _topk(spark, p)
+        compact_ivf_index(spark, p)
+        assert _topk(spark, p) == want

@@ -54,14 +54,36 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Coarse dtype class for the strict check.  The driver's value
+    hash is dtype-sensitive across int/float (r10: DuckDB HUGEINT →
+    pandas float64 vs Spark int64 failed the driver hash on identical
+    values), so int-vs-float is a FAIL here even when values match."""
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
     if set(sdf.columns) != set(odf.columns):
         return False, f"columns differ: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
     if len(sdf) != len(odf):
         return False, f"row count: spark={len(sdf)} oracle={len(odf)}"
+    dtype_msgs = [
+        f"{c}: dtype kind spark={_kind(sdf[c].dtype)}({sdf[c].dtype}) "
+        f"oracle={_kind(odf[c].dtype)}({odf[c].dtype})"
+        for c in sdf.columns
+        if _kind(sdf[c].dtype) != _kind(odf[c].dtype)
+    ]
     a, b = _norm(sdf), _norm(odf)
-    msgs = []
-    ok = True
+    msgs = list(dtype_msgs)
+    ok = not dtype_msgs
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]):
             x, y = a[c].to_numpy(), b[c].to_numpy()
