@@ -2919,13 +2919,53 @@ def samp_split(spark, sf_dir):
     )
 
 
-@q("samp_pack_sequences", None)
+# r11: the greedy per-shard fold IS SQL-expressible — a recursive CTE
+# walking each shard's rows in seeded-hash order, carrying (bin,
+# running total) as recursion state; pack_sequences' hashes were made
+# engine-portable (md5 order key; shard = 4 nibbles of the same
+# digest) so the whole operator flips from rows-only to hash-exact.
+_PACK_SHARD = " + ".join(
+    f"(STRPOS('0123456789abcdef', SUBSTR(k, {9 + j}, 1)) - 1) * {16 ** (3 - j)}"
+    for j in range(4)
+)
+_PACK_SQL = f"""
+WITH RECURSIVE staged AS (
+  SELECT doc_id, LEN({_WORDS}) AS n_tokens,
+         MD5('s42:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+shd AS (SELECT doc_id, n_tokens, k,
+               CAST(({_PACK_SHARD}) % 8 AS INT) AS shard
+        FROM staged),
+ordd AS (SELECT doc_id, n_tokens, shard,
+                ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY k, doc_id) AS rn
+         FROM shd),
+walk(shard, rn, doc_id, n_tokens, bin, cur) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM ordd WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.cur + o.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.cur + o.n_tokens > 512 THEN o.n_tokens
+              ELSE w.cur + o.n_tokens END
+  FROM walk w JOIN ordd o ON o.shard = w.shard AND o.rn = w.rn + 1)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shard, bin
+FROM walk ORDER BY shard, bin, doc_id"""
+
+
+@q(
+    "samp_pack_sequences",
+    _PACK_SQL,
+    cols=["doc_id", "n_tokens", "shard", "bin"],
+)
 def samp_pack(spark, sf_dir):
     """Sequence packing over the documents table (token counts from
     the whitespace tokenizer): greedy first-fit into 512-token
-    windows, sharded by id hash. Sequential-per-shard by nature → no
-    DuckDB twin; invariants (budget respected, deterministic,
-    partitioning-invariant) are pytest-asserted."""
+    windows, sharded by id hash. Oracle = recursive-CTE walk of each
+    shard in the identical seeded-hash order (r11; previously judged
+    non-SQL-expressible, it is — the fold state is just two columns).
+    Invariants (budget respected, deterministic,
+    partitioning-invariant) remain pytest-asserted."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", textops.token_count("text").alias("n_tokens")
     )
@@ -2936,22 +2976,95 @@ def samp_pack(spark, sf_dir):
     return packed.orderBy("shard", "bin", "doc_id")
 
 
-@q("dedup_minhash_pairs", None)
+# MinHash+LSH oracle (r11: hash_family="md5" made the whole chain
+# cross-engine portable — seeded per-shingle hashes, band buckets, and
+# the agreement estimate are all reproducible in DuckDB, flipping this
+# family from rows-only to hash-exact): k=64 seeded mins over the
+# SHARED shingle subquery, 16 bands of 4, bucket join, positional
+# signature agreement. MIN over DISTINCT shingles equals MIN over the
+# raw multiset, so the DISTINCT in _SHINGLES_SQL is free parity.
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mins AS (SELECT doc_id, s.i AS i,
+                MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS h
+         FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS i) s
+         GROUP BY doc_id, s.i),
+sig AS (SELECT doc_id, LIST(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bands AS (SELECT doc_id, sig, b.b AS band,
+                 md5(ARRAY_TO_STRING(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bucket
+          FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS b) b),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                a.sig AS sa, b2.sig AS sb
+         FROM bands a JOIN bands b2
+           ON a.band = b2.band AND a.bucket = b2.bucket
+          AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b,
+         LEN(LIST_FILTER(RANGE(1, 65), i -> sa[i] = sb[i])) / 64.0 AS est_jaccard
+  FROM cand)
+WHERE est_jaccard >= 0.5"""
+
+
+@q(
+    "dedup_minhash_pairs",
+    _MINHASH_SQL,
+    cols=["id_a", "id_b", "est_jaccard"],
+    fcols=["est_jaccard"],
+)
 def dedup_minhash(spark, sf_dir):
-    # xxhash64-based signatures: no DuckDB twin → rows-only check
+    # portable md5 hash family (oracle default since r11); pass
+    # hash_family="xx64" for the faster JVM-hash production tier
     docs = _t(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         docs, id_col="doc_id", text_col="text",
-        num_hashes=64, bands=16, n=3, threshold=0.5,
+        num_hashes=64, bands=16, n=3, threshold=0.5, hash_family="md5",
     )
 
 
-@q("dedup_simhash_pairs", None)
+# SimHash oracle (r11, same portable-family move): per-token md5, bit
+# b of the 64-bit hash defined NIBBLE-WISE on the hex digest — the one
+# formula Spark and DuckDB evaluate identically without unsigned hex
+# parsing — 64 conditional-SUM majority votes, 63-bit fingerprint,
+# 12-bit prefix blocks, Hamming verify via bit_count(xor).
+_SIMHASH_NIBS = ", ".join(
+    f"STRPOS('0123456789abcdef', SUBSTR(h, {j + 1}, 1)) - 1 AS n{j}"
+    for j in range(16)
+)
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (n{b // 4} // {1 << (b % 4)}) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) "
+    "ELSE CAST(0 AS BIGINT) END)"
+    for b in range(63)
+)
+_SIMHASH_SQL = f"""
+WITH tok AS (SELECT doc_id, UNNEST({_WORDS}) AS t FROM documents),
+hs AS (SELECT doc_id, md5(t) AS h FROM tok),
+nib AS (SELECT doc_id, {_SIMHASH_NIBS} FROM hs),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM nib GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_SIMHASH_FP}) AS sh FROM votes),
+blk AS (SELECT doc_id, sh, sh // {1 << 52} AS block FROM fp)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(BIT_COUNT(XOR(a.sh, b.sh)) AS BIGINT) AS hamming
+  FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id)
+WHERE hamming <= 6"""
+
+
+@q(
+    "dedup_simhash_pairs",
+    _SIMHASH_SQL,
+    cols=["id_a", "id_b", "hamming"],
+)
 def dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(
-        docs, id_col="doc_id", text_col="text", prefix_bits=12, max_hamming=6
-    )
+        docs, id_col="doc_id", text_col="text", prefix_bits=12,
+        max_hamming=6, hash_family="md5",
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # --------------------------------------------------------------------------

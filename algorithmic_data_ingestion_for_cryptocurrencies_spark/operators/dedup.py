@@ -419,6 +419,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     n: int = 3,
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """One ``(id, sig array<bigint>)`` row per document.
 
@@ -437,7 +438,35 @@ def minhash_signatures(
     :func:`exploded_shingle_hashes` keying, matching
     :func:`minhash_signature`): each of the k seeded hashes folds 8
     bytes instead of a ~25-byte string and the n-gram string is never
-    built. Seed-hashing a uniform hash preserves the estimator."""
+    built. Seed-hashing a uniform hash preserves the estimator.
+
+    ``hash_family``: ``"xx64"`` (default, the fast JVM path above) or
+    ``"md5"`` — a cross-engine-portable family (r11: MD5 is the one
+    keyed hash DuckDB and Spark share, the
+    ``operators/sampling.py`` portable-randomness pattern) where
+    sig[i] = MIN over STRING shingles of ``md5('i:' || shingle)``,
+    as an ``array<string>`` of hex digests. Signature VALUES differ
+    between families (compare like with like); the estimator is the
+    same. The md5 family is the oracle default in the registry so the
+    driver's correctness gate can hash-compare pairs against DuckDB;
+    xx64 stays the library default (k crypto digests per shingle cost
+    more than k xxhash64 folds)."""
+    if hash_family == "md5":
+        exploded = exploded_shingles(
+            df, id_col=id_col, text_col=text_col, n=n
+        ).withColumnRenamed("shingle", "__shingle")
+        return exploded.groupBy("id").agg(
+            F.array(
+                *[
+                    F.min(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle")))
+                    ).alias(f"__h{i}")
+                    for i in range(num_hashes)
+                ]
+            ).alias("sig")
+        )
+    if hash_family != "xx64":
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     exploded = exploded_shingle_hashes(
         df, id_col=id_col, text_col=text_col, n=n
     ).withColumnRenamed("shingle", "__shingle")
@@ -452,14 +481,25 @@ def minhash_signatures(
 
 
 def banded_buckets(
-    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16
+    sig: DataFrame, *, num_hashes: int = 64, bands: int = 16,
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """LSH banding over a ``(id, sig)`` frame: one ``(id, sig, band,
-    bucket)`` row per band, bucket = xxhash64 of the band's signature
-    slice. Candidates only materialize for banded collisions."""
+    bucket)`` row per band, bucket = hash of the band's signature
+    slice (``xxhash64`` of the slice, or for the portable ``"md5"``
+    family ``md5`` of the ``'|'``-joined string slice — matching
+    DuckDB ``md5(ARRAY_TO_STRING(sig[lo:hi], '|'))``). Candidates
+    only materialize for banded collisions."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+
+    def bucket(bi: int) -> Column:
+        sl = F.slice("sig", bi * rows_per_band + 1, rows_per_band)
+        if hash_family == "md5":
+            return F.md5(F.concat_ws("|", sl))
+        return F.xxhash64(sl)
+
     return sig.select(
         "id",
         "sig",
@@ -468,9 +508,7 @@ def banded_buckets(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", bi * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
+                        bucket(bi).alias("bucket"),
                     )
                     for bi in range(bands)
                 ]
@@ -488,6 +526,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     n: int = 3,
     threshold: float = 0.7,
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs with estimated
     Jaccard (signature agreement rate) >= threshold.
@@ -495,11 +534,19 @@ def minhash_dedup_pairs(
     ``num_hashes`` must divide into ``bands``; rows ``r = k/bands``
     set the LSH S-curve. Candidates only materialize for banded
     collisions: the self-join is on (band_id, band_hash), never n².
+
+    ``hash_family="md5"`` selects the cross-engine-portable hash chain
+    (see :func:`minhash_signatures`) — identical pairs are then
+    reproducible in any engine with ``md5``, which is how the DuckDB
+    oracle verifies this operator hash-exactly.
     """
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n
+        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
+        hash_family=hash_family,
     )
-    banded = banded_buckets(sig, num_hashes=num_hashes, bands=bands)
+    banded = banded_buckets(
+        sig, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -694,6 +741,59 @@ def simhash(col: Column | str, *, bits: int = 64) -> Column:
     return bind_array(votes, assemble)
 
 
+def simhash_md5_fingerprints(
+    df: DataFrame, *, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, sh)`` 63-bit SimHash fingerprints from the cross-engine-
+    portable MD5 token hash (r11, for the DuckDB oracle twin — same
+    portable-family rationale as :func:`minhash_signatures`).
+
+    Bit ``b`` of a token's 64-bit hash is defined nibble-wise on the
+    hex digest — ``(hexval(digest[b/4]) >> (b%4)) & 1`` — the one
+    formula both engines evaluate identically without 64-bit unsigned
+    hex parsing (Spark's ``conv`` round-trips through unsigned decimal
+    strings and DuckDB lacks ``conv`` entirely; a single hex NIBBLE
+    converts exactly on both). Shape: explode tokens (a doc never
+    crosses a partition, so the vote aggregate combines map-side),
+    ONE md5 + 16 nibble columns per token row in a single projection
+    (codegen CSE shares the digest), 64 conditional-SUM votes, then
+    the 63-term fingerprint assembly. Docs with ZERO tokens drop out
+    (no rows to vote) — unlike the ``xx64`` column form, which gives
+    empty docs fingerprint 0.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(text_col)).alias("__t"),
+    ).select("id", F.md5("__t").alias("__h"))
+    nibs = tok.select(
+        "id",
+        *[
+            F.conv(F.substring("__h", j + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"__n{j}")
+            for j in range(16)
+        ],
+    )
+    votes = nibs.groupBy("id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"__n{b // 4}"), b % 4)
+                .bitwiseAND(F.lit(1))
+                .cast("int")
+                * 2
+                - 1
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(63):
+        fp = fp + F.when(
+            F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", fp.alias("sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     *,
@@ -701,14 +801,28 @@ def simhash_near_pairs(
     text_col: str,
     prefix_bits: int = 16,
     max_hamming: int = 3,
+    hash_family: str = "xx64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``prefix_bits``
     (cheap LSH), verify Hamming distance <= ``max_hamming`` via
     bit_count(xor). Production variant would rotate the blocking
-    prefix over several permutations for full recall."""
-    hashed = df.select(
-        F.col(id_col).alias("id"), simhash(text_col).alias("sh")
-    ).withColumn("block", F.shiftright("sh", 64 - prefix_bits))
+    prefix over several permutations for full recall.
+
+    ``hash_family="md5"`` swaps the per-token hash for the portable
+    MD5 family (:func:`simhash_md5_fingerprints`) so a DuckDB oracle
+    can reproduce the pairs exactly; fingerprint VALUES differ between
+    families."""
+    if hash_family == "md5":
+        hashed = simhash_md5_fingerprints(
+            df, id_col=id_col, text_col=text_col
+        )
+    elif hash_family == "xx64":
+        hashed = df.select(
+            F.col(id_col).alias("id"), simhash(text_col).alias("sh")
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    hashed = hashed.withColumn("block", F.shiftright("sh", 64 - prefix_bits))
     a = hashed.alias("a")
     b = hashed.alias("b")
     return (

@@ -130,8 +130,19 @@ def pack_sequences(
     ``applyInPandas`` over a single shard's rows, never the corpus.
     Oversized documents (> budget) get a bin of their own rather than
     being dropped silently; chunk them upstream if that matters.
+
+    Every hash in the operator is engine-portable (r11): the order key
+    is the seeded md5 shuffle key, the shard is 4 hex nibbles of the
+    SAME digest mod ``n_shards`` (uniform for ``n_shards <= 65536``;
+    no second hash), and ties on the order key break by id — so the
+    full output, greedy fold included, is reproducible in any engine
+    with ``md5`` + a recursive CTE (the DuckDB oracle does exactly
+    that).
     """
     import pandas as pd
+
+    if n_shards > 65536:
+        raise ValueError("n_shards must be <= 65536 (4-nibble shard hash)")
 
     schema = (
         f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
@@ -140,7 +151,9 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__ord", kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(
+            ["__ord", id_col], kind="mergesort"
+        ).reset_index(drop=True)
         bins, cur_bin, cur_tot = [], 0, 0
         for t in pdf[tokens_col].astype("int64"):
             if cur_tot > 0 and cur_tot + t > budget:
@@ -155,7 +168,13 @@ def pack_sequences(
 
     staged = (
         with_shuffle_key(df, id_col=id_col, seed=seed, out="__ord")
-        .withColumn("__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int"))
+        .withColumn(
+            "__shard",
+            F.pmod(
+                F.conv(F.substring("__ord", 9, 4), 16, 10).cast("int"),
+                F.lit(n_shards),
+            ).cast("int"),
+        )
         .select(id_col, tokens_col, "__shard", "__ord")
     )
     return staged.groupBy("__shard").applyInPandas(pack, schema=schema)
