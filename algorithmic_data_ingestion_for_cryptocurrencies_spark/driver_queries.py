@@ -3180,9 +3180,38 @@ def sim_near_pairs_capped(spark, sf_dir):
     )
 
 
-@q("sim_ann_topk", None)
+# r11: hyperplane-LSH DOES have a DuckDB twin — _lsh_bucket_sql
+# renders each table's bucket bit-for-bit (LCG plane literals, same
+# FLOAT*DOUBLE accumulation), so the multi-table candidate union and
+# exact rerank are fully portable; flipped from rows-only.
+_ANN_TABLE_SQL = "\nUNION\n".join(
+    f"""SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       q.embedding AS qe, e.embedding AS ce
+FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+JOIN embeddings e
+  ON {_lsh_bucket_sql('q.embedding', dim=64, n_planes=3, seed=42 + 1000 * t)}
+   = {_lsh_bucket_sql('e.embedding', dim=64, n_planes=3, seed=42 + 1000 * t)}
+ AND q.vec_id <> e.vec_id"""
+    for t in range(12)
+)
+_ANN_TOPK_SQL = f"""WITH cand AS ({_ANN_TABLE_SQL}),
+scored AS (SELECT query_id, neighbor_id,
+                  {_cos_sql('qe', 'ce')} AS cosine
+           FROM cand)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored)
+WHERE rank <= 5"""
+
+
+@q(
+    "sim_ann_topk",
+    _ANN_TOPK_SQL,
+    cols=["query_id", "neighbor_id", "cosine", "rank"],
+    fcols=["cosine"],
+)
 def sim_ann(spark, sf_dir):
-    # hyperplane-LSH bucketing has no DuckDB twin → rows-only check.
     # 3 planes x 12 tables gives 0.95 recall@5 on this near-uniform
     # synthetic corpus (neighbors barely closer than random pairs —
     # the hard case for LSH); clustered real embeddings support far
