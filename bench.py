@@ -20,7 +20,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "flagship_market_features",
-    "flagship_arrow",
+    # flagship_arrow demoted from the headline set (r11, verdict #6):
+    # the applyInPandas tier wins only at small scale (sf0.1: 3.8s vs
+    # 4.4s DuckDB) and loses 2.4x to the JVM window path at sf10
+    # (72.3s vs 30.7s, BENCH_SCALED_r10) — the JVM expression plan is
+    # the engine default at every scale; the arrow tier stays a
+    # registry query + tested alternative for bounded per-series data
     "w08_rolling_median",
     "w09_ema",
     "w17_cci",
