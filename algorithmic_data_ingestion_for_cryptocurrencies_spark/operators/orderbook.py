@@ -152,11 +152,28 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
       2.46 / 1.81; sf10 17.2 vs 10.1 / 6.3 — the per-row struct
       build + ObjectHashAggregate churn on ALL rows costs more than
       the sort it avoids. Kept as the measured record; ``auto`` never
-      selects it. The a4 sf1/sf3 gap is hereby a documented hold: the
-      same A/B shows the auto choices (window at sf1, prune at
-      sf3/sf10) are already the best of four physical shapes, and the
-      r7 floor analysis stands (residual = executor sort throughput
-      on many small groups vs DuckDB's bare-aggregate-cost query).
+      selects it.
+
+    - ``"window2"`` (r11, attempt #4 on the sf1 residual): per-side
+      window partition like ``prune`` (no full-frame n_ask count,
+      WindowGroupLimit row pruning) WITH the explicit subset
+      ``repartition(keys, ts)`` of ``window`` — subset hash
+      partitioning satisfies the window's ClusteredDistribution and
+      the pivot reuses it, so it is single-exchange like ``window``.
+      Measured (interleaved round-robin min-of-5 with a no-change
+      control, tools/bench_depth_window2.py, r11): sf1 1.06 vs window 1.15 /
+      prune 1.25 / control 1.05; sf3 2.30 vs 2.42 / 2.19 / 2.50;
+      sf10 8.17 vs 8.03 / 6.94 / 8.71 — a TIE with ``window`` at
+      every tier once the control's position bias is subtracted (the
+      identical-code control "won" its pairings by more than window2
+      did). Kept as the measured record; ``auto`` never selects it.
+
+    The a4 sf1 gap is hereby a documented hold, closed after four
+    physical shapes (object / window / prune / salted, + window2):
+    the auto choices (window at sf1, prune at sf3/sf10) are the best
+    measured, and the r7 floor analysis stands (residual = executor
+    sort throughput on many small groups vs DuckDB's
+    bare-aggregate-cost query).
 
     All tiers produce identical rows for any input (same deterministic
     tiebreak ordering; pytest-asserted).
@@ -268,6 +285,41 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             F.col(side_col) == "bid", n_ask
         ).otherwise(F.lit(0))
         ranked = df.withColumn("__lvl", lvl).filter(F.col("__lvl") <= n_levels)
+        return ranked.groupBy(*keys, ts_col).agg(*[
+            F.max(
+                F.when(
+                    (F.col(side_col) == side) & (F.col("__lvl") == i),
+                    F.col(amount_col),
+                )
+            ).alias(f"{side}_depth_{i}")
+            for side in ("bid", "ask")
+            for i in range(1, n_levels + 1)
+        ])
+    if strategy == "window2":
+        # r11 candidate (verdict #7, the a4 sf1 residual): rank
+        # per-(ts, keys, SIDE) like 'prune' — so the literal
+        # row_number() <= n filter becomes a WindowGroupLimit with a
+        # PARTIAL mode below the exchange (map-side book pruning) and
+        # no full-frame n_ask count is needed — but with the explicit
+        # (keys, ts) repartition of the 'window' tier: hash
+        # partitioning on a SUBSET of the window's clustering keys
+        # satisfies its ClusteredDistribution, and the pivot groupBy
+        # reuses the same partitioning, so rank, filter, and pivot all
+        # run in ONE post-shuffle stage. Same total sort order as
+        # 'window' (ts, keys, side, sort_key, ...), one exchange like
+        # 'window', map-side pruning like 'prune'.
+        sort_key = F.when(
+            F.col(side_col) == "bid", -F.col(price_col)
+        ).otherwise(F.col(price_col))
+        staged = df.filter(F.col(side_col).isin("bid", "ask")).repartition(
+            n_shuffle, *[F.col(c) for c in (*keys, ts_col)]
+        )
+        w = Window.partitionBy(ts_col, *keys, side_col).orderBy(
+            sort_key, *[F.col(c) for c in tiebreak_cols], F.col(amount_col)
+        )
+        ranked = staged.withColumn(
+            "__lvl", F.row_number().over(w)
+        ).filter(F.col("__lvl") <= n_levels)
         return ranked.groupBy(*keys, ts_col).agg(*[
             F.max(
                 F.when(

@@ -272,9 +272,11 @@ def test_depth_series_window_tier_matches_object_tier(spark):
     win = depth_series(df, 3, strategy="window", **kw).orderBy("symbol", "ts").collect()
     prune = depth_series(df, 3, strategy="prune", **kw).orderBy("symbol", "ts").collect()
     salted = depth_series(df, 3, strategy="salted", **kw).orderBy("symbol", "ts").collect()
+    win2 = depth_series(df, 3, strategy="window2", **kw).orderBy("symbol", "ts").collect()
     assert obj == win
     assert obj == prune
     assert obj == salted
+    assert obj == win2
     # auto tier resolves by rows-per-group and stays row-identical
     auto_deep = depth_series(
         df, 3, strategy="auto", rows_per_group=1e4, **kw
@@ -298,6 +300,15 @@ def test_depth_series_window_tier_matches_object_tier(spark):
         depth_series(df, 3, strategy="prune", **kw), "formatted"
     ).split("\n\n")[0]
     assert "WindowGroupLimit" in pplan, pplan
+
+    # window2 (r11 record): per-side rank + subset repartition — the
+    # subset hash partitioning must satisfy BOTH the window and the
+    # pivot (single exchange) and keep the rank-limit rewrite
+    w2plan = explain_str(
+        depth_series(df, 3, strategy="window2", **kw), "formatted"
+    ).split("\n\n")[0]
+    assert w2plan.count("Exchange") == 1, w2plan
+    assert "WindowGroupLimit" in w2plan, w2plan
 
     # auto: deep-book hint selects the prune tier, no/shallow hint the
     # fused single-exchange tier
