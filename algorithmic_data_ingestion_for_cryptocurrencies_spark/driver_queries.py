@@ -4772,26 +4772,29 @@ def _spark_dialect(sql: str) -> str:
     flags) stays out of the SQL layer rather than growing a
     transpiler; those families remain DataFrame-API-only and their
     oracle texts DuckDB-only."""
-    # Guard rails (r11 advisor finding): the naive regex would turn a
-    # parameterized CAST(x AS VARCHAR(10)) into invalid STRING(10) and
-    # would also rewrite matches inside string literals.  Refuse both
-    # shapes loudly instead of silently corrupting the twin — any
-    # future twin that needs them gets a hand-authored Spark text.
-    if re.search(r"\bVARCHAR\s*\(", sql, flags=re.I):
+    # Guard rails (r11 advisor finding + review hardening): string
+    # literals (''-escape aware) are MASKED before any guard or
+    # rewrite runs, so literal contents can neither trip the guards
+    # nor be corrupted by the rewrites; the one remaining refusal is
+    # parameterized VARCHAR(n) OUTSIDE literals, which has no
+    # mechanical Spark spelling — hand-author a twin for that.
+    literals: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^']|'')*'", _mask, sql)
+    if re.search(r"\bVARCHAR\s*\(", masked, flags=re.I):
         raise ValueError(
             "_spark_dialect cannot rewrite parameterized VARCHAR(n); "
             "hand-author a Spark twin for this query"
         )
-    if re.search(r"'[^']*VARCHAR[^']*'", sql, flags=re.I):
-        raise ValueError(
-            "_spark_dialect would rewrite VARCHAR inside a string "
-            "literal; hand-author a Spark twin for this query"
-        )
-    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", sql, flags=re.I)
+    out = re.sub(r"\bAS\s+VARCHAR\b", "AS STRING", masked, flags=re.I)
     out = re.sub(
         r"\b(\w+)\(([^()]*?)\s+IGNORE\s+NULLS\)", r"\1(\2) IGNORE NULLS", out
     )
-    return out
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], out)
 
 
 def _sql_twin(src_name: str, *, dialect: bool = False):

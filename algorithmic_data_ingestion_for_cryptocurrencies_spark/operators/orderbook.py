@@ -242,6 +242,26 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             if rows_per_group >= AUTO_PRUNE_MIN_ROWS_PER_GROUP
             else "window"
         )
+    # shared across the rank tiers (r11 review: the sort key and the
+    # conditional-max pivot existed in 4 copies; the tiers' row
+    # identity is pytest-pinned, so a fix applied to one copy and not
+    # the others would break it silently — single definitions now)
+    sort_key = F.when(
+        F.col(side_col) == "bid", -F.col(price_col)
+    ).otherwise(F.col(price_col))
+
+    def ranked_pivot(ranked: DataFrame) -> DataFrame:
+        return ranked.groupBy(*keys, ts_col).agg(*[
+            F.max(
+                F.when(
+                    (F.col(side_col) == side) & (F.col("__lvl") == i),
+                    F.col(amount_col),
+                )
+            ).alias(f"{side}_depth_{i}")
+            for side in ("bid", "ask")
+            for i in range(1, n_levels + 1)
+        ])
+
     if strategy == "window":
         # SINGLE-exchange rank tier (r5; the r4 variant partitioned the
         # window by (keys, ts, side) and paid a second exchange for the
@@ -256,9 +276,6 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         # partition count keeps AQE from byte-coalescing this
         # CPU-heavy, small-bytes stage (same reasoning as the object
         # tier below).
-        sort_key = F.when(
-            F.col(side_col) == "bid", -F.col(price_col)
-        ).otherwise(F.col(price_col))
         df = df.filter(F.col(side_col).isin("bid", "ask")).repartition(
             n_shuffle, *[F.col(c) for c in (*keys, ts_col)]
         )
@@ -285,16 +302,7 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             F.col(side_col) == "bid", n_ask
         ).otherwise(F.lit(0))
         ranked = df.withColumn("__lvl", lvl).filter(F.col("__lvl") <= n_levels)
-        return ranked.groupBy(*keys, ts_col).agg(*[
-            F.max(
-                F.when(
-                    (F.col(side_col) == side) & (F.col("__lvl") == i),
-                    F.col(amount_col),
-                )
-            ).alias(f"{side}_depth_{i}")
-            for side in ("bid", "ask")
-            for i in range(1, n_levels + 1)
-        ])
+        return ranked_pivot(ranked)
     if strategy == "window2":
         # r11 candidate (verdict #7, the a4 sf1 residual): rank
         # per-(ts, keys, SIDE) like 'prune' — so the literal
@@ -308,9 +316,6 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         # run in ONE post-shuffle stage. Same total sort order as
         # 'window' (ts, keys, side, sort_key, ...), one exchange like
         # 'window', map-side pruning like 'prune'.
-        sort_key = F.when(
-            F.col(side_col) == "bid", -F.col(price_col)
-        ).otherwise(F.col(price_col))
         staged = df.filter(F.col(side_col).isin("bid", "ask")).repartition(
             n_shuffle, *[F.col(c) for c in (*keys, ts_col)]
         )
@@ -320,16 +325,7 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         ranked = staged.withColumn(
             "__lvl", F.row_number().over(w)
         ).filter(F.col("__lvl") <= n_levels)
-        return ranked.groupBy(*keys, ts_col).agg(*[
-            F.max(
-                F.when(
-                    (F.col(side_col) == side) & (F.col("__lvl") == i),
-                    F.col(amount_col),
-                )
-            ).alias(f"{side}_depth_{i}")
-            for side in ("bid", "ask")
-            for i in range(1, n_levels + 1)
-        ])
+        return ranked_pivot(ranked)
     if strategy == "prune":
         # DEEP-BOOK tier (r6): per-(keys, ts, side) rank with a literal
         # row_number() <= n filter directly above the window, which the
@@ -342,9 +338,6 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         # (measured crossover vs the fused tier: tools/
         # bench_depth_tiers.py); the same ts-first sort-prefix ordering
         # as the fused tier applies.
-        sort_key = F.when(
-            F.col(side_col) == "bid", -F.col(price_col)
-        ).otherwise(F.col(price_col))
         w = Window.partitionBy(ts_col, *keys, side_col).orderBy(
             sort_key, *[F.col(c) for c in tiebreak_cols], F.col(amount_col)
         )
@@ -353,16 +346,7 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
             .withColumn("__lvl", F.row_number().over(w))
             .filter(F.col("__lvl") <= n_levels)
         )
-        return ranked.groupBy(*keys, ts_col).agg(*[
-            F.max(
-                F.when(
-                    (F.col(side_col) == side) & (F.col("__lvl") == i),
-                    F.col(amount_col),
-                )
-            ).alias(f"{side}_depth_{i}")
-            for side in ("bid", "ask")
-            for i in range(1, n_levels + 1)
-        ])
+        return ranked_pivot(ranked)
     if strategy == "salted":
         # SALTED PARTIAL TOP-K tier (r8 prototype, verdict #3): no sort
         # exchange anywhere. Stage 1 hash-aggregates top-n per
@@ -377,9 +361,6 @@ def depth_series(df: DataFrame, n_levels: int = 5, *, ts_col: str = "ts",
         # churn-at-depth failure; deterministic salt (level identity
         # hash) keeps the plan reproducible.
         n_salt = 8
-        sort_key = F.when(
-            F.col(side_col) == "bid", -F.col(price_col)
-        ).otherwise(F.col(price_col))
         entry = F.struct(
             sort_key.alias("k"),
             *[F.col(c).alias(f"t{i}") for i, c in enumerate(tiebreak_cols)],

@@ -662,7 +662,7 @@ def ivf_index_topk(
                 .agg(
                     F.max_by(
                         F.struct(F.col(vec_col), F.col("centroid_id")),
-                        F.col("__batch_seq"),
+                        _ivf_lww_key(lists),
                     ).alias("__l")
                 )
                 .select(
@@ -820,6 +820,20 @@ def _ivf_visible(spark, lists: DataFrame, *, pairs: list,
     )
 
 
+def _ivf_lww_key(lists: DataFrame):
+    """Last-writer-wins ordering key: ``(__batch_seq, __batch_id)``.
+    Sequential (serialized) upserts never share a committed seq, but
+    two CONCURRENT committed writers can both allocate manifest-max+1
+    (r11 review finding) — the batch_id tiebreak makes the collapse
+    DETERMINISTIC in that case (lexicographically-last batch_id wins,
+    a stable arbitrary choice, not time order; serialize writers if
+    time order matters). Legacy lists without ``__batch_id`` fall back
+    to seq alone."""
+    if "__batch_id" in lists.columns:
+        return F.struct(F.col("__batch_seq"), F.col("__batch_id"))
+    return F.col("__batch_seq")
+
+
 def ivf_index_upsert(
     spark,
     path: str,
@@ -839,9 +853,14 @@ def ivf_index_upsert(
     rows' bytes. Returns True if the batch was applied, False for a
     replayed ``batch_id`` (exactly-once via the batches manifest;
     lists are written FIRST, the manifest row is the commit marker —
-    a crash between the two replays cleanly because the re-append
-    writes identical (id, vec, seq) rows and the read path's
-    last-writer-wins collapse keeps one).
+    a crash between the two replays cleanly: the crashed attempt's
+    rows are orphans the read path never serves, because visibility
+    is MEMBERSHIP of the row's ``(batch_id, seq)`` pair in the
+    committed manifest (:func:`_ivf_visible`, r11). The replay
+    allocates a fresh seq past whatever committed meanwhile — if
+    nothing did, it re-appends at the same seq and the identical
+    duplicate rows collapse in the LWW read — and the orphans are
+    dropped for good at the next compaction's fold).
 
     Consistency: a RE-upserted id supersedes its old version at read
     time (max ``__batch_seq``) within the probed lists; an update that
@@ -959,12 +978,19 @@ def compact_ivf_index(
         seq_col = F.col("__batch_seq")
     else:
         seq_col = F.lit(0).cast("bigint")
+    lww = (
+        F.struct(seq_col, F.col("__batch_id"))
+        if "__batch_id" in lists.columns else seq_col
+    )
     latest = (
         lists.withColumn("__seq", seq_col)
         .groupBy(F.col(id_col))
         .agg(
+            # same deterministic (seq, batch_id) key as the serve path
+            # (_ivf_lww_key) so a concurrent-writer seq tie folds the
+            # SAME winner the serve path was returning
             F.max_by(
-                F.struct(F.col(vec_col), F.col("centroid_id")), F.col("__seq")
+                F.struct(F.col(vec_col), F.col("centroid_id")), lww
             ).alias("__l"),
             F.max("__seq").alias("__batch_seq"),
         )

@@ -1,5 +1,5 @@
 import sys, time, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__import__("os").path.abspath(__file__)), ".."))
 from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import _book
 from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.orderbook import depth_series
 from algorithmic_data_ingestion_for_cryptocurrencies_spark import session as S
