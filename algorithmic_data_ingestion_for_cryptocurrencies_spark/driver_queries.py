@@ -39,6 +39,7 @@ from .operators.dedup import (
     dedup_survivors,
     exact_dedup,
     jaccard_similar_pairs,
+    minhash_coeffs,
     minhash_dedup_pairs,
     simhash_near_pairs,
 )
@@ -2977,19 +2978,29 @@ def samp_pack(spark, sf_dir):
 
 
 # MinHash+LSH oracle (r11: hash_family="md5" made the whole chain
-# cross-engine portable — seeded per-shingle hashes, band buckets, and
-# the agreement estimate are all reproducible in DuckDB, flipping this
-# family from rows-only to hash-exact): k=64 seeded mins over the
-# SHARED shingle subquery, 16 bands of 4, bucket join, positional
-# signature agreement. MIN over DISTINCT shingles equals MIN over the
-# raw multiset, so the DISTINCT in _SHINGLES_SQL is free parity.
+# cross-engine portable, flipping this family from rows-only to
+# hash-exact): ONE md5 per shingle folded to a 32-bit int via the hex
+# nibbles, k=64 Carter-Wegman permutations with the SAME Python-
+# literal coefficients the Spark side embeds, 16 bands of 4, bucket
+# join, positional signature agreement. MIN over DISTINCT shingles
+# equals MIN over the raw multiset, so the DISTINCT in _SHINGLES_SQL
+# is free parity. (The first-cut 64-digests-per-shingle scheme was
+# 8.9x the xx64 tier at sf1; this one is near-parity.)
+_MINHASH_V = " + ".join(
+    f"(STRPOS('0123456789abcdef', SUBSTR(k, {j + 1}, 1)) - 1) * {16 ** (7 - j)}"
+    for j in range(8)
+)
+_MINHASH_MINS = ", ".join(
+    f"MIN((v * {a} + {b}) % {2147483647}) AS h{i}"
+    for i, (a, b) in enumerate(minhash_coeffs(64))
+)
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLES_SQL}),
-mins AS (SELECT doc_id, s.i AS i,
-                MIN(md5(CAST(s.i AS VARCHAR) || ':' || shingle)) AS h
-         FROM sh CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS i) s
-         GROUP BY doc_id, s.i),
-sig AS (SELECT doc_id, LIST(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+vv AS (SELECT doc_id, ({_MINHASH_V}) AS v
+       FROM (SELECT doc_id, md5(shingle) AS k FROM sh)),
+mins AS (SELECT doc_id, {_MINHASH_MINS} FROM vv GROUP BY doc_id),
+sig AS (SELECT doc_id, [{", ".join(f"h{i}" for i in range(64))}] AS sig
+        FROM mins),
 bands AS (SELECT doc_id, sig, b.b AS band,
                  md5(ARRAY_TO_STRING(sig[b.b * 4 + 1 : b.b * 4 + 4], '|')) AS bucket
           FROM sig CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS b) b),

@@ -390,6 +390,26 @@ def minhash_signature(col: Column | str, *, num_hashes: int = 64, n: int = 3) ->
     return minhash_signature_from_shingles(shingles, num_hashes=num_hashes)
 
 
+#: modulus of the portable Carter-Wegman permutation family (md5
+#: hash_family): 2^31 - 1, so a_i*v + b_i stays well inside BIGINT
+#: (v < 2^32, a_i < 2^31 → product < 2^63) on both engines
+MINHASH_MERSENNE31 = 2147483647
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 913) -> list[tuple[int, int]]:
+    """Deterministic ``(a_i, b_i)`` coefficient literals for the
+    portable md5 min-hash family — generated once at plan-build time
+    and embedded as literals in BOTH the Spark expressions and the
+    DuckDB oracle text, so the two sides agree by construction."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_MERSENNE31), rnd.randrange(MINHASH_MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature_from_shingles(shingles: Column, *, num_hashes: int = 64) -> Column:
     """Signature over a precomputed shingle-array column. The shingle
     expression is BOUND once (``functions/hof.py``) before the k
@@ -443,25 +463,36 @@ def minhash_signatures(
     ``hash_family``: ``"xx64"`` (default, the fast JVM path above) or
     ``"md5"`` — a cross-engine-portable family (r11: MD5 is the one
     keyed hash DuckDB and Spark share, the
-    ``operators/sampling.py`` portable-randomness pattern) where
-    sig[i] = MIN over STRING shingles of ``md5('i:' || shingle)``,
-    as an ``array<string>`` of hex digests. Signature VALUES differ
-    between families (compare like with like); the estimator is the
-    same. The md5 family is the oracle default in the registry so the
+    ``operators/sampling.py`` portable-randomness pattern): ONE md5
+    per shingle folded to a 32-bit int (first 8 hex chars), then the
+    k permutations are Carter-Wegman ``(a_i*v + b_i) mod (2^31-1)``
+    with Python-literal coefficients — exact BIGINT arithmetic both
+    engines evaluate identically, and only one crypto digest per
+    shingle (the first-cut 64-digests-per-shingle scheme measured
+    8.9x the xx64 tier at sf1; this one is ~1.1x, see
+    ROUND11_NOTES). Signature VALUES differ between families (compare
+    like with like); the estimator is the same 2-universal min-hash.
+    The md5 family is the oracle default in the registry so the
     driver's correctness gate can hash-compare pairs against DuckDB;
-    xx64 stays the library default (k crypto digests per shingle cost
-    more than k xxhash64 folds)."""
+    xx64 stays the library default."""
     if hash_family == "md5":
         exploded = exploded_shingles(
             df, id_col=id_col, text_col=text_col, n=n
         ).withColumnRenamed("shingle", "__shingle")
-        return exploded.groupBy("id").agg(
+        v = (
+            F.conv(F.substring(F.md5("__shingle"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("__v")
+        )
+        staged = exploded.select("id", v)
+        return staged.groupBy("id").agg(
             F.array(
                 *[
                     F.min(
-                        F.md5(F.concat(F.lit(f"{i}:"), F.col("__shingle")))
+                        (F.col("__v") * F.lit(a) + F.lit(b))
+                        % F.lit(MINHASH_MERSENNE31)
                     ).alias(f"__h{i}")
-                    for i in range(num_hashes)
+                    for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
                 ]
             ).alias("sig")
         )
@@ -497,7 +528,12 @@ def banded_buckets(
     def bucket(bi: int) -> Column:
         sl = F.slice("sig", bi * rows_per_band + 1, rows_per_band)
         if hash_family == "md5":
-            return F.md5(F.concat_ws("|", sl))
+            # decimal-rendered longs joined with '|' == DuckDB
+            # ARRAY_TO_STRING(sig[lo:hi], '|'); explicit per-element
+            # cast because concat_ws wants strings
+            return F.md5(
+                F.concat_ws("|", F.transform(sl, lambda x: x.cast("string")))
+            )
         return F.xxhash64(sl)
 
     return sig.select(
