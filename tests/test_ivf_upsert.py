@@ -294,3 +294,56 @@ def test_orphan_not_resurrected_by_colliding_seq(spark, monkeypatch):
         want = _topk(spark, p)
         compact_ivf_index(spark, p)
         assert _topk(spark, p) == want
+
+
+def test_concurrent_committed_seq_tie_resolves_deterministically(spark):
+    """r11 review fix: two CONCURRENT writers can both allocate
+    manifest-max+1 and both commit at the same seq. The LWW key is
+    (seq, batch_id), so the collapse must serve ONE deterministic
+    winner (lexicographically-last batch_id) — on the serve path AND
+    in the compaction fold."""
+    base, t1, _t2 = _split(spark)
+    with tempfile.TemporaryDirectory() as d:
+        p = d + "/idx"
+        build_ivf_index(base, p, n_centroids=8)
+
+        # two racing writers remap query vec 0's id onto DIFFERENT
+        # embeddings; forge the race by writing batch "b" at the same
+        # seq "a" got (both committed in the manifest)
+        vid_t = base.schema["vec_id"].dataType
+        vec_a = base.filter(F.col("vec_id") == 3).select(
+            F.lit(0).cast(vid_t).alias("vec_id"), "embedding")
+        assert ivf_index_upsert(spark, p, vec_a, batch_id="a")  # seq 1
+        import algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity as sim
+        lists_dir, _ = _ivf_lists_path(spark, p)
+        (base.filter(F.col("vec_id") == 4)
+         .select(F.lit(0).cast(vid_t).alias("vec_id"), "embedding")
+         .crossJoin(F.broadcast(spark.read.parquet(p + "/centroids")))
+         .withColumn("__d", sim.dot(F.col("embedding"), F.col("centroid")))
+         .groupBy("vec_id", "embedding")
+         .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+         .withColumn("__batch_seq", F.lit(1).cast("bigint"))
+         .withColumn("__batch_id", F.lit("b"))
+         .write.mode("append").partitionBy("centroid_id").parquet(lists_dir))
+        spark.createDataFrame(
+            [("b", 1)], "batch_id string, seq bigint"
+        ).write.mode("append").parquet(p + "/batches")
+
+        def winner():
+            got = ivf_index_topk(
+                spark, p, base.filter(F.col("vec_id").isin(3, 4)),
+                k=1, nprobe=8,
+            ).collect()
+            # whichever of vec 3 / vec 4 matches id 0 at cosine ~1 is
+            # the served version of the tied id
+            return {r["query_id"]: (r["neighbor_id"], round(r["cosine"], 6))
+                    for r in got}
+
+        # 'b' > 'a' lexicographically: batch b's embedding (== vec 4)
+        # must serve, identically across repeated reads
+        first = winner()
+        assert first[4] == (0, 1.0), first
+        assert first == winner()
+        # compaction folds the SAME winner the serve path returned
+        compact_ivf_index(spark, p)
+        assert winner() == first
