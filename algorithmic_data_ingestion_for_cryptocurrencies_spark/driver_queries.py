@@ -5006,6 +5006,67 @@ FROM (
 }
 
 
+# r11 twins for the new portable-hash families. Dialect mapping:
+# STRPOS(s, c) -> LOCATE(c, s); `//` -> DIV; XOR(a, b) -> a ^ b;
+# UNNEST(list) -> EXPLODE; STRING_SPLIT -> SPLIT; LEN -> SIZE; DuckDB
+# WITH RECURSIVE runs in Spark 4 as-is (probed; the greedy pack fold
+# recurses once per row of the deepest shard — ~63 at sf0.01, under
+# Spark's default cteRecursionLevelLimit of 100, and the twin layer
+# only runs at the correctness-gate SFs).
+_SQL_SPARK_SIMHASH_NIBS = ", ".join(
+    f"LOCATE(SUBSTR(h, {j + 1}, 1), '0123456789abcdef') - 1 AS n{j}"
+    for j in range(16)
+)
+_SQL_SPARK_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (n{b // 4} DIV {1 << (b % 4)}) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(64)
+)
+_SQL_SPARK_PACK_SHARD = " + ".join(
+    f"(LOCATE(SUBSTR(k, {9 + j}, 1), '0123456789abcdef') - 1) * {16 ** (3 - j)}"
+    for j in range(4)
+)
+
+_SQL_SPARK_TEXTS["dedup_simhash_pairs"] = f"""
+WITH tok AS (SELECT doc_id,
+                    EXPLODE(SPLIT({_SQL_SPARK_NORM.format(c='text')}, ' ')) AS t
+             FROM documents),
+hs AS (SELECT doc_id, MD5(t) AS h FROM tok),
+nib AS (SELECT doc_id, {_SQL_SPARK_SIMHASH_NIBS} FROM hs),
+votes AS (SELECT doc_id, {_SQL_SPARK_SIMHASH_VOTES} FROM nib GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_SIMHASH_FP}) AS sh FROM votes),
+blk AS (SELECT doc_id, sh, sh DIV {1 << 52} AS block FROM fp)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(BIT_COUNT(a.sh ^ b.sh) AS BIGINT) AS hamming
+  FROM blk a JOIN blk b ON a.block = b.block AND a.doc_id < b.doc_id)
+WHERE hamming <= 6"""
+
+_SQL_SPARK_TEXTS["samp_pack_sequences"] = f"""
+WITH RECURSIVE staged AS (
+  SELECT doc_id, SIZE(SPLIT({_SQL_SPARK_NORM.format(c='text')}, ' ')) AS n_tokens,
+         MD5(CONCAT('s42:', CAST(doc_id AS STRING))) AS k
+  FROM documents),
+shd AS (SELECT doc_id, n_tokens, k,
+               CAST(({_SQL_SPARK_PACK_SHARD}) % 8 AS INT) AS shard
+        FROM staged),
+ordd AS (SELECT doc_id, n_tokens, shard,
+                ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY k, doc_id) AS rn
+         FROM shd),
+walk(shard, rn, doc_id, n_tokens, bin, cur) AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+  FROM ordd WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         CASE WHEN w.cur + o.n_tokens > 512 THEN w.bin + 1 ELSE w.bin END,
+         CASE WHEN w.cur + o.n_tokens > 512 THEN o.n_tokens
+              ELSE w.cur + o.n_tokens END
+  FROM walk w JOIN ordd o ON o.shard = w.shard AND o.rn = w.rn + 1)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shard, bin
+FROM walk ORDER BY shard, bin, doc_id"""
+
+
 def _sql_spark_text_twin(src_name: str):
     text = _SQL_SPARK_TEXTS[src_name]
 
