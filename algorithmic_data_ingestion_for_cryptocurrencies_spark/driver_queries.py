@@ -3082,13 +3082,18 @@ def dedup_simhash(spark, sf_dir):
 # Similarity search (embeddings table).
 # --------------------------------------------------------------------------
 
+def _dot_sql(x: str, y: str) -> str:
+    """Mirror of similarity.dot (HOF tier): products in FLOAT
+    (matching Spark's zip_with on float arrays), accumulated
+    sequentially in DOUBLE from 0 upward."""
+    return (f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({x}) + 1), "
+            f"i -> CAST({x}[i] * {y}[i] AS DOUBLE)), (acc, v) -> acc + v)")
+
+
 def _cos_sql(a: str, b: str) -> str:
-    """Mirror of similarity.cosine: products in FLOAT (matching Spark's
-    zip_with on float arrays), accumulated sequentially in DOUBLE."""
-    def dot(x, y):
-        return (f"LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN({x}) + 1), "
-                f"i -> CAST({x}[i] * {y}[i] AS DOUBLE)), (acc, v) -> acc + v)")
-    return (f"{dot(a, b)} / NULLIF(SQRT({dot(a, a)}) * SQRT({dot(b, b)}), 0)")
+    """Mirror of similarity.cosine, built on :func:`_dot_sql`."""
+    return (f"{_dot_sql(a, b)} / "
+            f"NULLIF(SQRT({_dot_sql(a, a)}) * SQRT({_dot_sql(b, b)}), 0)")
 
 
 @q(
@@ -4146,15 +4151,48 @@ def agg_cube(spark, sf_dir):
     )
 
 
-@q("agg_approx", None)
-def agg_approx(spark, sf_dir):
-    # HLL/KLL sketches are engine-specific -> rows-only check; the
-    # accuracy-vs-exact assertion lives in tests/test_approx_aggs.py
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+def _agg_approx_sql() -> str:
+    from .operators.sketches import hist_percentiles_sql, kmv_distinct_sql
+
+    kmv = kmv_distinct_sql(
+        table="lineitem", group_col="l_returnflag", key_col="l_orderkey",
+        k=256, out="approx_orders",
     )
+    med = hist_percentiles_sql(
+        table="lineitem", group_col="l_returnflag", val_col="l_extendedprice",
+        lo=0.0, hi=110000.0, nbins=1100, ps={"approx_median_price": 0.5},
+    )
+    return (f"SELECT k.l_returnflag, k.approx_orders, m.approx_median_price "
+            f"FROM ({kmv}) k JOIN ({med}) m USING (l_returnflag)")
+
+
+@q(
+    "agg_approx",
+    _agg_approx_sql(),
+    cols=["l_returnflag", "approx_orders", "approx_median_price"],
+    fcols=["approx_orders", "approx_median_price"],
+)
+def agg_approx(spark, sf_dir):
+    # r11: flipped from rows-only (HLL/KLL are engine-specific) to
+    # hash-exact by swapping in the PORTABLE sketches (rule V):
+    # KMV k-minimum-values distinct (k=256, ~6% rsd — exact below 256
+    # distinct) + fixed-bin histogram median (bin width 100 over
+    # [0, 110000) — error <= one bin). Both estimates are
+    # deterministic functions of the data, so DuckDB computes the
+    # identical values. Spark-native approx_count_distinct /
+    # percentile_approx remain available engine-wide; accuracy-vs-
+    # exact for both families asserted in tests/test_approx_aggs.py.
+    from .operators.sketches import hist_percentiles, kmv_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    kmv = kmv_distinct(
+        li, ["l_returnflag"], "l_orderkey", k=256, out="approx_orders"
+    )
+    med = hist_percentiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        lo=0.0, hi=110000.0, nbins=1100, ps={"approx_median_price": 0.5},
+    )
+    return kmv.join(med, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
@@ -4220,11 +4258,112 @@ def st7_session(spark, sf_dir):
     )
 
 
-@q("sim_ivf_topk", None)
+def _portable_cents_cte(
+    *,
+    k: int,
+    iters: int = 3,
+    cents_from: str = "embeddings",
+    dim: int = 64,
+) -> tuple[str, str]:
+    """CTE chain for similarity's ``quantizer="portable"`` — the
+    DuckDB twin of FIXED-POINT-mean Lloyd
+    (`similarity.kmeans_centroids(mean="scaled_int")`). Seeds are the
+    library default (the k lowest-id corpus vectors); each
+    iteration re-assigns by the `_dot_sql` argmax (ties → lowest
+    centroid_id, `_assign_key`'s struct order) and recomputes means as
+    ``SUM(FLOOR(x * 2^40)::DECIMAL(38,0))`` — integer addition is
+    order-independent, so the parallel Spark aggregation and DuckDB's
+    produce the same decimal, the same double quotient, the same
+    float32 centroid. Returns (cte_list_sql, final_cte_name)."""
+    scale = repr(float(1 << 40))
+    ctes = [f"""cents0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+         embedding AS centroid
+  FROM {cents_from}
+  ORDER BY vec_id LIMIT {k})"""]
+    for t in range(1, iters + 1):
+        mean_cols = ", ".join(
+            f"CAST((CAST(SUM(CAST(FLOOR(embedding[{i + 1}] * {scale}) "
+            f"AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)) / {scale} AS REAL)"
+            for i in range(dim)
+        )
+        ctes.append(f"""cents{t} AS (
+  SELECT centroid_id, CAST(LIST_VALUE({mean_cols}) AS REAL[]) AS centroid
+  FROM (
+    SELECT a.centroid_id, e.embedding FROM (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_dot_sql('e.embedding', 'c.centroid')} DESC,
+                                           c.centroid_id) AS rn
+        FROM {cents_from} e CROSS JOIN cents{t - 1} c) WHERE rn = 1) a
+    JOIN {cents_from} e USING (vec_id))
+  GROUP BY centroid_id)""")
+    return ",\n".join(ctes), f"cents{iters}"
+
+
+def _ivf_sql(
+    *,
+    k: int,
+    nprobe: int,
+    n_centroids: int,
+    cents_from: str = "embeddings",
+    queries_where: str = "vec_id < 3",
+    iters: int = 3,
+) -> str:
+    """DuckDB twin of the PORTABLE IVF path (quantizer="portable",
+    PLANS.md rule V): the coarse quantizer is `_portable_cents_cte`'s
+    bit-reproducible Lloyd chain, the assignment/probe argmax compares
+    the identical FLOAT-product DOUBLE-accumulated dots both engines
+    compute (`_dot_sql`), and the exact rerank is the proven
+    `_cos_sql` contract. Ties break (dot DESC, centroid_id) in both
+    engines — similarity._assign_key's struct order."""
+    cents_ctes, cents = _portable_cents_cte(
+        k=n_centroids, iters=iters, cents_from=cents_from
+    )
+    return f"""WITH {cents_ctes},
+cents AS (SELECT * FROM {cents}),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dot_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), probes AS (
+  SELECT query_id, qe, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS qe, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_dot_sql('q.embedding', 'c.centroid')} DESC,
+                                       c.centroid_id) AS rn
+    FROM (SELECT vec_id, embedding FROM embeddings WHERE {queries_where}) q
+    CROSS JOIN cents c) WHERE rn <= {nprobe}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_cos_sql('p.qe', 'a.embedding')} AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY {_cos_sql('p.qe', 'a.embedding')} DESC,
+                                     a.vec_id) AS rank
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE p.query_id != a.vec_id
+) WHERE rank <= {k}"""
+
+
+@q(
+    "sim_ivf_topk",
+    _ivf_sql(k=5, nprobe=8, n_centroids=16),
+    cols=["query_id", "neighbor_id", "cosine", "rank"],
+    fcols=["cosine"],
+)
 def sim_ivf(spark, sf_dir):
     # IVF inverted-file ANN (coarse k-means quantizer + nprobe lists +
-    # exact rerank): kmeans assignment has no DuckDB twin → rows-only;
-    # recall-vs-exact asserted in tests (0.96 @ nprobe=8 on sf0.01)
+    # exact rerank). r11: the registry row runs quantizer="portable" —
+    # the SAME Lloyd k-means with an order-independent fixed-point
+    # mean (FLOOR(x*2^40) summed as DECIMAL(38,0)), so every value is
+    # DuckDB-reproducible — flipped from rows-only to hash-exact with
+    # NO recall change (0.96@nprobe=8, same as the float-mean default;
+    # asserted in tests/test_ivf_backfill.py).
     from .operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4232,7 +4371,7 @@ def sim_ivf(spark, sf_dir):
     # no dim= : HOF scoring tier (r4 unrolled-tier regression reverted)
     return ivf_topk(
         queries, emb, k=5, id_col="vec_id", vec_col="embedding",
-        n_centroids=16, nprobe=8,
+        n_centroids=16, nprobe=8, quantizer="portable",
     )
 
 
@@ -4260,20 +4399,55 @@ def text_quality_classifier_q(spark, sf_dir):
     return score_quality(held_out, model, n_buckets=32).select("doc_id", "p_good")
 
 
-@q("sim_semantic_dedup", None)
+_SEMDEDUP_CENTS_CTES, _SEMDEDUP_CENTS = _portable_cents_cte(k=16, iters=3)
+_SEMDEDUP_SQL = f"""WITH RECURSIVE {_SEMDEDUP_CENTS_CTES},
+cents AS (SELECT * FROM {_SEMDEDUP_CENTS}),
+assigned AS (
+  SELECT vec_id, embedding, cluster_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS cluster_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_dot_sql('e.embedding', 'c.centroid')} DESC,
+                                       c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.95
+), edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+             UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+comp AS (SELECT u AS vec_id, LEAST(u, MIN(v)) AS component
+         FROM reach GROUP BY u)
+SELECT a.vec_id, a.cluster_id, c.component,
+       (c.component IS NULL OR c.component = a.vec_id) AS keep
+FROM assigned a LEFT JOIN comp c ON a.vec_id = c.vec_id"""
+
+
+@q(
+    "sim_semantic_dedup",
+    _SEMDEDUP_SQL,
+    cols=["vec_id", "cluster_id", "component", "keep"],
+)
 def sim_semantic_dedup_q(spark, sf_dir):
-    # SemDeDup: k-means clusters -> intra-cluster cosine pairs ->
+    # SemDeDup: coarse clusters -> intra-cluster cosine pairs ->
     # connected components -> min-id survivor per duplicate group.
-    # kmeans assignment has no DuckDB twin → rows-only (one output row
-    # per input row by construction); survivor invariants (no
-    # surviving intra-cluster pair >= threshold, determinism,
-    # dup-class collapse) pytest-asserted in test_dedup_scale.py.
+    # r11: the registry row runs quantizer="portable" (fixed-point-
+    # mean Lloyd k-means, recall-identical to the float default),
+    # making cluster assignment DuckDB-reproducible; the component's
+    # oracle is the dedup_clusters recursive-CTE transitive closure —
+    # flipped from rows-only to hash-exact. k-means stays the library
+    # default quantizer; survivor invariants (no surviving
+    # intra-cluster pair >= threshold, determinism, dup-class
+    # collapse) remain pytest-asserted in test_dedup_scale.py.
     from .operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
     return semantic_dedup(
         emb, id_col="vec_id", vec_col="embedding",
-        n_clusters=16, threshold=0.95,
+        n_clusters=16, threshold=0.95, quantizer="portable",
     )
 
 
@@ -4448,24 +4622,41 @@ def st15_dedup_incremental(spark, sf_dir):
     return inc.survivors().select("id")
 
 
-@q("sim_ivf_index_topk", None)
+@q(
+    "sim_ivf_index_topk",
+    _ivf_sql(k=5, nprobe=8, n_centroids=16),
+    cols=["query_id", "neighbor_id", "cosine", "rank"],
+    fcols=["cosine"],
+)
 def sim_ivf_index(spark, sf_dir):
     # persisted-IVF serving path: build the partitioned index once,
-    # query with partition-pruned list scans (kmeans assignment has no
-    # DuckDB twin -> rows-only; recall + pruning plan-asserted in
-    # tests/test_ivf_backfill.py)
+    # query with partition-pruned list scans (recall + pruning
+    # plan-asserted in tests/test_ivf_backfill.py). r11: built over
+    # the portable fixed-point-mean k-means quantizer — the persisted
+    # centroids round-trip float32 parquet exactly, so the served
+    # values equal the in-memory portable IVF and carry the same
+    # DuckDB oracle (flipped from rows-only to hash-exact).
     import tempfile
 
     from .operators.similarity import build_ivf_index, ivf_index_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     path = tempfile.mkdtemp(prefix="adi_ivf_") + "/idx"
-    build_ivf_index(emb, path, n_centroids=16)
+    build_ivf_index(emb, path, n_centroids=16, quantizer="portable")
     queries = emb.filter(F.col("vec_id") < 3)
     return ivf_index_topk(spark, path, queries, k=5, nprobe=8)
 
 
-@q("sim_ivf_upsert_topk", None)
+@q(
+    "sim_ivf_upsert_topk",
+    _ivf_sql(
+        k=5, nprobe=8, n_centroids=16,
+        cents_from=("(SELECT vec_id, embedding FROM embeddings "
+                    "WHERE vec_id <= (SELECT MAX(vec_id) // 2 FROM embeddings))"),
+    ),
+    cols=["query_id", "neighbor_id", "cosine", "rank"],
+    fcols=["cosine"],
+)
 def sim_ivf_upsert(spark, sf_dir):
     # incremental IVF maintenance (r9): build the persisted index on
     # the head of the corpus, upsert the tail in two manifest-tracked
@@ -4473,8 +4664,12 @@ def sim_ivf_upsert(spark, sf_dir):
     # top-k through the partition-pruned read path. Batch-split
     # invariance, replay idempotence, last-writer-wins re-upsert, and
     # compaction equivalence are pytest-asserted
-    # (tests/test_ivf_upsert.py); kmeans state has no DuckDB twin ->
-    # rows-only.
+    # (tests/test_ivf_upsert.py). r11: with the portable hash
+    # quantizer frozen over the HEAD half, the manifest/LWW machinery
+    # must be value-invisible — the served top-k equals a one-shot
+    # portable IVF over the full corpus with head-half centroids,
+    # which IS the DuckDB oracle (flipped from rows-only; the protocol
+    # state-machine itself stays pytest-verified).
     import tempfile
 
     from .operators.similarity import (
@@ -4486,7 +4681,10 @@ def sim_ivf_upsert(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     hi = emb.agg(F.max("vec_id")).first()[0] or 0
     path = tempfile.mkdtemp(prefix="adi_ivf_up_") + "/idx"
-    build_ivf_index(emb.filter(F.col("vec_id") <= hi // 2), path, n_centroids=16)
+    build_ivf_index(
+        emb.filter(F.col("vec_id") <= hi // 2), path, n_centroids=16,
+        quantizer="portable",
+    )
     mid = hi // 2 + (hi - hi // 2) // 2
     ivf_index_upsert(
         spark, path,

@@ -354,6 +354,20 @@ def embedding_near_pairs_capped(
     )
 
 
+#: Fixed-point scale for the PORTABLE Lloyd mean (PLANS.md rule V
+#: extension): each float32 element is quantized to
+#: ``FLOOR(x * 2^40)`` — exact double arithmetic, unambiguous floor —
+#: and summed as DECIMAL(38,0). Integer/decimal addition is
+#: ORDER-INDEPENDENT, so the parallel aggregation is reproducible
+#: bit-for-bit in any engine (float summation is not: its rounding
+#: depends on reduction order, which is why plain ``F.avg`` Lloyd has
+#: no DuckDB twin). Headroom: the decimal sum overflows only past
+#: ~10^38 / 2^40 ≈ 3e26 summed absolute mass — unreachable. The
+#: 2^-40 input quantization (~1e-12 absolute) is noise relative to
+#: float32's own 2^-24 mantissa.
+PORTABLE_MEAN_SCALE = float(1 << 40)
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,
@@ -361,38 +375,64 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iterations: int = 3,
+    init: str = "lowest_id",
+    mean: str = "float",
 ) -> DataFrame:
     """Deterministic Lloyd iterations, pure DataFrame ops: seeds are
-    the k lowest-id vectors (deterministic), each iteration assigns
-    points to the nearest centroid (broadcast join + min_by) and
-    recomputes the mean. Exact k-means is not the goal — IVF only
-    needs a stable coarse quantizer. Returns (centroid_id, centroid).
+    deterministic (``init="lowest_id"``: the k lowest-id vectors;
+    ``init="hash"``: :func:`hash_centroids`' uniform md5-order
+    sample), each iteration assigns points to the nearest centroid
+    (broadcast join + deterministic argmax) and recomputes the mean.
+    Exact k-means is not the goal — IVF only needs a stable coarse
+    quantizer. Returns (centroid_id, centroid).
+
+    ``mean="scaled_int"`` swaps the float mean for the
+    order-independent fixed-point mean (:data:`PORTABLE_MEAN_SCALE`),
+    making every Lloyd iteration — and therefore every downstream
+    assignment, probe, and rerank — reproducible in DuckDB. Verified
+    bit-exact over 3 iterations in the registry gate; empty clusters
+    drop identically in both engines (GROUP BY emits no row).
     """
     spark = df.sparkSession
-    seed_rows = [
-        (i, r[0])
-        for i, r in enumerate(
-            df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
-        )
-    ]
+    if init == "hash":
+        seed_rows = [
+            (r["centroid_id"], r["centroid"])
+            for r in hash_centroids(
+                df, k, vec_col=vec_col, id_col=id_col
+            ).collect()
+        ]
+    else:
+        seed_rows = [
+            (i, r[0])
+            for i, r in enumerate(
+                df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+            )
+        ]
     schema = "centroid_id int, centroid array<float>"
     if not seed_rows:  # empty input: empty, correctly-typed quantizer
         return spark.createDataFrame([], schema)
     dims = len(seed_rows[0][1])
+
+    def _mean_elem(i: int) -> Column:
+        if mean == "float":
+            return F.avg(F.element_at(F.col(vec_col), i + 1))
+        scale = F.lit(PORTABLE_MEAN_SCALE)
+        q = F.floor(
+            F.element_at(F.col(vec_col), i + 1).cast("double") * scale
+        ).cast("decimal(38,0)")
+        return (F.sum(q).cast("double") / F.count(F.lit(1))) / scale
+
     centroids = spark.createDataFrame(seed_rows, schema)
     for _ in range(iterations):
         assigned = (
             df.crossJoin(F.broadcast(centroids))
             .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dims))
             .groupBy(id_col, vec_col)
-            .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+            .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
         )
         new = assigned.groupBy("centroid_id").agg(
             F.array(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"c{i}")
-                    for i in range(dims)
-                ]
+                *[_mean_elem(i).alias(f"c{i}") for i in range(dims)]
             ).cast("array<float>").alias("centroid")
         )
         # materialize between iterations: k rows collected to literals
@@ -405,6 +445,88 @@ def kmeans_centroids(
     return centroids
 
 
+def hash_centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Portable coarse quantizer (PLANS.md rule V): the centroids are
+    the ``k`` corpus vectors with the smallest ``(md5-prefix, id)``
+    sort key — order statistics of a uniform hash, so the seeds are a
+    uniform corpus sample any engine reproduces from the same rows
+    (lowercase hex compares lexicographically == numerically, the
+    ``sampling._hash_hex8`` invariant). ``centroid_id`` is the rank in
+    that order.
+
+    Unlike :func:`kmeans_centroids` there is NO averaging step: every
+    centroid is a verbatim float32 corpus vector, so the assignment
+    argmax downstream compares dot products that are bit-identical
+    across engines (the ``_cos_sql`` float-multiply contract) — which
+    is what lets the IVF and SemDeDup registry rows carry hash-exact
+    DuckDB oracles. The trade is list tightness: Lloyd refinement
+    centers the lists better, so k-means stays the library default
+    quantizer; recall for the hash quantizer is pytest-asserted
+    separately.
+
+    The seed selection is a distributed ``orderBy().limit(k)``
+    (per-partition top-k + driver merge); the rank window then runs on
+    the k-row result, so the unpartitioned window is bounded by
+    ``k``, never the corpus.
+    """
+    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    seeds = (
+        df.select(
+            h.alias("__h"), F.col(id_col).alias("__sid"),
+            F.col(vec_col).alias("centroid"),
+        )
+        .orderBy("__h", "__sid")
+        .limit(k)
+    )
+    w = Window.orderBy("__h", "__sid")  # k rows by construction
+    return seeds.select(
+        (F.row_number().over(w) - 1).cast("int").alias("centroid_id"),
+        "centroid",
+    )
+
+
+def _centroids(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str,
+    id_col: str,
+    iterations: int,
+    quantizer: str,
+) -> DataFrame:
+    if quantizer == "hash":
+        return hash_centroids(df, k, vec_col=vec_col, id_col=id_col)
+    if quantizer == "kmeans":
+        return kmeans_centroids(
+            df, k, vec_col=vec_col, id_col=id_col, iterations=iterations
+        )
+    if quantizer == "portable":
+        # the library quantizer with an ORDER-INDEPENDENT fixed-point
+        # mean (rule V): same seeds, same iterations, recall measured
+        # identical (the means differ by <= 2^-40 per element), but
+        # every Lloyd step now has a bit-exact DuckDB twin
+        return kmeans_centroids(
+            df, k, vec_col=vec_col, id_col=id_col, iterations=iterations,
+            mean="scaled_int",
+        )
+    raise ValueError(f"unknown quantizer {quantizer!r} (kmeans|portable|hash)")
+
+
+def _assign_key() -> Column:
+    """Deterministic argmax key for centroid assignment: max dot
+    first, ties to the LOWEST centroid_id (the negation makes max_by's
+    struct compare agree with the oracle's ``ORDER BY d DESC,
+    centroid_id`` row_number) — assignment is reproducible even on
+    exact float ties."""
+    return F.struct(F.col("__d"), (-F.col("centroid_id")).alias("__nc"))
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -415,6 +537,8 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     dim: int | None = None,
+    quantizer: str = "kmeans",
+    iterations: int = 3,
 ) -> DataFrame:
     """IVF approximate k-NN — the inverted-file scale path (the other
     standard construction next to LSH): corpus vectors are listed
@@ -422,14 +546,21 @@ def ivf_topk(
     ``nprobe`` nearest lists and reranks exactly. The expensive join
     touches ~``nprobe/n_centroids`` of the corpus, and every stage is
     an equi-join on centroid_id — never n².
+
+    ``quantizer="hash"`` (registry/oracle default per PLANS.md rule V)
+    swaps the k-means coarse quantizer for :func:`hash_centroids`,
+    making every downstream value DuckDB-reproducible.
     """
-    cents = kmeans_centroids(corpus, n_centroids, vec_col=vec_col, id_col=id_col)
+    cents = _centroids(
+        corpus, n_centroids, vec_col=vec_col, id_col=id_col,
+        iterations=iterations, quantizer=quantizer,
+    )
 
     corpus_l = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
         .groupBy(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__d").desc(), F.col("centroid_id")
@@ -533,6 +664,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iterations: int = 3,
+    quantizer: str = "kmeans",
 ) -> None:
     """Persist an IVF index as a lake layout: ``<path>/centroids``
     (tiny) plus ``<path>/lists`` PARTITIONED BY centroid_id — the
@@ -540,16 +672,21 @@ def build_ivf_index(
     plain partition pruning (the scan touches ~nprobe/n_centroids of
     the corpus bytes; plan-asserted in tests). This is the storage
     twin of :func:`ivf_topk`: build once over 100 TB, serve many
-    queries without rescanning or re-clustering."""
-    cents = kmeans_centroids(
+    queries without rescanning or re-clustering.
+
+    ``quantizer="hash"`` builds over :func:`hash_centroids` instead of
+    k-means — every served value is then DuckDB-reproducible (the
+    persisted centroids are verbatim float32 corpus vectors, so probe
+    and assignment dots match the oracle bit-for-bit)."""
+    cents = _centroids(
         corpus, n_centroids, vec_col=vec_col, id_col=id_col,
-        iterations=iterations,
+        iterations=iterations, quantizer=quantizer,
     )
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
         .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
     )
     # a REBUILD over a previously-compacted index resets the
     # generation state FIRST (r10 review fix): deleting the stale
@@ -895,7 +1032,7 @@ def ivf_index_upsert(
         .crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
         .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", F.col("__d")).alias("centroid_id"))
+        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
         .withColumn("__batch_seq", F.lit(seq).cast("bigint"))
         .withColumn("__batch_id", F.lit(batch_id))
     )
@@ -1029,6 +1166,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     dim: int | None = None,
     iterations: int = 3,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -1062,9 +1200,9 @@ def semantic_dedup(
     """
     from .dedup import connected_components
 
-    cents = kmeans_centroids(
+    cents = _centroids(
         df, n_clusters, vec_col=vec_col, id_col=id_col,
-        iterations=iterations,
+        iterations=iterations, quantizer=quantizer,
     )
     if cents.isEmpty():  # empty corpus: empty frame, output schema intact
         return df.limit(0).select(
@@ -1078,7 +1216,7 @@ def semantic_dedup(
         .crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
         .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", F.col("__d")).alias("cluster_id"))
+        .agg(F.max_by("centroid_id", _assign_key()).alias("cluster_id"))
     )
     a = assigned.select(
         F.col("cluster_id"),

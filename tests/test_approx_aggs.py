@@ -1,6 +1,9 @@
-"""Approximate-aggregate accuracy: HLL distinct counts within 5% of
-exact, approx median within 1% of the exact percentile (the rows-only
-`agg_approx` query's accuracy contract)."""
+"""Approximate-aggregate accuracy. Spark-native sketches (HLL distinct
+within 5%, KLL median within 1%) stay covered as the engine-wide fast
+path; the PORTABLE sketches (KMV distinct + fixed-bin histogram
+percentiles — the hash-exact `agg_approx` query since r11) carry
+their own accuracy contracts here, since their DuckDB oracle proves
+reproducibility, not closeness to the exact answer."""
 
 from __future__ import annotations
 
@@ -23,6 +26,82 @@ def test_approx_aggs_accuracy(spark):
     for r in got:
         assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.05
         assert abs(r["amed"] - r["emed"]) / r["emed"] < 0.01
+
+
+def test_kmv_distinct_accuracy_and_exact_below_k(spark):
+    """Portable KMV sketch (r11, the hash-exact agg_approx): estimate
+    within 4/sqrt(k) of the exact distinct count above k, and EXACTLY
+    the distinct count for groups with < k distinct keys."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    k = 256
+    est = {
+        r["l_returnflag"]: r["approx"]
+        for r in kmv_distinct(
+            li, ["l_returnflag"], "l_orderkey", k=k, out="approx"
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for g, e in exact.items():
+        assert abs(est[g] - e) / e < 4.0 / (k ** 0.5), (g, est[g], e)
+
+    # below-k groups: the sketch IS the exact count
+    small = li.filter(F.col("l_orderkey") < 200)  # < k distinct per group
+    est_s = {
+        r["l_returnflag"]: r["approx"]
+        for r in kmv_distinct(
+            small, ["l_returnflag"], "l_orderkey", k=k, out="approx"
+        ).collect()
+    }
+    exact_s = {
+        r["l_returnflag"]: r["exact"]
+        for r in small.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert est_s == {g: float(v) for g, v in exact_s.items()}
+
+
+def test_hist_percentiles_within_one_bin(spark):
+    """Fixed-bin histogram percentiles (r11): each estimate lands
+    within one bin width of the exact percentile, and the p50/p95
+    columns are ordered."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sketches import (
+        hist_percentiles,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    width = 110000.0 / 1100
+    got = {
+        r["l_returnflag"]: r
+        for r in hist_percentiles(
+            li, ["l_returnflag"], "l_extendedprice",
+            lo=0.0, hi=110000.0, nbins=1100,
+            ps={"p50": 0.5, "p95": 0.95},
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        )
+        .collect()
+    }
+    for g, r in got.items():
+        assert abs(r["p50"] - exact[g]["e50"]) <= width + 1e-9
+        assert abs(r["p95"] - exact[g]["e95"]) <= width + 1e-9
+        assert r["p50"] <= r["p95"]
 
 
 def test_constraint_suite_detects_each_violation_kind(spark):

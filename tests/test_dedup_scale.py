@@ -201,11 +201,14 @@ def test_pagerank_empty_edges_returns_empty(spark):
     assert out.count() == 0
 
 
-def test_semantic_dedup_invariants(spark):
+@pytest.mark.parametrize("quantizer", ["kmeans", "portable"])
+def test_semantic_dedup_invariants(spark, quantizer):
     """SemDeDup: (a) planted near-duplicate classes collapse to one
     survivor each; (b) no two survivors in the same cluster are a
     pair at/above the threshold; (c) deterministic across runs; (d)
-    one output row per input row."""
+    one output row per input row. Runs under both the float-mean
+    library quantizer and the fixed-point portable one (r11) — the
+    invariants are quantizer-independent."""
     import numpy as np
 
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
@@ -237,7 +240,7 @@ def test_semantic_dedup_invariants(spark):
 
     out = semantic_dedup(
         df, id_col="vec_id", vec_col="embedding", n_clusters=8,
-        threshold=0.98,
+        threshold=0.98, quantizer=quantizer,
     )
     got = {r["vec_id"]: r for r in out.collect()}
     assert len(got) == len(rows)  # one row per input
@@ -270,7 +273,7 @@ def test_semantic_dedup_invariants(spark):
     # deterministic
     again = {r["vec_id"]: r for r in semantic_dedup(
         df, id_col="vec_id", vec_col="embedding", n_clusters=8,
-        threshold=0.98,
+        threshold=0.98, quantizer=quantizer,
     ).collect()}
     assert all(
         got[k]["keep"] == again[k]["keep"]

@@ -26,6 +26,75 @@ def test_ivf_recall_vs_exact(spark):
     assert len(exact & approx) / len(exact) >= 0.9
 
 
+def test_portable_quantizer_recall_matches_kmeans(spark):
+    """quantizer="portable" (r11) is the library Lloyd k-means with an
+    order-independent fixed-point mean — the per-element change is
+    <= 2^-40, so recall must match the float-mean default (0.96@8 on
+    this data for both)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in knn_join(q, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            q, emb, k=5, n_centroids=16, nprobe=8, quantizer="portable"
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_portable_mean_tracks_float_mean_bitwise_close(spark):
+    """The fixed-point Lloyd mean deviates from the float mean by at
+    most the 2^-40 input quantization plus one float rounding step —
+    per-element agreement to 1e-6 absolute over 3 full iterations
+    (assignment identity would amplify any real divergence)."""
+    import numpy as np
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["centroid_id"]: np.asarray(r["centroid"], dtype=np.float64)
+         for r in kmeans_centroids(emb, 8, iterations=3).collect()}
+    b = {r["centroid_id"]: np.asarray(r["centroid"], dtype=np.float64)
+         for r in kmeans_centroids(
+             emb, 8, iterations=3, mean="scaled_int"
+         ).collect()}
+    assert set(a) == set(b)
+    worst = max(float(np.max(np.abs(a[c] - b[c]))) for c in a)
+    assert worst <= 1e-6, worst
+
+
+def test_hash_centroids_deterministic_uniform_sample(spark):
+    """hash_centroids: k rows, ids 0..k-1, stable across runs, and the
+    chosen seeds are the k smallest (md5-prefix, id) — the portable
+    uniform-sample contract."""
+    import hashlib
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        hash_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = hash_centroids(emb, 8).collect()
+    assert sorted(r["centroid_id"] for r in got) == list(range(8))
+    again = hash_centroids(emb, 8).collect()
+    assert {r["centroid_id"]: r["centroid"] for r in got} == {
+        r["centroid_id"]: r["centroid"] for r in again
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest()[:8], i)
+    )[:8]
+    chosen = {tuple(r["centroid"]) for r in got}
+    by_id = {
+        r["vec_id"]: tuple(r["embedding"])
+        for r in emb.filter(F.col("vec_id").isin(expect)).collect()
+    }
+    assert chosen == set(by_id.values())
+
+
 def test_gap_detect_and_backfill_roundtrip(spark):
     """§3.3 parity: write features with a hole, detect exactly the
     missing bars, backfill them, verify the gap closes."""
