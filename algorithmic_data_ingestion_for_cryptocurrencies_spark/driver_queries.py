@@ -4478,11 +4478,53 @@ def st13_sessionize_batch(spark, sf_dir):
     ).select("event_id", "user_id", "session_id")
 
 
-@q("st12_rollup_distinct", None)
+def _st12_sql() -> str:
+    from .operators.sketches import KMV_SPACE, kmv_hash_sql
+
+    numer = f"CAST({255.0 * KMV_SPACE!r} AS DOUBLE)"
+    bucket = ("CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 604800) "
+              "* 604800 AS BIGINT)")
+    return f"""WITH ev AS (
+  SELECT event_type, {bucket} AS bucket_ts, user_id, value FROM events
+), base AS (
+  SELECT event_type, bucket_ts, COUNT(value) AS n_value
+  FROM ev GROUP BY 1, 2
+), hx AS (
+  SELECT DISTINCT event_type, bucket_ts, {kmv_hash_sql('user_id')} AS __h
+  FROM ev WHERE user_id IS NOT NULL
+), topk AS (
+  SELECT event_type, bucket_ts, __h FROM (
+    SELECT event_type, bucket_ts, __h,
+           ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts
+                              ORDER BY __h) AS rn
+    FROM hx) WHERE rn <= 256
+), kmv AS (
+  SELECT event_type, bucket_ts,
+         CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE {numer} / (MAX(__h) + 1) END AS approx_distinct_user_id
+  FROM topk GROUP BY 1, 2
+)
+SELECT b.event_type, b.bucket_ts, b.n_value,
+       COALESCE(k.approx_distinct_user_id, CAST(0 AS DOUBLE))
+         AS approx_distinct_user_id
+FROM base b LEFT JOIN kmv k USING (event_type, bucket_ts)"""
+
+
+@q(
+    "st12_rollup_distinct",
+    _st12_sql(),
+    cols=["event_type", "bucket_ts", "n_value", "approx_distinct_user_id"],
+    fcols=["approx_distinct_user_id"],
+)
 def st12_rollup_distinct(spark, sf_dir):
-    # incremental approx-distinct per bucket via mergeable HLL sketch
-    # states (hll_sketch_agg/hll_union_agg have no cross-engine twin
-    # -> rows-only; 5% accuracy + merge==one-shot pytest-asserted)
+    # incremental approx-distinct per bucket via MERGEABLE sketch
+    # states. r11: flipped from rows-only to hash-exact by running the
+    # store's distinct_method="kmv" (portable k-minimum-values arrays,
+    # rule V) — the two-increment merged-then-compacted state must
+    # finalize to the IDENTICAL estimate DuckDB computes one-shot from
+    # raw events, which additionally proves merge==one-shot inside the
+    # driver gate. HLL stays the store default (smaller state);
+    # accuracy + merge==one-shot for both methods pytest-asserted.
     import tempfile
 
     from .store.rollup import RollupStore
@@ -4492,9 +4534,9 @@ def st12_rollup_distinct(spark, sf_dir):
         F.expr("percentile_approx(cast(ts as double), 0.5)")
     ).first()[0]
     store = RollupStore(
-        spark, tempfile.mkdtemp(prefix="adi_rollup_hll_") + "/t",
+        spark, tempfile.mkdtemp(prefix="adi_rollup_kmv_") + "/t",
         keys=["event_type"], val_cols=["value"], bucket_seconds=7 * 86400,
-        distinct_cols=["user_id"],
+        distinct_cols=["user_id"], distinct_method="kmv",
     )
     store.upsert_rollup(
         ev.filter(F.col("ts").cast("double") < mid), ts_col="ts", batch_id="b1"

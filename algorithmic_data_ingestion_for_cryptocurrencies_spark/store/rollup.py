@@ -73,7 +73,7 @@ from __future__ import annotations
 import threading
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import genfile
 
@@ -97,6 +97,8 @@ def rollup_state(
     batch_id: str,
     distinct_cols: Sequence[str] = (),
     hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
+    distinct_method: str = "hll",
+    kmv_k: int = 256,
 ) -> DataFrame:
     """Per-(keys, bucket_ts) mergeable aggregation state for each value
     column: count, sum, min, max, sum of squares. ``bucket_ts`` is the
@@ -117,7 +119,17 @@ def rollup_state(
     default lgConfigK) that merges across batches and compactions with
     ``hll_union_agg`` exactly like the numeric states add — "unique
     users per bucket maintained incrementally over the stream", which
-    no exact state can do without keeping the full value set."""
+    no exact state can do without keeping the full value set.
+
+    ``distinct_method="kmv"`` (r11, rule V) swaps the HLL binary for
+    the PORTABLE k-minimum-values state (``operators/sketches.py``):
+    the ``kmv_k`` smallest distinct 52-bit md5 hashes per bucket, a
+    sorted ``array<bigint>``. KMV sets are mergeable (union, keep the
+    k smallest) and the estimate is a deterministic function of the
+    data, so the rollup's approx-distinct column gains a hash-exact
+    DuckDB oracle — HLL stays the default (smaller state at high
+    cardinality: 1.5 KB vs 2 KB at k=256, and one aggregate pass vs
+    a rank pre-pass per column)."""
     b = (
         F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds))
         * F.lit(bucket_seconds)
@@ -132,8 +144,9 @@ def rollup_state(
             F.max(v).alias(f"max_{c}"),
             F.sum(v * v).alias(f"sumsq_{c}"),
         ]
-    for c in distinct_cols:
-        aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
+    if distinct_method == "hll":
+        for c in distinct_cols:
+            aggs.append(F.hll_sketch_agg(c).alias(f"hll_{c}"))
     for c, (lo, hi, nbins) in (hist_cols or {}).items():
         v = F.col(c).cast("double")
         idx = F.when(v < lo, F.lit(0)).when(v >= hi, F.lit(nbins + 1)).otherwise(
@@ -152,23 +165,52 @@ def rollup_state(
                 for i in range(nbins + 2)
             ]).alias(f"hist_{c}")
         )
-    return (
+    out = (
         df.withColumn("bucket_ts", b)
         .groupBy(*keys, "bucket_ts")
         .agg(*aggs)
-        .withColumn("batch_id", F.lit(batch_id))
     )
+    if distinct_method == "kmv":
+        from ..operators.sketches import kmv_hash
+
+        for c in distinct_cols:
+            # rank pre-pass per column: distinct hashes, per-bucket
+            # k smallest (WindowGroupLimit keeps in-flight state O(k)
+            # per group), collected into the sorted array state. One
+            # extra exchange per distinct col vs HLL's in-agg sketch —
+            # the price of a portable, engine-reproducible state.
+            hashes = (
+                df.withColumn("bucket_ts", b)
+                .filter(F.col(c).isNotNull())
+                .select(*keys, "bucket_ts", kmv_hash(c).alias("__h"))
+                .distinct()
+            )
+            w = Window.partitionBy(*keys, "bucket_ts").orderBy("__h")
+            st = (
+                hashes.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= kmv_k)
+                .groupBy(*keys, "bucket_ts")
+                .agg(F.array_sort(F.collect_list("__h")).alias(f"kmv_{c}"))
+            )
+            out = out.join(st, [*keys, "bucket_ts"], "left").withColumn(
+                f"kmv_{c}",
+                F.coalesce(f"kmv_{c}", F.array().cast("array<bigint>")),
+            )
+    return out.withColumn("batch_id", F.lit(batch_id))
 
 
 def merge_rollup_states(
     states: DataFrame, *, keys: Sequence[str], val_cols: Sequence[str],
     distinct_cols: Sequence[str] = (),
     hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
+    distinct_method: str = "hll",
+    kmv_k: int = 256,
 ) -> DataFrame:
     """Merge partial states across batches: counts/sums/sumsq add,
-    min/max combine, HLL sketches union. Associative + commutative, so
-    any merge order (and any partial compaction history) yields the
-    same state."""
+    min/max combine, HLL sketches union (KMV sets union + re-truncate
+    to the k smallest — bounded by states-per-group × k). Associative
+    + commutative, so any merge order (and any partial compaction
+    history) yields the same state."""
     aggs: list[F.Column] = []
     for c in val_cols:
         aggs += [
@@ -179,7 +221,17 @@ def merge_rollup_states(
             F.sum(f"sumsq_{c}").alias(f"sumsq_{c}"),
         ]
     for c in distinct_cols:
-        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
+        if distinct_method == "kmv":
+            aggs.append(
+                F.slice(
+                    F.array_sort(
+                        F.array_distinct(F.flatten(F.collect_list(f"kmv_{c}")))
+                    ),
+                    1, kmv_k,
+                ).alias(f"kmv_{c}")
+            )
+        else:
+            aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     for c, (_lo, _hi, nbins) in (hist_cols or {}).items():
         # element-wise sum per bin slot (map-side combining, O(nbins)
         # state) rather than collecting one array per batch per group
@@ -197,10 +249,15 @@ def finalize_rollup(
     distinct_cols: Sequence[str] = (),
     hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
     percentiles: Sequence[float] = (0.5, 0.95, 0.99),
+    distinct_method: str = "hll",
+    kmv_k: int = 256,
 ) -> DataFrame:
     """Finalize merged states into count/mean/min/max/std (population
-    std via E[x²]−E[x]², clamped at 0 against FP negatives) and HLL
-    sketches into approx-distinct estimates."""
+    std via E[x²]−E[x]², clamped at 0 against FP negatives) and
+    distinct states into approx-distinct estimates (HLL: the sketch
+    estimate, bigint; KMV: ``(k-1)·2^52/(h_k+1)``, double — exact
+    count below k; identical to ``operators/sketches.kmv_distinct``,
+    so the rollup column matches its DuckDB oracle)."""
     out = state
     for c, (lo, hi, nbins) in (hist_cols or {}).items():
         h = F.col(f"hist_{c}")
@@ -228,10 +285,22 @@ def finalize_rollup(
             out = out.withColumn(name, F.when(total > 0, est))
         out = out.drop(f"hist_{c}")
     for c in distinct_cols:
-        out = out.withColumn(
-            f"approx_distinct_{c}",
-            F.hll_sketch_estimate(f"hll_{c}"),
-        ).drop(f"hll_{c}")
+        if distinct_method == "kmv":
+            from ..operators.sketches import KMV_SPACE
+
+            st = F.col(f"kmv_{c}")
+            est = F.when(
+                F.size(st) < kmv_k, F.size(st).cast("double")
+            ).otherwise(
+                F.lit(float(kmv_k - 1)) * F.lit(KMV_SPACE)
+                / (F.element_at(st, kmv_k) + F.lit(1))
+            )
+            out = out.withColumn(f"approx_distinct_{c}", est).drop(f"kmv_{c}")
+        else:
+            out = out.withColumn(
+                f"approx_distinct_{c}",
+                F.hll_sketch_estimate(f"hll_{c}"),
+            ).drop(f"hll_{c}")
     for c in val_cols:
         n = F.col(f"n_{c}").cast("double")
         mean = F.col(f"sum_{c}") / n
@@ -259,6 +328,8 @@ class RollupStore:
         bucket_seconds: int,
         distinct_cols: Sequence[str] = (),
         hist_cols: "dict[str, tuple[float, float, int]] | None" = None,
+        distinct_method: str = "hll",
+        kmv_k: int = 256,
     ):
         self.spark = spark
         self.path = path
@@ -266,6 +337,8 @@ class RollupStore:
         self.val_cols = list(val_cols)
         self.distinct_cols = list(distinct_cols)
         self.hist_cols = dict(hist_cols or {})
+        self.distinct_method = distinct_method
+        self.kmv_k = kmv_k
         self.bucket_seconds = bucket_seconds
         # serializes in-process ingest vs compaction: without it a
         # compaction snapshot can catch HALF of an in-flight append's
@@ -351,6 +424,7 @@ class RollupStore:
                 batch_id=batch_id,
                 distinct_cols=self.distinct_cols,
                 hist_cols=self.hist_cols,
+                distinct_method=self.distinct_method, kmv_k=self.kmv_k,
             )
             state.write.mode("append").parquet(self.path)
 
@@ -364,12 +438,14 @@ class RollupStore:
         merged = merge_rollup_states(
             states, keys=self.keys, val_cols=self.val_cols,
             distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
+            distinct_method=self.distinct_method, kmv_k=self.kmv_k,
         )
         if not finalize:
             return merged
         return finalize_rollup(
             merged, val_cols=self.val_cols,
             distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
+            distinct_method=self.distinct_method, kmv_k=self.kmv_k,
         )
 
     def compact_rollup(self, *, min_bucket_ts: int | None = None) -> None:
@@ -419,6 +495,7 @@ class RollupStore:
             merged = merge_rollup_states(
                 states, keys=self.keys, val_cols=self.val_cols,
                 distinct_cols=self.distinct_cols, hist_cols=self.hist_cols,
+                distinct_method=self.distinct_method, kmv_k=self.kmv_k,
             ).withColumn("batch_id", F.lit(gen_tag))
 
             # stage the new generation, then move its part files INTO

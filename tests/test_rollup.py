@@ -4,6 +4,7 @@ batch replay counts once, compaction preserves results."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -217,17 +218,21 @@ def test_compaction_crash_before_commit_is_invisible(spark, tmp_path):
     assert [r["batch_id"] for r in tags.collect()] == ["__compacted_g2"]
 
 
-def test_rollup_incremental_approx_distinct(spark, tmp_path):
-    """HLL distinct states must merge across batches and compaction:
+@pytest.mark.parametrize("method", ["hll", "kmv"])
+def test_rollup_incremental_approx_distinct(spark, tmp_path, method):
+    """Distinct states must merge across batches and compaction:
     the incremental approx-distinct equals the one-shot estimate on
-    the same data, stays within 5% of exact, and survives compaction
-    + a post-compaction replay unchanged."""
+    the same data, stays close to exact (HLL: 5%; KMV k=256: ~3 rsd
+    = 20% above k, exact below), and survives compaction + a
+    post-compaction replay unchanged. Runs for both the HLL default
+    and the portable KMV state (r11)."""
     df = _raw(spark, n=4000, seed=11).withColumn(
         "u", (F.abs(F.hash("v")) % 500).cast("long")
     )
     store = RollupStore(
         spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
         bucket_seconds=7 * 86400, distinct_cols=["u"],
+        distinct_method=method,
     )
     b1 = df.filter(F.col("ts") < "2024-03-06")
     b2 = df.filter(F.col("ts") >= "2024-03-06")
@@ -241,6 +246,7 @@ def test_rollup_incremental_approx_distinct(spark, tmp_path):
     one_shot = rollup_state(
         df, keys=["k"], ts_col="ts", bucket_seconds=7 * 86400,
         val_cols=["v"], batch_id="all", distinct_cols=["u"],
+        distinct_method=method,
     )
     from algorithmic_data_ingestion_for_cryptocurrencies_spark.store.rollup import (
         finalize_rollup as _fin,
@@ -250,11 +256,12 @@ def test_rollup_incremental_approx_distinct(spark, tmp_path):
     want = {
         (r["k"], r["bucket_ts"]): r["approx_distinct_u"]
         for r in _fin(
-            _mrg(one_shot, keys=["k"], val_cols=["v"], distinct_cols=["u"]),
-            val_cols=["v"], distinct_cols=["u"],
+            _mrg(one_shot, keys=["k"], val_cols=["v"], distinct_cols=["u"],
+                 distinct_method=method),
+            val_cols=["v"], distinct_cols=["u"], distinct_method=method,
         ).collect()
     }
-    assert got == want  # HLL union is exact-deterministic on same data
+    assert got == want  # state merge is exact-deterministic on same data
 
     exact = {
         (r["k"], r["bucket_ts"]): r["x"]
@@ -263,8 +270,9 @@ def test_rollup_incremental_approx_distinct(spark, tmp_path):
             (F.floor(F.col("ts").cast("long") / (7 * 86400)) * (7 * 86400)).cast("long"),
         ).groupBy("k", "bucket_ts").agg(F.countDistinct("u").alias("x")).collect()
     }
+    bound = 0.05 if method == "hll" else 0.20
     for key, est in got.items():
-        assert abs(est - exact[key]) / exact[key] < 0.05
+        assert abs(est - exact[key]) / exact[key] < bound
 
     store.compact_rollup()
     store.upsert_rollup(b2, ts_col="ts", batch_id="b2")  # replay: inert
