@@ -422,13 +422,15 @@ def kmeans_centroids(
         ).cast("decimal(38,0)")
         return (F.sum(q).cast("double") / F.count(F.lit(1))) / scale
 
-    centroids = spark.createDataFrame(seed_rows, schema)
+    rows = [(int(cid), list(v)) for cid, v in seed_rows]
     for _ in range(iterations):
-        assigned = (
-            df.crossJoin(F.broadcast(centroids))
-            .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dims))
-            .groupBy(id_col, vec_col)
-            .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
+        # map-only assignment (r11): greatest() over per-centroid
+        # (dot, -id) structs — no crossJoin expansion, no
+        # groupBy(id, vec) shuffle; each Lloyd step is one light
+        # exchange on centroid_id (k groups, map-side combined)
+        assigned = df.select(
+            F.col(vec_col),
+            _assign_expr(vec_col, rows, dim=dims).alias("centroid_id"),
         )
         new = assigned.groupBy("centroid_id").agg(
             F.array(
@@ -439,10 +441,8 @@ def kmeans_centroids(
         # keeps each Lloyd step a SHALLOW plan instead of nesting the
         # previous iterations' joins (k is tiny by construction — the
         # coarse quantizer has dozens of centroids, not millions)
-        centroids = spark.createDataFrame(
-            [(r["centroid_id"], r["centroid"]) for r in new.collect()], schema
-        )
-    return centroids
+        rows = [(int(r["centroid_id"]), list(r["centroid"])) for r in new.collect()]
+    return spark.createDataFrame(rows, schema)
 
 
 def hash_centroids(
@@ -518,13 +518,70 @@ def _centroids(
     raise ValueError(f"unknown quantizer {quantizer!r} (kmeans|portable|hash)")
 
 
-def _assign_key() -> Column:
-    """Deterministic argmax key for centroid assignment: max dot
-    first, ties to the LOWEST centroid_id (the negation makes max_by's
-    struct compare agree with the oracle's ``ORDER BY d DESC,
-    centroid_id`` row_number) — assignment is reproducible even on
-    exact float ties."""
-    return F.struct(F.col("__d"), (-F.col("centroid_id")).alias("__nc"))
+def _cent_rows(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect a quantizer frame to ``[(centroid_id, vector)]`` —
+    bounded by ``n_centroids`` (the same bound the IVF probe-set
+    collect already carries); the rows feed the MAP-ONLY assignment
+    expressions below."""
+    return [
+        (int(r["centroid_id"]), list(r["centroid"]))
+        for r in cents.collect()
+    ]
+
+
+def _cent_lit(vec: list[float]) -> Column:
+    """Centroid literal: double literals cast back to array<float>
+    round-trip the stored float32 exactly, so ``dot(column, literal)``
+    multiplies the identical FLOATs as the column-vs-column form (and
+    as the oracle's table-vs-table form)."""
+    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<float>")
+
+
+def _assign_expr(
+    vec_col: str, cents: list[tuple[int, list[float]]], *, dim: int | None = None
+) -> Column:
+    """Map-only nearest-centroid assignment (r11): ``greatest()`` over
+    one ``(dot, -centroid_id)`` struct per centroid — max dot first,
+    ties to the LOWEST centroid_id (the negation makes the struct
+    compare agree with the oracles' ``ORDER BY d DESC, centroid_id``
+    row_number, so assignment is reproducible even on exact float
+    ties), with NO crossJoin row expansion and NO groupBy shuffle.
+    Replaces the former
+    ``crossJoin(broadcast) → groupBy(id, vec) → max_by`` shape, which
+    shuffled the full corpus once per assignment; at 100 TB the
+    assignment is now embarrassingly parallel and the only exchange
+    left in an IVF build is the partitioned write itself."""
+    structs = [
+        F.struct(
+            dot(F.col(vec_col), _cent_lit(v), dim=dim).alias("d"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, v in cents
+    ]
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best["nc"]).cast("int")
+
+
+def _probe_expr(
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    *,
+    dim: int | None = None,
+) -> Column:
+    """Map-only probe-list selection: the ``nprobe`` nearest centroid
+    ids as an array, ordered (dot DESC, centroid_id) exactly like the
+    former crossJoin + row_number window — ``array_sort`` on
+    ``(-dot, centroid_id)`` structs needs no exchange at all."""
+    arr = F.array(*[
+        F.struct(
+            (-dot(F.col(vec_col), _cent_lit(v), dim=dim)).alias("nd"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, v in cents
+    ])
+    ranked = F.slice(F.array_sort(arr), 1, nprobe)
+    return F.transform(ranked, lambda s: s["cid"])
 
 
 def ivf_topk(
@@ -555,23 +612,29 @@ def ivf_topk(
         corpus, n_centroids, vec_col=vec_col, id_col=id_col,
         iterations=iterations, quantizer=quantizer,
     )
+    crows = _cent_rows(cents)
+    if not crows:  # empty corpus: empty, correctly-typed result
+        return queries.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        )
 
-    corpus_l = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
-        .groupBy(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
+    # both assignment and probe selection are MAP-ONLY expressions
+    # over the collected centroids (r11) — the only shuffle left in
+    # the whole query is the equi-join on centroid_id + the rerank
+    corpus_l = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        _assign_expr(vec_col, crows, dim=dim).alias("centroid_id"),
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__d").desc(), F.col("centroid_id")
-    )
-    query_probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid"), dim=dim))
-        .withColumn("__pr", F.row_number().over(w_probe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qvec", "centroid_id")
+    query_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_probe_expr(vec_col, crows, nprobe, dim=dim)).alias(
+            "centroid_id"
+        ),
     )
     scored = (
         query_probes.join(corpus_l, "centroid_id")
@@ -682,11 +745,16 @@ def build_ivf_index(
         corpus, n_centroids, vec_col=vec_col, id_col=id_col,
         iterations=iterations, quantizer=quantizer,
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
-        .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
+    crows = _cent_rows(cents)
+    # map-only assignment (r11): the build's only exchange is the
+    # partitioned write itself — no crossJoin, no groupBy shuffle
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (
+            _assign_expr(vec_col, crows)
+            if crows else F.lit(0).cast("int")
+        ).alias("centroid_id"),
     )
     # a REBUILD over a previously-compacted index resets the
     # generation state FIRST (r10 review fix): deleting the stale
@@ -729,8 +797,9 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     nprobe: int = 4,
 ) -> DataFrame:
-    """Query a persisted IVF index: probe-list selection happens
-    against the broadcast centroids, and the list scan carries an
+    """Query a persisted IVF index: probe-list selection is a
+    MAP-ONLY expression over the collected centroids (bounded by
+    ``n_centroids``), and the list scan carries an
     ``isin(probed_lists)`` partition filter — Spark prunes every
     unprobed inverted list at planning time, which is the entire point
     of the layout. Exact rerank within the probed lists.
@@ -746,20 +815,29 @@ def ivf_index_topk(
     own probed lists, and a list probed by two signature groups is
     scanned once instead of twice."""
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    crows = _cent_rows(cents)
+    if not crows:  # index built over an empty corpus
+        return queries.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cosine"),
+            F.lit(0).alias("rank"),
+        )
     lists_dir, folded_seq = _ivf_lists_path(spark, path)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__d").desc(), F.col("centroid_id")
-    )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid")))
-        .withColumn("__pr", F.row_number().over(w_probe))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qvec", "centroid_id")
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            # map-only probe selection (r11): array_sort over
+            # per-centroid (−dot, id) structs replaces the former
+            # crossJoin + row_number window — zero exchanges
+            F.explode(_probe_expr(vec_col, crows, nprobe)).alias(
+                "centroid_id"
+            ),
+        )
         # materialize once: the distinct-collect below and the serve
         # join both read the checkpointed probe rows (n_queries*nprobe,
-        # bounded) instead of re-running the crossJoin+window twice.
+        # bounded) instead of re-running the queries-side plan twice.
         # Lifecycle: localCheckpoint blocks (unlike persist()) are
         # ContextCleaner-managed — they live exactly as long as the
         # returned result frame is reachable and are reclaimed when
@@ -1027,12 +1105,18 @@ def ivf_index_upsert(
             % path
         )
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
+    crows = _cent_rows(cents)
+    # map-only frozen-centroid assignment (r11): the upsert's only
+    # exchange is the partitioned append itself
     assigned = (
-        vectors.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col(vec_col), F.col("centroid")))
-        .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", _assign_key()).alias("centroid_id"))
+        vectors.select(
+            F.col(id_col),
+            F.col(vec_col),
+            (
+                _assign_expr(vec_col, crows)
+                if crows else F.lit(0).cast("int")
+            ).alias("centroid_id"),
+        )
         .withColumn("__batch_seq", F.lit(seq).cast("bigint"))
         .withColumn("__batch_id", F.lit(batch_id))
     )
@@ -1204,19 +1288,20 @@ def semantic_dedup(
         df, n_clusters, vec_col=vec_col, id_col=id_col,
         iterations=iterations, quantizer=quantizer,
     )
-    if cents.isEmpty():  # empty corpus: empty frame, output schema intact
+    crows = _cent_rows(cents)
+    if not crows:  # empty corpus: empty frame, output schema intact
         return df.limit(0).select(
             F.col(id_col),
             F.lit(None).cast("int").alias("cluster_id"),
             F.col(id_col).alias("component"),
             F.lit(True).alias("keep"),
         )
-    assigned = (
-        df.select(id_col, vec_col)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
-        .groupBy(F.col(id_col), F.col(vec_col))
-        .agg(F.max_by("centroid_id", _assign_key()).alias("cluster_id"))
+    # map-only cluster assignment (r11): the only pair-generating
+    # shuffle left is the equi-join on cluster_id below
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign_expr(vec_col, crows, dim=dim).alias("cluster_id"),
     )
     a = assigned.select(
         F.col("cluster_id"),
