@@ -4151,12 +4151,12 @@ def agg_cube(spark, sf_dir):
     )
 
 
-def _agg_approx_sql() -> str:
+def _agg_approx_sql(dialect: str = "duckdb") -> str:
     from .operators.sketches import hist_percentiles_sql, kmv_distinct_sql
 
     kmv = kmv_distinct_sql(
         table="lineitem", group_col="l_returnflag", key_col="l_orderkey",
-        k=256, out="approx_orders",
+        k=256, out="approx_orders", dialect=dialect,
     )
     med = hist_percentiles_sql(
         table="lineitem", group_col="l_returnflag", val_col="l_extendedprice",
@@ -4478,11 +4478,13 @@ def st13_sessionize_batch(spark, sf_dir):
     ).select("event_id", "user_id", "session_id")
 
 
-def _st12_sql() -> str:
+def _st12_sql(dialect: str = "duckdb") -> str:
     from .operators.sketches import KMV_SPACE, kmv_hash_sql
 
-    numer = f"CAST({255.0 * KMV_SPACE!r} AS DOUBLE)"
-    bucket = ("CAST(FLOOR(CAST(FLOOR(EPOCH(ts)) AS BIGINT) / 604800) "
+    # integer literal: exact in both parsers (see sketches.kmv_distinct_sql)
+    numer = f"CAST({int(255.0 * KMV_SPACE)} AS DOUBLE)"
+    epoch = "CAST(ts AS DOUBLE)" if dialect == "spark" else "EPOCH(ts)"
+    bucket = (f"CAST(FLOOR(CAST(FLOOR({epoch}) AS BIGINT) / 604800) "
               "* 604800 AS BIGINT)")
     return f"""WITH ev AS (
   SELECT event_type, {bucket} AS bucket_ts, user_id, value FROM events
@@ -4490,7 +4492,8 @@ def _st12_sql() -> str:
   SELECT event_type, bucket_ts, COUNT(value) AS n_value
   FROM ev GROUP BY 1, 2
 ), hx AS (
-  SELECT DISTINCT event_type, bucket_ts, {kmv_hash_sql('user_id')} AS __h
+  SELECT DISTINCT event_type, bucket_ts,
+         {kmv_hash_sql('user_id', dialect=dialect)} AS __h
   FROM ev WHERE user_id IS NOT NULL
 ), topk AS (
   SELECT event_type, bucket_ts, __h FROM (
@@ -5305,6 +5308,25 @@ walk(shard, rn, doc_id, n_tokens, bin, cur) AS (
   FROM walk w JOIN ordd o ON o.shard = w.shard AND o.rn = w.rn + 1)
 SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, shard, bin
 FROM walk ORDER BY shard, bin, doc_id"""
+
+
+# r11-continuation twins for the portable sketch family: the only
+# dialect split is the hex-prefix parse (DuckDB '0x…'::BIGINT vs Spark
+# CONV) plus EPOCH(ts) -> CAST(ts AS DOUBLE); both texts are generated
+# from the same builders, so the twin and the oracle cannot drift.
+# The registered oracle text carries the @q fcols rounding projection,
+# so the Spark-dialect text applies the same SR() rounding explicitly
+# (the sql_w09_ema precedent).
+_SQL_SPARK_TEXTS["agg_approx"] = (
+    f"SELECT l_returnflag, {SR('approx_orders')} AS approx_orders, "
+    f"{SR('approx_median_price')} AS approx_median_price "
+    f"FROM ({_agg_approx_sql(dialect='spark')})"
+)
+_SQL_SPARK_TEXTS["st12_rollup_distinct"] = (
+    f"SELECT event_type, bucket_ts, n_value, "
+    f"{SR('approx_distinct_user_id')} AS approx_distinct_user_id "
+    f"FROM ({_st12_sql(dialect='spark')})"
+)
 
 
 def _sql_spark_text_twin(src_name: str):

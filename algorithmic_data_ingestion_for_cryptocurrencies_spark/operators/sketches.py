@@ -192,8 +192,14 @@ def _dlit(x: float) -> str:
     return f"CAST({float(x)!r} AS DOUBLE)"
 
 
-def kmv_hash_sql(expr: str) -> str:
-    """DuckDB rendering of :func:`kmv_hash` (same 52-bit integer)."""
+def kmv_hash_sql(expr: str, *, dialect: str = "duckdb") -> str:
+    """SQL rendering of :func:`kmv_hash` (same 52-bit integer): DuckDB
+    parses the hex prefix via a ``'0x…'::BIGINT`` cast, Spark via
+    ``CONV(hex, 16, 10)`` — the one dialect split in the sketch SQL
+    (everything else is engine-shared CASE/FLOOR/window text)."""
+    if dialect == "spark":
+        return (f"CAST(CONV(SUBSTRING(MD5(CAST({expr} AS STRING)), 1, "
+                f"{KMV_HEX_DIGITS}), 16, 10) AS BIGINT)")
     return (f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, "
             f"{KMV_HEX_DIGITS}))::BIGINT")
 
@@ -205,11 +211,16 @@ def kmv_distinct_sql(
     key_col: str,
     k: int = 256,
     out: str = "approx_distinct",
+    dialect: str = "duckdb",
 ) -> str:
     """DuckDB twin of :func:`kmv_distinct` (single group column)."""
     # (k-1) * 2^52 precomputed: exact in a double (the mantissa is
-    # just k-1's bits), so one literal == Spark's runtime product
-    numer = _dlit(float(k - 1) * KMV_SPACE)
+    # just k-1's bits), so one literal == Spark's runtime product.
+    # Rendered as an INTEGER literal — Spark parses scientific-
+    # notation literals through DECIMAL, which silently rounds the
+    # 19-digit value to 16 significant digits (measured: a 2e-11
+    # relative estimator skew); an integer parses exactly everywhere.
+    numer = f"CAST({int(float(k - 1) * KMV_SPACE)} AS DOUBLE)"
     return f"""SELECT {group_col},
        CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
             ELSE {numer} / (MAX(__h) + 1)
@@ -217,7 +228,7 @@ def kmv_distinct_sql(
 FROM (
   SELECT {group_col}, __h,
          ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY __h) AS __rn
-  FROM (SELECT {group_col}, {kmv_hash_sql(key_col)} AS __h
+  FROM (SELECT {group_col}, {kmv_hash_sql(key_col, dialect=dialect)} AS __h
         FROM (SELECT DISTINCT {group_col}, {key_col} FROM {table}))
 ) WHERE __rn <= {k}
 GROUP BY {group_col}"""
