@@ -4375,6 +4375,90 @@ def sim_ivf(spark, sf_dir):
     )
 
 
+_NB_SCALE_SQL = "CAST(1099511627776 AS DOUBLE)"  # 2^40, quality_model.NB_SCALE
+_NB_SQL = f"""WITH q AS ({_QUALITY_SQL}),
+tr AS (
+  SELECT d.doc_id, d.text,
+         CASE WHEN q.quality_score >= 0.6 THEN 1 ELSE 0 END AS y
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE d.doc_id % 2 = 0
+), tok AS (
+  SELECT y, UNNEST({_WORDS}) AS token FROM tr
+), cnt AS (
+  SELECT token,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS ng,
+         SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nb
+  FROM tok GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(ng) AS DOUBLE) + COUNT(*) AS dg,
+         CAST(SUM(nb) AS DOUBLE) + COUNT(*) AS db
+  FROM cnt
+), pri AS (
+  SELECT LN(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+            / CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) + 1 AS DOUBLE))
+           AS prior
+  FROM tr
+), wt AS (
+  SELECT token,
+         LN(CAST(ng + 1 AS DOUBLE) / dg) - LN(CAST(nb + 1 AS DOUBLE) / db)
+           AS w8
+  FROM cnt, tot
+), oov AS (
+  SELECT LN(CAST(1 AS DOUBLE) / dg) - LN(CAST(1 AS DOUBLE) / db) AS w8
+  FROM tot
+), htok AS (
+  SELECT doc_id, UNNEST({_WORDS}) AS token
+  FROM documents WHERE doc_id % 2 = 1
+), sc AS (
+  SELECT h.doc_id,
+         SUM(CAST(FLOOR(COALESCE(w.w8, o.w8) * {_NB_SCALE_SQL}) AS BIGINT))
+           AS s
+  FROM htok h LEFT JOIN wt w USING (token) CROSS JOIN oov o
+  GROUP BY h.doc_id
+)
+SELECT doc_id,
+       CAST(s AS DOUBLE) / {_NB_SCALE_SQL} + prior AS log_odds,
+       CAST(1 AS DOUBLE)
+         / (CAST(1 AS DOUBLE)
+            + EXP(-(CAST(s AS DOUBLE) / {_NB_SCALE_SQL} + prior))) AS p_good
+FROM sc CROSS JOIN pri"""
+
+
+@q(
+    "text_quality_nb",
+    _NB_SQL,
+    cols=["doc_id", "log_odds", "p_good"],
+    fcols=["log_odds", "p_good"],
+)
+def text_quality_nb_q(spark, sf_dir):
+    """PORTABLE learned quality classifier (r11): multinomial
+    Naive-Bayes on the same weak labels as `text_quality_classifier`
+    (heuristic composite >= 0.6 over the even-id half), scoring the
+    held-out odd half. Training is integer token counting +
+    add-1-smoothed log-ratios and scoring a rule-W fixed-point sum,
+    so the ENTIRE train-and-score pipeline is a deterministic
+    function of the data with a hash-exact DuckDB oracle — the
+    learned-model family's exact row next to the L-BFGS logistic
+    regression (rows-only, separation pytest), the way md5-minhash
+    sits next to xxhash64."""
+    from .operators.quality_model import score_nb_quality, train_nb_quality
+    from .operators.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    weak = quality_features(
+        docs.filter(F.col("doc_id") % 2 == 0), text_col="text"
+    ).select(
+        "doc_id", "text",
+        (F.col("quality_score") >= 0.6).cast("int").alias("label"),
+    )
+    weights, prior, oov = train_nb_quality(weak, text_col="text")
+    held = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return score_nb_quality(
+        held, weights, prior=prior, oov_weight=oov,
+        id_col="doc_id", text_col="text",
+    )
+
+
 @q("text_quality_classifier", None)
 def text_quality_classifier_q(spark, sf_dir):
     # Learned quality gate (GPT-3/CCNet classifier step): weak-label

@@ -132,3 +132,113 @@ def score_quality(
         *keep,
         F.element_at(vector_to_array("probability"), 2).alias(out_col),
     )
+
+
+#: fixed-point scale for the per-document weight sum — the rule-W
+#: order-independence trick (PLANS.md): quantize each token weight to
+#: FLOOR(w * 2^40) and sum as BIGINT, so the parallel aggregation is
+#: reproducible bit-for-bit in any engine (a float SUM's rounding
+#: depends on reduction order). 2^-40 per-token quantization is far
+#: below the 6-decimal compare grain.
+NB_SCALE = float(1 << 40)
+
+
+def train_nb_quality(
+    train: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "label",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float, float]:
+    """Multinomial Naive-Bayes quality classifier — the PORTABLE
+    learned model (rule V/W): training is integer token counting plus
+    add-``alpha``-smoothed log-likelihood ratios, so the fitted
+    weights are a deterministic function of the training rows that
+    any engine reproduces exactly (unlike
+    :func:`train_quality_classifier`'s L-BFGS logistic regression,
+    whose iterate path has no SQL twin). The same weak-label recipe
+    applies (heuristic composite as the label); NB is the classic
+    cheap strong baseline for exactly this corpus-filtering task
+    (CCNet trains fasttext — also a log-linear bag-of-words).
+
+    Returns ``(weights, prior, oov_weight)``: ``weights`` is a
+    ``(token, weight)`` frame where ``weight = ln P(t|good) −
+    ln P(t|bad)``; ``prior`` the class log-odds; ``oov_weight`` the
+    smoothed weight for unseen tokens. Training is two aggregates
+    (token×class counts, then totals) — map-side combined, linear in
+    corpus tokens, no iterations, no driver-side data beyond four
+    scalars.
+    """
+    from .text import word_tokens
+
+    lbl = F.col(label_col).cast("int")
+    toks = train.select(
+        lbl.alias("__y"), F.explode(word_tokens(text_col)).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__ng"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__nb"),
+    )
+    tg, tb, v = cnt.agg(
+        F.sum("__ng"), F.sum("__nb"), F.count(F.lit(1))
+    ).first()
+    n_good, n_bad = train.agg(
+        F.sum(F.when(lbl == 1, 1).otherwise(0)),
+        F.sum(F.when(lbl == 0, 1).otherwise(0)),
+    ).first()
+    denom_g = float(tg or 0) + alpha * float(v)
+    denom_b = float(tb or 0) + alpha * float(v)
+    weights = cnt.select(
+        "token",
+        (
+            F.log((F.col("__ng") + F.lit(alpha)).cast("double") / F.lit(denom_g))
+            - F.log((F.col("__nb") + F.lit(alpha)).cast("double") / F.lit(denom_b))
+        ).alias("weight"),
+    )
+    import math
+
+    prior = math.log((float(n_good or 0) + alpha) / (float(n_bad or 0) + alpha))
+    oov = math.log(alpha / denom_g) - math.log(alpha / denom_b)
+    return weights, prior, oov
+
+
+def score_nb_quality(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    prior: float,
+    oov_weight: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a fitted :func:`train_nb_quality` model:
+    ``log_odds = prior + Σ_tokens weight(t)`` (OOV tokens take the
+    smoothed ``oov_weight``), ``p_good`` the logistic of it. The
+    per-document sum runs in FIXED POINT (:data:`NB_SCALE`, rule W)
+    so the result is independent of partitioning and engine — the
+    registry row carries a hash-exact DuckDB oracle end-to-end
+    through training AND scoring.
+
+    Scale shape: explode → one equi-join on token (no broadcast
+    assumption — the vocabulary of a 100 TB corpus shards across the
+    cluster; AQE may still pick broadcast when it fits) → one
+    groupBy(id). Linear in corpus tokens.
+    """
+    from .text import word_tokens
+
+    toks = df.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("token"))
+    w = toks.join(weights, "token", "left").select(
+        id_col,
+        F.coalesce(F.col("weight"), F.lit(float(oov_weight))).alias("__w"),
+    )
+    q = F.floor(F.col("__w") * F.lit(NB_SCALE)).cast("bigint")
+    agg = w.groupBy(id_col).agg(
+        (
+            F.sum(q).cast("double") / F.lit(NB_SCALE) + F.lit(float(prior))
+        ).alias("log_odds")
+    )
+    return agg.select(
+        id_col,
+        "log_odds",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("log_odds")))).alias("p_good"),
+    )

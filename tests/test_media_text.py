@@ -394,3 +394,56 @@ def test_quality_classifier_separates_planted_classes(spark):
     good_mean = sum(out[i] for i in range(60)) / 60
     bad_mean = sum(out[1000 + i] for i in range(60)) / 60
     assert good_mean > 0.85 and bad_mean < 0.15
+
+
+def test_nb_quality_separates_and_is_partition_invariant(spark):
+    """Portable Naive-Bayes quality gate (r11): integer-count training
+    + rule-W fixed-point scoring separates clean prose from digit/
+    punctuation soup, p_good in [0,1], OOV tokens take the smoothed
+    weight, and the scores are IDENTICAL under a different input
+    partitioning (the order-independence the fixed-point sum buys)."""
+    import random
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.quality_model import (
+        score_nb_quality,
+        train_nb_quality,
+    )
+
+    rng = random.Random(3)
+    good = [
+        "the quick brown fox jumps over the lazy dog and runs far away home "
+        * 2
+        for _ in range(60)
+    ]
+    bad = [
+        " ".join(str(rng.randint(0, 99)) for _ in range(20)) + " !!! ### $$$"
+        for _ in range(60)
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(good)] + [
+        (1000 + i, t, 0) for i, t in enumerate(bad)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, prior, oov = train_nb_quality(df, text_col="text")
+    held = df.drop("label").union(
+        # an all-OOV doc exercises the smoothing path
+        spark.createDataFrame(
+            [(9999, "zzz qqq xxx unseen tokens only")],
+            "doc_id long, text string",
+        )
+    )
+    scored = score_nb_quality(held, weights, prior=prior, oov_weight=oov)
+    out = {r["doc_id"]: r["p_good"] for r in scored.collect()}
+    assert len(out) == len(rows) + 1
+    assert all(0.0 <= p <= 1.0 for p in out.values())
+    good_mean = sum(out[i] for i in range(60)) / 60
+    bad_mean = sum(out[1000 + i] for i in range(60)) / 60
+    assert good_mean > 0.85 and bad_mean < 0.15
+
+    again = {
+        r["doc_id"]: r["p_good"]
+        for r in score_nb_quality(
+            held.repartition(13, "text"), weights,
+            prior=prior, oov_weight=oov,
+        ).collect()
+    }
+    assert out == again  # bit-identical under repartitioning (rule W)
