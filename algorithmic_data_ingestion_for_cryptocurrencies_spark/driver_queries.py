@@ -4270,7 +4270,7 @@ def _portable_cents_cte(
     (`similarity.kmeans_centroids(mean="scaled_int")`). Seeds are the
     library default (the k lowest-id corpus vectors); each
     iteration re-assigns by the `_dot_sql` argmax (ties → lowest
-    centroid_id, `_assign_key`'s struct order) and recomputes means as
+    centroid_id, `_assign_expr`'s struct order) and recomputes means as
     ``SUM(FLOOR(x * 2^40)::DECIMAL(38,0))`` — integer addition is
     order-independent, so the parallel Spark aggregation and DuckDB's
     produce the same decimal, the same double quotient, the same
@@ -4317,7 +4317,7 @@ def _ivf_sql(
     the identical FLOAT-product DOUBLE-accumulated dots both engines
     compute (`_dot_sql`), and the exact rerank is the proven
     `_cos_sql` contract. Ties break (dot DESC, centroid_id) in both
-    engines — similarity._assign_key's struct order."""
+    engines — similarity._assign_expr's struct order."""
     cents_ctes, cents = _portable_cents_cte(
         k=n_centroids, iters=iters, cents_from=cents_from
     )
@@ -4411,8 +4411,8 @@ tr AS (
   FROM documents WHERE doc_id % 2 = 1
 ), sc AS (
   SELECT h.doc_id,
-         SUM(CAST(FLOOR(COALESCE(w.w8, o.w8) * {_NB_SCALE_SQL}) AS BIGINT))
-           AS s
+         SUM(CAST(FLOOR(COALESCE(w.w8, o.w8) * {_NB_SCALE_SQL})
+                  AS DECIMAL(38,0))) AS s
   FROM htok h LEFT JOIN wt w USING (token) CROSS JOIN oov o
   GROUP BY h.doc_id
 )
@@ -4793,9 +4793,9 @@ def sim_ivf_upsert(spark, sf_dir):
     # top-k through the partition-pruned read path. Batch-split
     # invariance, replay idempotence, last-writer-wins re-upsert, and
     # compaction equivalence are pytest-asserted
-    # (tests/test_ivf_upsert.py). r11: with the portable hash
-    # quantizer frozen over the HEAD half, the manifest/LWW machinery
-    # must be value-invisible — the served top-k equals a one-shot
+    # (tests/test_ivf_upsert.py). r11: with the portable fixed-point
+    # k-means quantizer frozen over the HEAD half, the manifest/LWW
+    # machinery must be value-invisible — the served top-k equals a one-shot
     # portable IVF over the full corpus with head-half centroids,
     # which IS the DuckDB oracle (flipped from rows-only; the protocol
     # state-machine itself stays pytest-verified).

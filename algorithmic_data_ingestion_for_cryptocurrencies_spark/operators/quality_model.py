@@ -186,6 +186,11 @@ def train_nb_quality(
         F.sum(F.when(lbl == 1, 1).otherwise(0)),
         F.sum(F.when(lbl == 0, 1).otherwise(0)),
     ).first()
+    if not v:
+        raise ValueError(
+            "train_nb_quality: empty training corpus (no tokens) — "
+            "cannot fit smoothed class likelihoods"
+        )
     denom_g = float(tg or 0) + alpha * float(v)
     denom_b = float(tb or 0) + alpha * float(v)
     weights = cnt.select(
@@ -231,7 +236,11 @@ def score_nb_quality(
         id_col,
         F.coalesce(F.col("weight"), F.lit(float(oov_weight))).alias("__w"),
     )
-    q = F.floor(F.col("__w") * F.lit(NB_SCALE)).cast("bigint")
+    # DECIMAL(38,0), not BIGINT: Spark's non-ANSI BIGINT sum WRAPS on
+    # overflow while DuckDB promotes — a pathological document
+    # (~4e5 tokens at |w|~20 quantized to ~2e13 each) would cross
+    # 2^63; the decimal sum holds ~1e38 and both engines agree
+    q = F.floor(F.col("__w") * F.lit(NB_SCALE)).cast("decimal(38,0)")
     agg = w.groupBy(id_col).agg(
         (
             F.sum(q).cast("double") / F.lit(NB_SCALE) + F.lit(float(prior))

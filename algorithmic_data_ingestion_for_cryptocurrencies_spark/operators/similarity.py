@@ -375,16 +375,14 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iterations: int = 3,
-    init: str = "lowest_id",
     mean: str = "float",
 ) -> DataFrame:
     """Deterministic Lloyd iterations, pure DataFrame ops: seeds are
-    deterministic (``init="lowest_id"``: the k lowest-id vectors;
-    ``init="hash"``: :func:`hash_centroids`' uniform md5-order
-    sample), each iteration assigns points to the nearest centroid
-    (broadcast join + deterministic argmax) and recomputes the mean.
-    Exact k-means is not the goal — IVF only needs a stable coarse
-    quantizer. Returns (centroid_id, centroid).
+    the k lowest-id vectors (deterministic), each iteration assigns
+    points to the nearest centroid (map-only argmax expression,
+    deterministic ties) and recomputes the mean. Exact k-means is not
+    the goal — IVF only needs a stable coarse quantizer. Returns
+    (centroid_id, centroid).
 
     ``mean="scaled_int"`` swaps the float mean for the
     order-independent fixed-point mean (:data:`PORTABLE_MEAN_SCALE`),
@@ -394,20 +392,12 @@ def kmeans_centroids(
     drop identically in both engines (GROUP BY emits no row).
     """
     spark = df.sparkSession
-    if init == "hash":
-        seed_rows = [
-            (r["centroid_id"], r["centroid"])
-            for r in hash_centroids(
-                df, k, vec_col=vec_col, id_col=id_col
-            ).collect()
-        ]
-    else:
-        seed_rows = [
-            (i, r[0])
-            for i, r in enumerate(
-                df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
-            )
-        ]
+    seed_rows = [
+        (i, r[0])
+        for i, r in enumerate(
+            df.orderBy(F.col(id_col)).limit(k).select(vec_col).collect()
+        )
+    ]
     schema = "centroid_id int, centroid array<float>"
     if not seed_rows:  # empty input: empty, correctly-typed quantizer
         return spark.createDataFrame([], schema)

@@ -82,9 +82,13 @@ def kmv_distinct(
     The estimate depends only on the SET of k smallest hash values —
     row_number tie order between equal hashes cannot change ``MAX``
     or ``COUNT`` — so it is reproducible regardless of partitioning.
+    NULL keys are excluded (COUNT(DISTINCT) semantics — and the two
+    engines disagree on NULL placement in window ORDER BY, so an
+    unfiltered NULL would also break the cross-engine contract).
     """
     dedup = (
-        df.select(*group_cols, key_col)
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, key_col)
         .distinct()
         .select(*group_cols, kmv_hash(key_col).alias("__h"))
     )
@@ -108,9 +112,10 @@ def hist_slot(
 ) -> Column:
     """Clamped 1-based bin slot (0 = underflow, nbins+1 = overflow) —
     the exact slot math of ``store/rollup.py`` hist_cols, shared so
-    the standalone and rollup estimators stay value-identical."""
+    the standalone and rollup estimators stay value-identical. The
+    ``(v - lo) / (hi - lo) * nbins`` form (NOT ``(v - lo) / width``)
+    is the bit-exact cross-engine contract — do not refactor it."""
     v = (F.col(val) if isinstance(val, str) else val).cast("double")
-    width = (hi - lo) / nbins
     return (
         F.when(v.isNull(), F.lit(None).cast("int"))
         .when(v < lo, F.lit(0))
@@ -229,7 +234,8 @@ FROM (
   SELECT {group_col}, __h,
          ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY __h) AS __rn
   FROM (SELECT {group_col}, {kmv_hash_sql(key_col, dialect=dialect)} AS __h
-        FROM (SELECT DISTINCT {group_col}, {key_col} FROM {table}))
+        FROM (SELECT DISTINCT {group_col}, {key_col} FROM {table}
+              WHERE {key_col} IS NOT NULL))
 ) WHERE __rn <= {k}
 GROUP BY {group_col}"""
 

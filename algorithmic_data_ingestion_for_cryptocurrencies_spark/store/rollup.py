@@ -87,6 +87,18 @@ def _state_cols(c: str) -> list[str]:
     return [f"n_{c}", f"sum_{c}", f"min_{c}", f"max_{c}", f"sumsq_{c}"]
 
 
+def _check_distinct_method(method: str) -> None:
+    """Fail LOUDLY at state-build/construction time: an unrecognized
+    method would otherwise write states with NO distinct column at
+    all (neither branch matches) and only surface later as an
+    unresolved-column error on read — with the bad states already
+    persisted."""
+    if method not in ("hll", "kmv"):
+        raise ValueError(
+            f"unknown distinct_method {method!r} (expected 'hll' or 'kmv')"
+        )
+
+
 def rollup_state(
     df: DataFrame,
     *,
@@ -130,6 +142,7 @@ def rollup_state(
     DuckDB oracle — HLL stays the default (smaller state at high
     cardinality: 1.5 KB vs 2 KB at k=256, and one aggregate pass vs
     a rank pre-pass per column)."""
+    _check_distinct_method(distinct_method)
     b = (
         F.floor(F.col(ts_col).cast("long") / F.lit(bucket_seconds))
         * F.lit(bucket_seconds)
@@ -171,8 +184,12 @@ def rollup_state(
         .agg(*aggs)
     )
     if distinct_method == "kmv":
+        import functools
+        import operator
+
         from ..operators.sketches import kmv_hash
 
+        jcols = [*keys, "bucket_ts"]
         for c in distinct_cols:
             # rank pre-pass per column: distinct hashes, per-bucket
             # k smallest (WindowGroupLimit keeps in-flight state O(k)
@@ -185,16 +202,33 @@ def rollup_state(
                 .select(*keys, "bucket_ts", kmv_hash(c).alias("__h"))
                 .distinct()
             )
-            w = Window.partitionBy(*keys, "bucket_ts").orderBy("__h")
+            w = Window.partitionBy(*jcols).orderBy("__h")
             st = (
                 hashes.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= kmv_k)
-                .groupBy(*keys, "bucket_ts")
+                .groupBy(*jcols)
                 .agg(F.array_sort(F.collect_list("__h")).alias(f"kmv_{c}"))
+                # NULL-SAFE join keys (review fix): a group keyed by
+                # NULL (or a NULL-ts bucket) must still receive its
+                # state — a plain equi-join drops it and the column
+                # would silently finalize to 0 where HLL reports the
+                # true count
+                .select(
+                    *[F.col(k).alias(f"__r_{k}") for k in jcols],
+                    f"kmv_{c}",
+                )
             )
-            out = out.join(st, [*keys, "bucket_ts"], "left").withColumn(
-                f"kmv_{c}",
-                F.coalesce(f"kmv_{c}", F.array().cast("array<bigint>")),
+            cond = functools.reduce(
+                operator.and_,
+                [out[k].eqNullSafe(st[f"__r_{k}"]) for k in jcols],
+            )
+            out = (
+                out.join(st, cond, "left")
+                .drop(*[f"__r_{k}" for k in jcols])
+                .withColumn(
+                    f"kmv_{c}",
+                    F.coalesce(f"kmv_{c}", F.array().cast("array<bigint>")),
+                )
             )
     return out.withColumn("batch_id", F.lit(batch_id))
 
@@ -337,6 +371,7 @@ class RollupStore:
         self.val_cols = list(val_cols)
         self.distinct_cols = list(distinct_cols)
         self.hist_cols = dict(hist_cols or {})
+        _check_distinct_method(distinct_method)
         self.distinct_method = distinct_method
         self.kmv_k = kmv_k
         self.bucket_seconds = bucket_seconds

@@ -430,3 +430,38 @@ def test_manifest_legacy_unsuffixed_layout_still_read(spark, tmp_path):
         n for n in os.listdir(store.path) if n.startswith("_rollup_manifest")
     )
     assert names == ["_rollup_manifest.g2.json"]
+
+
+def test_kmv_rollup_null_group_key_gets_state(spark, tmp_path):
+    """Review fix (r11): a group keyed by NULL must still receive its
+    KMV distinct state — the state join is null-safe, so the NULL
+    group reports the true distinct count (a plain equi-join silently
+    finalized it to 0), matching the HLL path. Unknown
+    distinct_method fails loudly at construction."""
+    import pytest as _pytest
+
+    rows = [
+        (None, "2024-03-01 00:00:00", 1.0, 10),
+        (None, "2024-03-01 01:00:00", 2.0, 11),
+        (None, "2024-03-01 02:00:00", 3.0, 10),
+        ("k1", "2024-03-01 00:00:00", 4.0, 12),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, v double, u long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    store = RollupStore(
+        spark, str(tmp_path / "r"), keys=["k"], val_cols=["v"],
+        bucket_seconds=7 * 86400, distinct_cols=["u"],
+        distinct_method="kmv",
+    )
+    store.upsert_rollup(df, ts_col="ts", batch_id="b1")
+    got = {r["k"]: r["approx_distinct_u"] for r in store.read_rollup().collect()}
+    assert got[None] == 2.0   # users 10, 11 — not 0
+    assert got["k1"] == 1.0
+
+    with _pytest.raises(ValueError, match="distinct_method"):
+        RollupStore(
+            spark, str(tmp_path / "bad"), keys=["k"], val_cols=["v"],
+            bucket_seconds=86400, distinct_cols=["u"],
+            distinct_method="KMV",
+        )
