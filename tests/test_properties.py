@@ -371,3 +371,90 @@ def test_sessionize_matches_gap_partition_reference(spark):
                 sid += 1
             assert got[(u, t)] == sid, (u, t, got[(u, t)], sid)
             prev = t
+
+
+@given(
+    n=st.integers(5, 400),
+    n_groups=st.integers(1, 4),
+    k=st.sampled_from([8, 32]),
+    dup_factor=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_kmv_estimate_invariants(spark, n, n_groups, k, dup_factor, seed):
+    """KMV sketch (r11) exact properties — these hold by construction,
+    not statistically: (a) groups with < k distinct keys report the
+    EXACT distinct count; (b) the estimate is invariant under row
+    duplication (it is a function of the key SET); (c) invariant under
+    repartitioning (the k-min set is partition-independent)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    rng = np.random.default_rng(seed)
+    keys = rng.integers(0, n, size=n)
+    rows = [
+        (int(g), int(key))
+        for g in range(n_groups)
+        for key in keys
+        for _ in range(dup_factor)
+    ]
+    df = spark.createDataFrame(rows, "g int, key long")
+    est = {
+        r["g"]: r["est"]
+        for r in kmv_distinct(df, ["g"], "key", k=k, out="est").collect()
+    }
+    exact = len(set(int(x) for x in keys))
+    for g in range(n_groups):
+        if exact < k:
+            assert est[g] == float(exact), (g, est[g], exact)
+
+    # duplication invariance: the single-copy frame estimates the same
+    single = spark.createDataFrame(
+        [(int(g), int(key)) for g in range(n_groups) for key in keys],
+        "g int, key long",
+    )
+    est1 = {
+        r["g"]: r["est"]
+        for r in kmv_distinct(single, ["g"], "key", k=k, out="est").collect()
+    }
+    assert est == est1
+
+    # partition invariance
+    est2 = {
+        r["g"]: r["est"]
+        for r in kmv_distinct(
+            df.repartition(7, "key"), ["g"], "key", k=k, out="est"
+        ).collect()
+    }
+    assert est == est2
+
+
+@given(
+    n=st.integers(3, 300),
+    p=st.sampled_from([0.25, 0.5, 0.9, 0.99]),
+    nbins=st.sampled_from([10, 100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_hist_percentile_within_one_bin(spark, n, p, nbins, seed):
+    """Fixed-bin histogram percentile (r11): for in-range values the
+    estimate is the right edge of the bin holding the ceil(n*p)-th
+    smallest value, so est - exact is in [0, bin_width] — a
+    deterministic bound, not a statistical one."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.sketches import (
+        hist_percentiles,
+    )
+
+    lo, hi = 0.0, 1000.0
+    width = (hi - lo) / nbins
+    rng = np.random.default_rng(seed)
+    vals = rng.uniform(lo, hi - 1e-9, size=n)
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in vals], "g int, v double"
+    )
+    got = hist_percentiles(
+        df, ["g"], "v", lo=lo, hi=hi, nbins=nbins, ps={"est": p}
+    ).first()["est"]
+    exact = float(np.sort(vals)[int(np.ceil(n * p)) - 1])
+    assert -1e-9 <= got - exact <= width + 1e-9, (got, exact, width)
