@@ -387,3 +387,39 @@ def test_persisted_ivf_index_prunes_partitions_and_recalls(spark, tmp_path):
         for r in knn_join(q, emb, k=5).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_hash_quantizer_recall_sanity(spark):
+    """quantizer="hash" (seed-sample, no Lloyd) is the cheap build
+    option: recall is lower than the Lloyd quantizers by design —
+    pin a floor so the mode stays usable (measured 0.73@nprobe=8 on
+    this uniform-sphere data; real clustered embeddings do better)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in knn_join(q, emb, k=5).collect()}
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            q, emb, k=5, n_centroids=16, nprobe=8, quantizer="hash"
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_ivf_and_semantic_dedup_empty_corpus(spark):
+    """Empty-corpus edges return typed empty frames (the map-only
+    assignment guard, r11): no crash building expressions over zero
+    centroids."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(0)
+    out = ivf_topk(emb, emb, k=3, n_centroids=8, quantizer="portable")
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    sd = semantic_dedup(emb, n_clusters=8, threshold=0.9)
+    assert sd.count() == 0
+    assert sd.columns == ["vec_id", "cluster_id", "component", "keep"]
