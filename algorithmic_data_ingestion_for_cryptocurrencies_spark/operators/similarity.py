@@ -414,13 +414,16 @@ def kmeans_centroids(
 
     rows = [(int(cid), list(v)) for cid, v in seed_rows]
     for _ in range(iterations):
-        # map-only assignment (r11): greatest() over per-centroid
-        # (dot, -id) structs — no crossJoin expansion, no
-        # groupBy(id, vec) shuffle; each Lloyd step is one light
-        # exchange on centroid_id (k groups, map-side combined)
-        assigned = df.select(
-            F.col(vec_col),
-            _assign_expr(vec_col, rows, dim=dims).alias("centroid_id"),
+        # map-only assignment (r11, small-k tier via the tiered
+        # helper): no crossJoin expansion, no groupBy(id, vec)
+        # shuffle; each Lloyd step is one light exchange on
+        # centroid_id (k groups, map-side combined). id_col rides
+        # along so the large-k join tier's groupBy keeps duplicate
+        # vectors at their true multiplicity in the mean.
+        assigned = _assigned_frame(
+            df.select(F.col(id_col), F.col(vec_col)),
+            spark.createDataFrame(rows, schema), rows,
+            vec_col=vec_col, dim=dims,
         )
         new = assigned.groupBy("centroid_id").agg(
             F.array(
@@ -574,6 +577,83 @@ def _probe_expr(
     return F.transform(ranked, lambda s: s["cid"])
 
 
+#: Above this centroid count the per-centroid literal expressions
+#: (_assign_expr / _probe_expr) stop being a good idea — the plan
+#: grows linearly in k (measured fine through k=128; a web-scale
+#: SemDeDup runs ~100k clusters) — so the tiered helpers below fall
+#: back to the broadcast-join shape, which handles any k at the cost
+#: of one corpus shuffle. Same argmax, same (dot DESC, centroid_id)
+#: tie order in both tiers.
+ASSIGN_EXPR_MAX_CENTROIDS = 64
+
+
+def _assigned_frame(
+    df: DataFrame,
+    cents: DataFrame,
+    crows: list[tuple[int, list[float]]],
+    *,
+    vec_col: str,
+    out: str = "centroid_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment, tiered on centroid count: the
+    map-only greatest() expression up to
+    :data:`ASSIGN_EXPR_MAX_CENTROIDS` (zero exchanges), else the
+    broadcast crossJoin + deterministic max_by (one map-side-combined
+    corpus shuffle — the shape a 100k-cluster SemDeDup needs; the
+    literal-expression plan would grow linearly in k). Both tiers
+    compute the identical argmax with the identical (dot DESC,
+    centroid_id) tie order. Returns ``df``'s columns plus ``out``;
+    ``df`` must not already carry ``centroid_id``/``__d``."""
+    if not crows:  # empty quantizer (empty corpus): typed placeholder
+        return df.select(
+            *df.columns, F.lit(0).cast("int").alias(out)
+        )
+    if len(crows) <= ASSIGN_EXPR_MAX_CENTROIDS:
+        return df.select(
+            *df.columns, _assign_expr(vec_col, crows, dim=dim).alias(out)
+        )
+    key = F.struct(F.col("__d"), (-F.col("centroid_id")).alias("__nc"))
+    return (
+        df.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
+        .groupBy(*df.columns)
+        .agg(F.max_by("centroid_id", key).alias(out))
+    )
+
+
+def _probed_frame(
+    q: DataFrame,
+    cents: DataFrame,
+    crows: list[tuple[int, list[float]]],
+    nprobe: int,
+    *,
+    dim: int | None = None,
+) -> DataFrame:
+    """Top-``nprobe`` probe lists per query, tiered like
+    :func:`_assigned_frame`: map-only array_sort expression for small
+    k, broadcast crossJoin + row_number window for large k — identical
+    (dot DESC, centroid_id) order in both. ``q`` carries
+    ``(query_id, __qvec)``; returns those plus ``centroid_id``."""
+    if len(crows) <= ASSIGN_EXPR_MAX_CENTROIDS:
+        return q.select(
+            "query_id", "__qvec",
+            F.explode(_probe_expr("__qvec", crows, nprobe, dim=dim)).alias(
+                "centroid_id"
+            ),
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__d").desc(), F.col("centroid_id")
+    )
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("__d", dot(F.col("__qvec"), F.col("centroid"), dim=dim))
+        .withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qvec", "centroid_id")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -612,19 +692,23 @@ def ivf_topk(
         )
 
     # both assignment and probe selection are MAP-ONLY expressions
-    # over the collected centroids (r11) — the only shuffle left in
-    # the whole query is the equi-join on centroid_id + the rerank
-    corpus_l = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        _assign_expr(vec_col, crows, dim=dim).alias("centroid_id"),
-    )
-    query_probes = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_probe_expr(vec_col, crows, nprobe, dim=dim)).alias(
-            "centroid_id"
+    # over the collected centroids (r11, small-k tier) — the only
+    # shuffle left in the whole query is the equi-join on centroid_id
+    # + the rerank; above ASSIGN_EXPR_MAX_CENTROIDS the tiered helpers
+    # switch to the broadcast-join shape
+    corpus_l = _assigned_frame(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
         ),
+        cents, crows, vec_col="__cvec", dim=dim,
+    )
+    query_probes = _probed_frame(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+        ),
+        cents, crows, nprobe, dim=dim,
     )
     scored = (
         query_probes.join(corpus_l, "centroid_id")
@@ -736,15 +820,11 @@ def build_ivf_index(
         iterations=iterations, quantizer=quantizer,
     )
     crows = _cent_rows(cents)
-    # map-only assignment (r11): the build's only exchange is the
-    # partitioned write itself — no crossJoin, no groupBy shuffle
-    assigned = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        (
-            _assign_expr(vec_col, crows)
-            if crows else F.lit(0).cast("int")
-        ).alias("centroid_id"),
+    # map-only assignment (r11, small-k tier): the build's only
+    # exchange is the partitioned write itself
+    assigned = _assigned_frame(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        cents, crows, vec_col=vec_col,
     )
     # a REBUILD over a previously-compacted index resets the
     # generation state FIRST (r10 review fix): deleting the stale
@@ -815,15 +895,16 @@ def ivf_index_topk(
         )
     lists_dir, folded_seq = _ivf_lists_path(spark, path)
     probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            # map-only probe selection (r11): array_sort over
-            # per-centroid (−dot, id) structs replaces the former
-            # crossJoin + row_number window — zero exchanges
-            F.explode(_probe_expr(vec_col, crows, nprobe)).alias(
-                "centroid_id"
+        # map-only probe selection (r11, small-k tier): array_sort
+        # over per-centroid (−dot, id) structs replaces the former
+        # crossJoin + row_number window — zero exchanges; large-k
+        # indexes fall back to the join shape inside the helper
+        _probed_frame(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
             ),
+            cents, crows, nprobe,
         )
         # materialize once: the distinct-collect below and the serve
         # join both read the checkpointed probe rows (n_queries*nprobe,
@@ -1096,16 +1177,12 @@ def ivf_index_upsert(
         )
     cents = spark.read.parquet(path.rstrip("/") + "/centroids")
     crows = _cent_rows(cents)
-    # map-only frozen-centroid assignment (r11): the upsert's only
-    # exchange is the partitioned append itself
+    # map-only frozen-centroid assignment (r11, small-k tier): the
+    # upsert's only exchange is the partitioned append itself
     assigned = (
-        vectors.select(
-            F.col(id_col),
-            F.col(vec_col),
-            (
-                _assign_expr(vec_col, crows)
-                if crows else F.lit(0).cast("int")
-            ).alias("centroid_id"),
+        _assigned_frame(
+            vectors.select(F.col(id_col), F.col(vec_col)),
+            cents, crows, vec_col=vec_col,
         )
         .withColumn("__batch_seq", F.lit(seq).cast("bigint"))
         .withColumn("__batch_id", F.lit(batch_id))
@@ -1286,12 +1363,14 @@ def semantic_dedup(
             F.col(id_col).alias("component"),
             F.lit(True).alias("keep"),
         )
-    # map-only cluster assignment (r11): the only pair-generating
-    # shuffle left is the equi-join on cluster_id below
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _assign_expr(vec_col, crows, dim=dim).alias("cluster_id"),
+    # map-only cluster assignment (r11, small-k tier; the tiered
+    # helper switches to the broadcast-join shape above
+    # ASSIGN_EXPR_MAX_CENTROIDS — the 100k-cluster web-scale
+    # SemDeDup regime): the only pair-generating shuffle left is the
+    # equi-join on cluster_id below
+    assigned = _assigned_frame(
+        df.select(F.col(id_col), F.col(vec_col)),
+        cents, crows, vec_col=vec_col, out="cluster_id", dim=dim,
     )
     a = assigned.select(
         F.col("cluster_id"),

@@ -423,3 +423,28 @@ def test_ivf_and_semantic_dedup_empty_corpus(spark):
     sd = semantic_dedup(emb, n_clusters=8, threshold=0.9)
     assert sd.count() == 0
     assert sd.columns == ["vec_id", "cluster_id", "component", "keep"]
+
+
+def test_assignment_tiers_agree_above_threshold(spark, monkeypatch):
+    """The large-k broadcast-join assignment tier (above
+    ASSIGN_EXPR_MAX_CENTROIDS, the 100k-cluster SemDeDup regime) must
+    produce row-identical results to the map-only expression tier —
+    same argmax, same (dot DESC, centroid_id) tie order."""
+    import algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    def run():
+        return {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ivf_topk(
+                q, emb, k=5, n_centroids=80, nprobe=20, quantizer="hash"
+            ).collect()
+        }
+
+    monkeypatch.setattr(sim, "ASSIGN_EXPR_MAX_CENTROIDS", 128)
+    small = run()  # expression tier (80 <= 128)
+    monkeypatch.setattr(sim, "ASSIGN_EXPR_MAX_CENTROIDS", 64)
+    large = run()  # join tier (80 > 64)
+    assert small == large
