@@ -456,12 +456,13 @@ def hash_centroids(
     Unlike :func:`kmeans_centroids` there is NO averaging step: every
     centroid is a verbatim float32 corpus vector, so the assignment
     argmax downstream compares dot products that are bit-identical
-    across engines (the ``_cos_sql`` float-multiply contract) — which
-    is what lets the IVF and SemDeDup registry rows carry hash-exact
-    DuckDB oracles. The trade is list tightness: Lloyd refinement
-    centers the lists better, so k-means stays the library default
-    quantizer; recall for the hash quantizer is pytest-asserted
-    separately.
+    across engines (the ``_cos_sql`` float-multiply contract). This is
+    the CHEAP quantizer (no Lloyd jobs at all); the registry rows use
+    ``quantizer="portable"`` instead — fixed-point-mean Lloyd, which
+    is equally engine-reproducible AND keeps k-means recall (this
+    sampler measured 0.73@nprobe=8 vs Lloyd's 0.96 on the
+    uniform-sphere testdata; floor pytest-pinned). k-means stays the
+    library default quantizer.
 
     The seed selection is a distributed ``orderBy().limit(k)``
     (per-partition top-k + driver merge); the rank window then runs on
