@@ -550,3 +550,27 @@ def test_spread_series_single_window_evaluation(spark):
     ]
     assert len(win_ops) == 1, tree
     assert full.lower().count("windowspecdefinition") == 1, full
+
+
+def test_ivf_serve_plan_two_exchanges_no_crossjoin(spark):
+    """r11 map-only assignment (PLANS.md rule X): the in-memory
+    portable IVF serve plan is exactly the equi-join on centroid_id
+    plus the per-query rerank window — no CartesianProduct or
+    BroadcastNestedLoop anywhere, and at most 3 exchanges (join sides
+    + window; AQE may fuse further). The former crossJoin+groupBy
+    assignment shape would show up here as extra exchanges."""
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_topk(
+        emb.filter(F.col("vec_id") < 3), emb,
+        k=5, n_centroids=8, nprobe=4, quantizer="portable",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
