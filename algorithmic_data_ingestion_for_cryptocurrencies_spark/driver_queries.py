@@ -4375,7 +4375,9 @@ def sim_ivf(spark, sf_dir):
     )
 
 
-_NB_SCALE_SQL = "CAST(1099511627776 AS DOUBLE)"  # 2^40, quality_model.NB_SCALE
+from .operators.quality_model import NB_SCALE as _NB_SCALE  # noqa: E402
+
+_NB_SCALE_SQL = f"CAST({int(_NB_SCALE)} AS DOUBLE)"
 _NB_SQL = f"""WITH q AS ({_QUALITY_SQL}),
 tr AS (
   SELECT d.doc_id, d.text,

@@ -469,7 +469,9 @@ def hash_centroids(
     the k-row result, so the unpartitioned window is bounded by
     ``k``, never the corpus.
     """
-    h = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    from .sampling import _hash_hex8
+
+    h = _hash_hex8(id_col)
     seeds = (
         df.select(
             h.alias("__h"), F.col(id_col).alias("__sid"),
@@ -675,9 +677,10 @@ def ivf_topk(
     touches ~``nprobe/n_centroids`` of the corpus, and every stage is
     an equi-join on centroid_id — never n².
 
-    ``quantizer="hash"`` (registry/oracle default per PLANS.md rule V)
-    swaps the k-means coarse quantizer for :func:`hash_centroids`,
-    making every downstream value DuckDB-reproducible.
+    ``quantizer="portable"`` (what the registry rows run, PLANS.md
+    rule V/W) keeps the Lloyd k-means but with the fixed-point mean,
+    making every downstream value DuckDB-reproducible at unchanged
+    recall; ``"hash"`` is the cheap no-Lloyd seed-sample quantizer.
     """
     cents = _centroids(
         corpus, n_centroids, vec_col=vec_col, id_col=id_col,

@@ -64,6 +64,20 @@ def kmv_hash(col: Column | str) -> Column:
     ).cast("bigint")
 
 
+def kmv_estimate_expr(state: Column, k: int) -> Column:
+    """Finalize a sorted k-min hash array into the distinct estimate:
+    exact size below ``k``, else ``(k-1)·2^52/(h_k + 1)``. Shared by
+    :func:`kmv_distinct` and the rollup store's
+    ``distinct_method="kmv"`` so the two estimators cannot drift."""
+    return (
+        F.when(F.size(state) < k, F.size(state).cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(KMV_SPACE)
+            / (F.element_at(state, k) + F.lit(1))
+        )
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -320,16 +320,12 @@ def finalize_rollup(
         out = out.drop(f"hist_{c}")
     for c in distinct_cols:
         if distinct_method == "kmv":
-            from ..operators.sketches import KMV_SPACE
+            from ..operators.sketches import kmv_estimate_expr
 
-            st = F.col(f"kmv_{c}")
-            est = F.when(
-                F.size(st) < kmv_k, F.size(st).cast("double")
-            ).otherwise(
-                F.lit(float(kmv_k - 1)) * F.lit(KMV_SPACE)
-                / (F.element_at(st, kmv_k) + F.lit(1))
-            )
-            out = out.withColumn(f"approx_distinct_{c}", est).drop(f"kmv_{c}")
+            out = out.withColumn(
+                f"approx_distinct_{c}",
+                kmv_estimate_expr(F.col(f"kmv_{c}"), kmv_k),
+            ).drop(f"kmv_{c}")
         else:
             out = out.withColumn(
                 f"approx_distinct_{c}",
