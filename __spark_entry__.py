@@ -96,7 +96,9 @@ def _panel(names: list[str]) -> list[str]:
         k = int(mode.split(":", 1)[1]) % 3
         return sorted(names)[k::3]
     missing = [n for n in _PANEL_FRONT if n not in set(names)]
-    assert not missing, f"_PANEL_FRONT names absent from registry: {missing}"
+    if missing:  # explicit raise: a bare assert is stripped under -O
+        # and a typo'd front name would silently shrink the panel
+        raise ValueError(f"_PANEL_FRONT names absent from registry: {missing}")
     front = set(_PANEL_FRONT)
     return list(_PANEL_FRONT) + [n for n in names if n not in front]
 

@@ -4275,7 +4275,10 @@ def _portable_cents_cte(
     order-independent, so the parallel Spark aggregation and DuckDB's
     produce the same decimal, the same double quotient, the same
     float32 centroid. Returns (cte_list_sql, final_cte_name)."""
-    scale = repr(float(1 << 40))
+    # CAST to DOUBLE per the module's float-literal rule: a bare
+    # 1099511627776.0 parses as DECIMAL in DuckDB (benign here only
+    # because the other operand is FLOAT/DOUBLE, r11 advisor).
+    scale = f"CAST({1 << 40} AS DOUBLE)"
     ctes = [f"""cents0 AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS centroid_id,
          embedding AS centroid
@@ -4419,18 +4422,15 @@ tr AS (
   GROUP BY h.doc_id
 )
 SELECT doc_id,
-       CAST(s AS DOUBLE) / {_NB_SCALE_SQL} + prior AS log_odds,
-       CAST(1 AS DOUBLE)
-         / (CAST(1 AS DOUBLE)
-            + EXP(-(CAST(s AS DOUBLE) / {_NB_SCALE_SQL} + prior))) AS p_good
+       CAST(s AS DOUBLE) / {_NB_SCALE_SQL} + prior AS log_odds
 FROM sc CROSS JOIN pri"""
 
 
 @q(
     "text_quality_nb",
     _NB_SQL,
-    cols=["doc_id", "log_odds", "p_good"],
-    fcols=["log_odds", "p_good"],
+    cols=["doc_id", "log_odds"],
+    fcols=["log_odds"],
 )
 def text_quality_nb_q(spark, sf_dir):
     """PORTABLE learned quality classifier (r11): multinomial
@@ -4442,7 +4442,14 @@ def text_quality_nb_q(spark, sf_dir):
     function of the data with a hash-exact DuckDB oracle — the
     learned-model family's exact row next to the L-BFGS logistic
     regression (rows-only, separation pytest), the way md5-minhash
-    sits next to xxhash64."""
+    sits next to xxhash64.
+
+    r12: the compared output is (doc_id, log_odds) — log_odds is
+    fixed-point sum + a prior whose LN bit-agrees across engines
+    (pinned by test_nb_libm_bit_agreement), while p_good's EXP was
+    MEASURED to diverge by 1 ulp on 24/250 corpus inputs (r11 advisor
+    confirmed), so its hash-exactness would be boundary luck. p_good
+    stays in the library API (score_nb_quality)."""
     from .operators.quality_model import score_nb_quality, train_nb_quality
     from .operators.text import quality_features
 
@@ -4458,7 +4465,7 @@ def text_quality_nb_q(spark, sf_dir):
     return score_nb_quality(
         held, weights, prior=prior, oov_weight=oov,
         id_col="doc_id", text_col="text",
-    )
+    ).select("doc_id", "log_odds")
 
 
 @q("text_quality_classifier", None)

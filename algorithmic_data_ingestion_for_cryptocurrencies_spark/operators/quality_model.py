@@ -240,6 +240,19 @@ def score_nb_quality(
     # overflow while DuckDB promotes — a pathological document
     # (~4e5 tokens at |w|~20 quantized to ~2e13 each) would cross
     # 2^63; the decimal sum holds ~1e38 and both engines agree
+    # Cross-engine hash-exactness assumption (r11 advisor, documented):
+    # the trained weights (LN ratios) and the final exp() in p_good
+    # rely on JVM Math.log/exp and DuckDB's libm LN/EXP agreeing
+    # BITWISE on the inputs this pipeline produces — a 1-ulp
+    # divergence could flip FLOOR(w * 2^40) when w*2^40 sits within
+    # the propagated error (~|LN|·2^-52·2^40 ≈ 5e-3 scale units) of an
+    # integer, which a realistic vocabulary WILL occasionally do.
+    # tests/test_media_text.py::test_nb_libm_bit_agreement verifies
+    # the bit agreement empirically on the full sf0.01 registry
+    # corpus (every distinct LN input from training, every EXP input
+    # from scoring). If that test ever fails on a new environment,
+    # the registry row's hash-exact oracle must be demoted to a
+    # tolerance compare — do not paper over it by widening the scale.
     q = F.floor(F.col("__w") * F.lit(NB_SCALE)).cast("decimal(38,0)")
     agg = w.groupBy(id_col).agg(
         (

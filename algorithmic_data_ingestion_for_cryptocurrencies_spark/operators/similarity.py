@@ -555,7 +555,12 @@ def _assign_expr(
         for cid, v in cents
     ]
     best = structs[0] if len(structs) == 1 else F.greatest(*structs)
-    return (-best["nc"]).cast("int")
+    # NULL/malformed vector => every dot is NULL (the centroids are
+    # literals, so null-ness depends only on the row's vector) => the
+    # struct compare would otherwise fall through to the id tiebreak
+    # and silently assign centroid 0 (r11 advisor). Yield NULL instead,
+    # matching the broadcast tier's explicit null-out below.
+    return F.when(best["d"].isNull(), F.lit(None)).otherwise(-best["nc"]).cast("int")
 
 
 def _probe_expr(
@@ -577,7 +582,12 @@ def _probe_expr(
         for cid, v in cents
     ])
     ranked = F.slice(F.array_sort(arr), 1, nprobe)
-    return F.transform(ranked, lambda s: s["cid"])
+    probes = F.transform(ranked, lambda s: s["cid"])
+    # NULL/malformed query vector: every nd is NULL and the sort would
+    # fall through to centroid-id order, silently probing the lowest
+    # nprobe lists. Yield NULL (a null query matches nothing) — same
+    # dirty-input contract as _assign_expr (r11 advisor finding).
+    return F.when(ranked[0]["nd"].isNull(), F.lit(None)).otherwise(probes)
 
 
 #: Above this centroid count the per-centroid literal expressions
@@ -617,11 +627,25 @@ def _assigned_frame(
             *df.columns, _assign_expr(vec_col, crows, dim=dim).alias(out)
         )
     key = F.struct(F.col("__d"), (-F.col("centroid_id")).alias("__nc"))
-    return (
+    # max(__d) is NULL iff the row's vector is NULL/malformed (every
+    # dot NULL); null the assignment out explicitly so both tiers agree
+    # on dirty input instead of the struct tiebreak electing centroid 0
+    # (r11 advisor finding, similarity.py _assign_expr).
+    agged = (
         df.crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col(vec_col), F.col("centroid"), dim=dim))
         .groupBy(*df.columns)
-        .agg(F.max_by("centroid_id", key).alias(out))
+        .agg(
+            F.max_by("centroid_id", key).alias(out),
+            F.max("__d").alias("__dmax"),
+        )
+    )
+    return agged.select(
+        *df.columns,
+        F.when(F.col("__dmax").isNull(), F.lit(None))
+        .otherwise(F.col(out))
+        .cast("int")
+        .alias(out),
     )
 
 

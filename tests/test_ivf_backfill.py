@@ -448,3 +448,38 @@ def test_assignment_tiers_agree_above_threshold(spark, monkeypatch):
     monkeypatch.setattr(sim, "ASSIGN_EXPR_MAX_CENTROIDS", 64)
     large = run()  # join tier (80 > 64)
     assert small == large
+
+
+def test_null_vector_assignment_is_null_in_both_tiers(spark, monkeypatch):
+    """Dirty-input contract (r11 advisor): a NULL or malformed (null
+    element) vector gets a NULL centroid assignment in BOTH tiers —
+    the map-only greatest() expression must not fall through the
+    struct tiebreak to centroid 0, and the broadcast-join tier must
+    not differ. Probe lists are NULL for the same inputs."""
+    import algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, None), (2, [None, 1.0])],
+        "vec_id int, embedding array<float>",
+    )
+    crows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])]
+    cents = spark.createDataFrame(
+        crows, "centroid_id int, centroid array<float>"
+    )
+    for cap in (64, 2):  # expression tier, then broadcast-join tier
+        monkeypatch.setattr(sim, "ASSIGN_EXPR_MAX_CENTROIDS", cap)
+        got = {
+            r["vec_id"]: r["centroid_id"]
+            for r in sim._assigned_frame(
+                df, cents, crows, vec_col="embedding", dim=2
+            ).collect()
+        }
+        assert got == {0: 0, 1: None, 2: None}, (cap, got)
+
+    probes = {
+        r["vec_id"]: r["p"]
+        for r in df.select(
+            "vec_id", sim._probe_expr("embedding", crows, 2, dim=2).alias("p")
+        ).collect()
+    }
+    assert probes[0] == [0, 2] and probes[1] is None and probes[2] is None

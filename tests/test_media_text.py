@@ -447,3 +447,85 @@ def test_nb_quality_separates_and_is_partition_invariant(spark):
         ).collect()
     }
     assert out == again  # bit-identical under repartitioning (rule W)
+
+
+def test_nb_libm_bit_agreement(spark):
+    """Pins the documented cross-engine assumption behind the
+    hash-exact text_quality_nb oracle (r11 advisor): JVM Math.log and
+    DuckDB LN must agree BITWISE on every input this registry corpus
+    produces — every distinct smoothed count ratio fed to LN during
+    training (weights, prior, OOV) at sf0.01 — because a 1-ulp LN
+    divergence could flip FLOOR(w*2^40) or the prior inside the
+    6-decimal driver rounding. EXP was MEASURED to diverge by 1 ulp
+    on 24/250 of this corpus's -log_odds inputs (r12), which is WHY
+    p_good is excluded from the registry row's compared columns; here
+    EXP only gets a <=1-ulp sanity bound. If the LN assertion fails
+    on a new environment, demote the registry row to a tolerance
+    compare (see quality_model.score_nb_quality)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import (
+        REGISTRY,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.text import (
+        quality_features,
+        word_tokens,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weak = quality_features(
+        docs.filter(F.col("doc_id") % 2 == 0), text_col="text"
+    ).select("doc_id", "text", (F.col("quality_score") >= 0.6).cast("int").alias("__y"))
+    toks = weak.select("__y", F.explode(word_tokens("text")).alias("token"))
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("ng"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("nb"),
+    )
+    pairs = cnt.select("ng", "nb").distinct().collect()
+    tg, tb, v = cnt.agg(F.sum("ng"), F.sum("nb"), F.count(F.lit(1))).first()
+    n_good, n_bad = weak.agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)),
+    ).first()
+    dg, db = float(tg) + float(v), float(tb) + float(v)
+    # float division is IEEE-deterministic, so building the LN inputs
+    # here yields the same bits both engines see
+    ln_inputs = sorted(
+        {(r["ng"] + 1) / dg for r in pairs}
+        | {(r["nb"] + 1) / db for r in pairs}
+        | {1.0 / dg, 1.0 / db, (float(n_good) + 1.0) / (float(n_bad) + 1.0)}
+    )
+    assert len(ln_inputs) > 20  # the corpus actually exercises this
+
+    exp_inputs = sorted(
+        {
+            -r["log_odds"]
+            for r in REGISTRY["text_quality_nb"][0](spark, sf_dir)
+            .select("log_odds")
+            .collect()
+        }
+    )
+    assert len(exp_inputs) > 20
+
+    con = duckdb.connect()
+    for fn, inputs in (("LN", ln_inputs), ("EXP", exp_inputs)):
+        sdf = spark.createDataFrame([(float(x),) for x in inputs], "x double")
+        col = F.log("x") if fn == "LN" else F.exp("x")
+        got_s = (
+            sdf.select(F.col("x"), col.alias("y"))
+            .orderBy("x")
+            .toPandas()["y"]
+            .to_numpy()
+        )
+        con.register("t_inputs", pd.DataFrame({"x": np.array(inputs, dtype="float64")}))
+        got_d = con.sql(f"SELECT {fn}(x) AS y FROM t_inputs ORDER BY x").df()["y"].to_numpy()
+        con.unregister("t_inputs")
+        if fn == "LN":  # the gate's hard requirement: bitwise
+            neq = int((got_s != got_d).sum())
+            assert neq == 0, (fn, neq, len(inputs))
+        else:  # EXP diverges bitwise (24/250 at r12) — bound it to 1 ulp
+            ulps = np.abs(got_s.view("int64") - got_d.view("int64"))
+            assert int(ulps.max()) <= 1, (fn, int(ulps.max()))
