@@ -80,6 +80,7 @@ def main() -> None:
     run_spark = os.environ.get("BENCH_SPARK", "1") != "0"
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    noise: dict[str, dict] = {}
     if run_spark:
         from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import (
             get_spark,
@@ -155,6 +156,36 @@ def main() -> None:
             if best is not None:
                 times[name] = round(best, 3)
 
+        # Variance control (r11 verdict #2): the r11 driver run was
+        # +14.6% on common queries vs r10 while a same-freeze local run
+        # matched r10 — suspected host variance, unproven.  Re-time two
+        # early-position queries at the END of the pass (min-of-3, same
+        # estimator); the first-vs-last spread on IDENTICAL plans in one
+        # process is the artifact's own noise bar.  A drift claim is
+        # only structural if it exceeds this spread.
+        for name in ("flagship_market_features", "w17_cci"):
+            if name not in times or name in errors:
+                continue
+            fn, _sql = REGISTRY[name]
+            best = None
+            for _ in range(3):
+                clear_persisted_blocks(spark)
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                except Exception:
+                    break
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            if best is not None:
+                noise[name] = {
+                    "first_pass": times[name],
+                    "last_pass": round(best, 3),
+                    "spread_pct": round(
+                        abs(best - times[name]) / min(best, times[name]) * 100.0, 1
+                    ),
+                }
+
     out = {
         "metric": "headline_total",
         # A crashed query would make the summed total look *faster*, so
@@ -165,6 +196,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if run_spark and noise:
+        out["variance_control"] = noise
     if errors:
         out["errors"] = errors
 
