@@ -280,3 +280,58 @@ def test_semantic_dedup_invariants(spark, quantizer):
         and got[k]["cluster_id"] == again[k]["cluster_id"]
         for k in got
     )
+
+
+def test_hot_shingle_cap_preserves_non_hot_pairs(spark):
+    """r11 verdict #4 skew scenario: ONE hot phrase sits in 30% of the
+    corpus (Zipfian boilerplate). With max_doc_freq the hot shingles
+    are dropped before the self-join, so (a) per-shingle join fan-in
+    is provably <= the cap (the boundedness invariant behind the
+    task-time claim — work per shingle <= cap^2), and (b) pairs whose
+    BOTH docs lack the hot phrase are value-identical to the uncapped
+    run (the cap only re-scopes jaccard for docs containing dropped
+    shingles — the documented filtered-universe semantics)."""
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(3000)]
+    n_docs = 600
+    base = [" ".join(rng.choice(vocab, 14, replace=True)) for _ in range(n_docs)]
+    hot = "terms of service apply"
+    hot_ids = set(range(0, n_docs, 3))  # 30%… every 3rd doc < 34%
+    texts = [f"{t} {hot}" if i in hot_ids else t for i, t in enumerate(base)]
+    # plant a non-hot near-dup pair (1, 601-copy) to guarantee signal
+    texts.append(texts[1])
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf).repartition(8)
+
+    from pyspark.sql import functions as F
+
+    CAP = 50
+    capped = dedup.jaccard_similar_pairs(
+        sdf, id_col="doc_id", text_col="text", threshold=0.8, max_doc_freq=CAP
+    ).collect()
+    uncapped = dedup.jaccard_similar_pairs(
+        sdf, id_col="doc_id", text_col="text", threshold=0.8
+    ).collect()
+
+    non_hot = {i for i in range(len(texts)) if i not in hot_ids}
+    non_hot.add(len(texts) - 1)
+    cap_nh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped
+              if r["id_a"] in non_hot and r["id_b"] in non_hot}
+    unc_nh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped
+              if r["id_a"] in non_hot and r["id_b"] in non_hot}
+    assert (1, len(texts) - 1) in cap_nh  # the planted pair survives
+    assert cap_nh == unc_nh  # non-hot portion unchanged, values too
+
+    # boundedness invariant: every shingle surviving the cap has
+    # doc-frequency <= CAP, and the hot shingles really were hot
+    idx = (
+        dedup.exploded_shingle_hashes(sdf, id_col="doc_id", text_col="text", n=3)
+        .distinct()
+        .groupBy("shingle")
+        .count()
+    )
+    assert idx.agg(F.max("count")).first()[0] > CAP  # scenario is real
+    surviving = idx.filter(F.col("count") <= CAP)
+    assert surviving.agg(F.max("count")).first()[0] <= CAP
