@@ -54,6 +54,9 @@ from algorithmic_data_ingestion_for_cryptocurrencies_spark.session import (
 FLOOR_QUERIES = [
     "a1_imbalance", "a5_resample", "e1_union_agg", "e7_funnel",
     "sim_knn_join", "a4_depth",
+    # r11 verdict #5: the sf1-only >2x quartet gets shape-matched
+    # floors too (sim_knn_join was already here)
+    "dedup_cross_doc_repetition", "text_bigram_lm", "u6_backtest",
 ]
 #: floor shape each query is judged against
 FLOOR_REF = {
@@ -63,6 +66,14 @@ FLOOR_REF = {
     "e7_funnel": "bare_hash_agg_max",
     "sim_knn_join": "bare_hash_agg_max",
     "a4_depth": "bare_exchange_sort",
+    # minimal work of ANY shingle/bigram statistic: scan documents,
+    # tokenize, explode to token grain, one hash agg
+    "dedup_cross_doc_repetition": "bare_doc_explode_agg",
+    "text_bigram_lm": "bare_doc_explode_agg",
+    # minimal data motion of ANY per-series ordered computation over
+    # the derived market frame: build the frame, exchange on keys,
+    # sort within partitions — zero window/backtest logic
+    "u6_backtest": "bare_market_sort",
 }
 #: a query within this factor of its bare shape is tagged floor-bound
 FLOOR_SLACK = 1.5
@@ -123,12 +134,29 @@ def main() -> None:
             "l_shipdate", "g", "l_extendedprice", "l_orderkey", "l_linenumber"
         )
 
+        # r11 verdict #5 shapes
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        bare_doc = (
+            docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+            .groupBy("t")
+            .agg(F.count("*").alias("n"), F.count_distinct("doc_id").alias("d"))
+        )
+        from algorithmic_data_ingestion_for_cryptocurrencies_spark.driver_queries import (
+            KEYS, ORDER, _market,
+        )
+        mkt = _market(spark, sf_dir)
+        bare_mkt = mkt.repartition(n_shuffle, *KEYS).sortWithinPartitions(
+            *KEYS, *ORDER
+        )
+
         items: list[tuple[str, object]] = [
             ("empty_job", lambda: noop(spark.range(0))),
             ("scan_sum", lambda: noop(li.agg(F.sum("l_quantity")))),
             ("bare_hash_agg", lambda: noop(bare)),
             ("bare_hash_agg_str", lambda: noop(bare_str)),
             ("bare_exchange_sort", lambda: noop(bare_sort)),
+            ("bare_doc_explode_agg", lambda: noop(bare_doc)),
+            ("bare_market_sort", lambda: noop(bare_mkt)),
         ]
         for name in FLOOR_QUERIES:
             fn = REGISTRY[name][0]
@@ -147,7 +175,7 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 best[name] = min(best.get(name, 9e9), dt)
 
-        tier: dict = {k: round(best[k], 3) for k, _ in items[:5]}
+        tier: dict = {k: round(best[k], 3) for k, _ in items[:7]}
         tier["shuffle_partitions"] = n_shuffle
         tier["bare_hash_agg_max"] = max(
             tier["bare_hash_agg"], tier["bare_hash_agg_str"]
