@@ -389,3 +389,91 @@ def test_incremental_dedup_foreachBatch_wiring(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in inc.survivors().collect())
     assert got == [0, 1, 11]  # 'beta doc' deduped on second arrival
+
+
+def test_windowed_counts_late_data_vs_batch_twin(spark):
+    """r11 verdict #6: out-of-order and LATE event-time micro-batches
+    against the watermarked tumbling agg. Asserts the append-mode
+    emitted windows equal the BATCH twin computed over (all events −
+    the documented late-drop set), where the drop set follows the
+    stated watermark rule: an event is dropped iff its event time <
+    (max event time of PRIOR micro-batches − delay). Events are
+    planted far from the boundary so the expectation is unambiguous.
+
+    Watermark subtlety this test pins (SPARK-24634, Spark ≥3.4): the
+    LATE-EVENT filter for batch N uses the watermark in effect during
+    batch N−1 (max event time through batch N−2 − delay), while state
+    EVICTION uses the current watermark — so a drop needs the pushers
+    two batches ahead of the late event.
+
+    Micro-batch script (delay = 10 min; wm = eviction watermark):
+      b0: minutes 0,1,7,10            → wm epoch, max 10
+      b1: minutes 30,25 + o-o-o 7,2   → wm 0;  late filter epoch → all ACCEPTED
+      b2: minutes 22,50               → wm 20; late filter 0     → accepted
+      b3: minutes 5,55                → wm 40; late filter 20 → 5 DROPPED
+      b4: minute 70 (pusher)          → wm 60 final
+    Append emits every window ending ≤ final wm 60, i.e. all planted
+    windows except the pusher's own."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(minutes):
+        return pd.DataFrame(
+            {
+                "id": [f"e{m}" for m in minutes],
+                "ts": [base + pd.Timedelta(minutes=m) for m in minutes],
+            }
+        )
+
+    batches = [
+        mk([0, 1, 7, 10]), mk([30, 25, 7, 2]), mk([22, 50]), mk([5, 55]), mk([70])
+    ]
+    dropped_minutes = [5]  # b3's minute-5 event: 5 < late filter 20
+    pusher_minutes = [70]  # its window never closes before termination
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        schema = _write_batches(spark, src, batches)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = windowed_counts(
+            stream, ts_col="ts", every="1 minute", watermark="10 minutes"
+        )
+        sink, ckpt = os.path.join(tmp, "sink"), os.path.join(tmp, "ckpt")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")  # append = real late-drop semantics
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(sink).toPandas()
+
+        from pyspark.sql import functions as F
+
+        # batch twin over the surviving events (same window fn, batch API)
+        all_pdf = pd.concat(batches, ignore_index=True)
+        keep = ~all_pdf["id"].isin(
+            [f"e{m}" for m in dropped_minutes + pusher_minutes]
+        )
+        # NOTE: minute 7 appears in b0 AND b1 (out-of-order re-arrival,
+        # both accepted) — the twin must keep both rows
+        batch_twin = (
+            spark.createDataFrame(all_pdf[keep])
+            .groupBy(F.window(F.col("ts").cast("timestamp"), "1 minute").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("bucket"), "n")
+            .toPandas()
+        )
+
+    g = got.sort_values("bucket").reset_index(drop=True)
+    w = batch_twin.sort_values("bucket").reset_index(drop=True)
+    assert list(g["bucket"]) == list(w["bucket"])
+    assert list(g["n"]) == list(w["n"])
+    # and the drop really happened: minute 5 emitted no window
+    assert base + pd.Timedelta(minutes=5) not in set(g["bucket"])
