@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--ks", default="64,256,1024,4096")
     ap.add_argument("--replicas", type=int, default=50)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--tiers", default="expr,join",
+                    help="comma subset of expr,join to run")
     ap.add_argument("--expr-budget", type=float, default=180.0,
                     help="skip the expression tier for larger k once a "
                          "first-call exceeds this many seconds")
@@ -74,6 +76,8 @@ def main() -> None:
         crows = sim._cent_rows(cents)
         cell: dict = {}
         for tier, cap in (("expr", 1 << 20), ("join", 0)):
+            if tier not in args.tiers.split(","):
+                continue
             if tier == "expr" and expr_dead:
                 cell[tier] = {"skipped": "budget exceeded at smaller k"}
                 continue
