@@ -424,7 +424,11 @@ def kmeans_centroids(
             df.select(F.col(id_col), F.col(vec_col)),
             spark.createDataFrame(rows, schema), rows,
             vec_col=vec_col, dim=dims,
-        )
+        # NULL/malformed vectors assign to NULL (the r12 dirty-input
+        # contract) and are EXCLUDED from the means — they carry no
+        # usable coordinates; without this filter the NULL group would
+        # crash the int() below on the first dirty corpus
+        ).filter(F.col("centroid_id").isNotNull())
         new = assigned.groupBy("centroid_id").agg(
             F.array(
                 *[_mean_elem(i).alias(f"c{i}") for i in range(dims)]
@@ -559,8 +563,13 @@ def _assign_expr(
     # literals, so null-ness depends only on the row's vector) => the
     # struct compare would otherwise fall through to the id tiebreak
     # and silently assign centroid 0 (r11 advisor). Yield NULL instead,
-    # matching the broadcast tier's explicit null-out below.
-    return F.when(best["d"].isNull(), F.lit(None)).otherwise(-best["nc"]).cast("int")
+    # matching the broadcast tier's explicit null-out. The gate probes
+    # ONE dot (against the first centroid — null-ness is centroid-
+    # independent), not best["d"]: the k-dot greatest() is
+    # CodegenFallback at HOF dims, where a second reference risks
+    # re-evaluating all k dots per row.
+    null_vec = dot(F.col(vec_col), _cent_lit(cents[0][1]), dim=dim).isNull()
+    return F.when(null_vec, F.lit(None)).otherwise(-best["nc"]).cast("int")
 
 
 def _probe_expr(
@@ -586,8 +595,11 @@ def _probe_expr(
     # NULL/malformed query vector: every nd is NULL and the sort would
     # fall through to centroid-id order, silently probing the lowest
     # nprobe lists. Yield NULL (a null query matches nothing) — same
-    # dirty-input contract as _assign_expr (r11 advisor finding).
-    return F.when(ranked[0]["nd"].isNull(), F.lit(None)).otherwise(probes)
+    # dirty-input contract as _assign_expr; gate on ONE dot, not the
+    # sorted array, to avoid re-evaluating the k-dot array under
+    # CodegenFallback (r12 review).
+    null_vec = dot(F.col(vec_col), _cent_lit(cents[0][1]), dim=dim).isNull()
+    return F.when(null_vec, F.lit(None)).otherwise(probes)
 
 
 #: Above this centroid count the per-centroid literal expressions
@@ -675,6 +687,12 @@ def _probed_frame(
     return (
         q.crossJoin(F.broadcast(cents))
         .withColumn("__d", dot(F.col("__qvec"), F.col("centroid"), dim=dim))
+        # NULL/malformed query vector: drop before ranking, so the
+        # query probes nothing — identical to the expr tier's NULL
+        # probe array whose explode() drops the row (r12 review: the
+        # desc-nulls-last window would otherwise rank NULL dots 1..k
+        # and probe the nprobe lowest centroid ids)
+        .filter(F.col("__d").isNotNull())
         .withColumn("__pr", F.row_number().over(w))
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qvec", "centroid_id")

@@ -135,7 +135,11 @@ def main() -> None:
             clear_persisted_blocks,
         )
 
-        for name in headline:
+        def time_query(name: str) -> float | None:
+            """min-of-N end-to-end noop-sink time for one registry
+            query — the ONE estimator both the headline pass and the
+            variance-control retime use (same rep count, same block
+            sweep), so first/last spreads measure host drift only."""
             fn, _sql = REGISTRY[name]
             best: float | None = None
             for _ in range(runs_override.get(name, runs)):
@@ -150,9 +154,13 @@ def main() -> None:
                     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 except Exception as e:  # one failing query must not null the bench
                     errors[name] = str(e)[:200]
-                    break
+                    return None
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+            return best
+
+        for name in headline:
+            best = time_query(name)
             if best is not None:
                 times[name] = round(best, 3)
 
@@ -166,17 +174,7 @@ def main() -> None:
         for name in ("flagship_market_features", "w17_cci"):
             if name not in times or name in errors:
                 continue
-            fn, _sql = REGISTRY[name]
-            best = None
-            for _ in range(3):
-                clear_persisted_blocks(spark)
-                t0 = time.perf_counter()
-                try:
-                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                except Exception:
-                    break
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
+            best = time_query(name)  # identical estimator to the pass
             if best is not None:
                 noise[name] = {
                     "first_pass": times[name],

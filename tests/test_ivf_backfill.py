@@ -483,3 +483,56 @@ def test_null_vector_assignment_is_null_in_both_tiers(spark, monkeypatch):
         ).collect()
     }
     assert probes[0] == [0, 2] and probes[1] is None and probes[2] is None
+
+
+def test_null_vectors_through_kmeans_probe_and_ivf(spark, monkeypatch):
+    """r12 review: the NULL-assignment contract must hold through the
+    CONSUMERS, not just the expression helpers — (a) kmeans_centroids
+    completes on a dirty corpus (the NULL group is excluded from the
+    means; previously int(None) crashed the Lloyd collect), (b) both
+    _probed_frame tiers DROP a NULL query identically, (c) end-to-end
+    ivf_topk: a NULL query emits no rows, a NULL corpus vector is
+    never a neighbor."""
+    import algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.similarity as sim
+
+    clean = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(40)
+    )
+    dim = len(clean.first()["embedding"])
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [(10_001, None), (10_002, [None] + [1.0] * (dim - 1))],
+            "vec_id long, embedding array<float>",
+        ).select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+
+    for mean in ("float", "scaled_int"):
+        cents = sim.kmeans_centroids(dirty, 4, iterations=2, mean=mean)
+        assert cents.count() >= 1  # Lloyd completed on dirty input
+
+    crows = sim._cent_rows(sim.hash_centroids(clean, 8))
+    cents_df = spark.createDataFrame(
+        crows, "centroid_id int, centroid array<float>"
+    )
+    q = dirty.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    probed = {}
+    for cap in (64, 2):  # expr tier, then join tier
+        monkeypatch.setattr(sim, "ASSIGN_EXPR_MAX_CENTROIDS", cap)
+        probed[cap] = {
+            (r["query_id"], r["centroid_id"])
+            for r in sim._probed_frame(q, cents_df, crows, 3, dim=dim).collect()
+        }
+    assert probed[64] == probed[2]  # tier identity on dirty input
+    assert not any(qid >= 10_001 for qid, _ in probed[64])  # nulls dropped
+
+    out = sim.ivf_topk(
+        dirty.filter(F.col("vec_id").isin(10_001, int(clean.first()["vec_id"]))),
+        dirty, k=3, n_centroids=4, nprobe=4, quantizer="hash",
+    ).collect()
+    assert out, "clean query must still return neighbors"
+    assert all(r["query_id"] != 10_001 for r in out)
+    assert all(r["neighbor_id"] not in (10_001, 10_002) for r in out)

@@ -526,6 +526,14 @@ def test_nb_libm_bit_agreement(spark):
         if fn == "LN":  # the gate's hard requirement: bitwise
             neq = int((got_s != got_d).sum())
             assert neq == 0, (fn, neq, len(inputs))
+            # production computes prior/oov with CPython math.log on
+            # the DRIVER (quality_model.train_nb_quality), a third
+            # libm — pin it against DuckDB too (r12 review finding)
+            import math
+
+            got_py = np.array([math.log(x) for x in sorted(inputs)])
+            neq_py = int((got_py != got_d).sum())
+            assert neq_py == 0, ("math.log", neq_py, len(inputs))
         else:  # EXP diverges bitwise (24/250 at r12) — bound it to 1 ulp
             ulps = np.abs(got_s.view("int64") - got_d.view("int64"))
             assert int(ulps.max()) <= 1, (fn, int(ulps.max()))
