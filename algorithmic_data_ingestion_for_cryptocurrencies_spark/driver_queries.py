@@ -2688,6 +2688,90 @@ def dedup_cross_doc_repetition_q(spark, sf_dir):
     )
 
 
+# substring-span dedup (Lee et al. 2022, the distributable form): the
+# gram length k is the minimum duplicate length in TOKENS; spans are
+# maximal unions of marked [pos, pos+k) windows. The oracle keys grams
+# by the n-gram STRING while Spark keys by xxhash64 of the token slice
+# — count-level identity absent a 2^-64 collision, the same ruling as
+# dedup_cross_doc_repetition above.
+_SUBSTR_K = 8
+
+_SUBSTR_SPANS_SQL = f"""
+WITH pg AS (
+  SELECT doc_id, u.pos AS pos, u.gram AS gram, __n FROM (
+    SELECT doc_id, LEN(__w) AS __n,
+      UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - {_SUBSTR_K - 1}, 1) + 1),
+        i -> STRUCT_PACK(pos := i - 1,
+                         gram := ARRAY_TO_STRING(__w[i:i+{_SUBSTR_K - 1}], ' ')))) AS u
+    FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))),
+dup AS (SELECT gram FROM pg GROUP BY 1 HAVING COUNT(*) >= 2),
+mk AS (SELECT doc_id, pos, __n FROM pg JOIN dup USING (gram)),
+lg AS (SELECT doc_id, pos, __n,
+              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp FROM mk),
+isl AS (SELECT doc_id, pos, __n,
+               SUM(CASE WHEN pos - lp > {_SUBSTR_K} THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS island
+        FROM lg)
+SELECT doc_id, MIN(pos) AS span_start,
+       LEAST(MAX(pos) + {_SUBSTR_K}, ANY_VALUE(__n)) AS span_end,
+       LEAST(MAX(pos) + {_SUBSTR_K}, ANY_VALUE(__n)) - MIN(pos) AS span_len
+FROM isl GROUP BY doc_id, island"""
+
+
+@q(
+    "dedup_substring_spans",
+    _SUBSTR_SPANS_SQL,
+    cols=["doc_id", "span_start", "span_end", "span_len"],
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    """Exact substring-span dedup: every maximal token span whose
+    every k-gram window (k=8 tokens) occurs >=2 times in the corpus (within-doc
+    repeats count), one row per span — the spans a Lee-et-al scrub
+    would cut. Linear plan: positioned-gram explode -> gram-count agg
+    -> semi-join -> per-doc gaps-and-islands merge; no pair stage."""
+    from .operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2
+    )
+
+
+@q(
+    "dedup_substring_scrub",
+    f"""WITH spans AS ({_SUBSTR_SPANS_SQL}),
+rem AS (SELECT doc_id, UNNEST(RANGE(span_start, span_end)) AS pos FROM spans),
+toks AS (
+  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+    SELECT doc_id,
+      UNNEST(LIST_TRANSFORM(RANGE(1, LEN(__w) + 1),
+        i -> STRUCT_PACK(pos := i - 1, tok := __w[i]))) AS u
+    FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM toks t
+         LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+         WHERE r.pos IS NULL),
+ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+              STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text
+       FROM kept GROUP BY 1),
+uni AS (SELECT doc_id, LEN({_WORDS}) AS n_tokens FROM documents)
+SELECT uni.doc_id, COALESCE(ka.clean_text, '') AS clean_text,
+       uni.n_tokens, uni.n_tokens - COALESCE(ka.n_kept, 0) AS n_removed
+FROM uni LEFT JOIN ka USING (doc_id)""",
+    cols=["doc_id", "clean_text", "n_tokens", "n_removed"],
+)
+def dedup_substring_scrub_q(spark, sf_dir):
+    """The scrub applied: rebuild each document's normalized text with
+    every duplicated span removed (fully-duplicated docs come back as
+    clean_text = '' rather than vanishing)."""
+    from .operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(
+        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2
+    )
+
+
 # stop-shingle document-frequency cutoff, mirrored on both engines
 # (see jaccard_similar_pairs(max_doc_freq=...): bounds the join skew)
 _JACCARD_MAX_DF = 50

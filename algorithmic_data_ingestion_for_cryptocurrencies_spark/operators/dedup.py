@@ -874,6 +874,174 @@ def simhash_near_pairs(
     )
 
 
+def positioned_gram_hashes(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """(id, pos, gram, n_tokens) rows: the word ``k``-gram starting at
+    0-based token position ``pos``, keyed as ``xxhash64`` of the token
+    slice (the string never materializes — same key compression as
+    :func:`exploded_shingle_hashes`). Unlike the shingle explodes this
+    KEEPS the position, because span dedup needs to know *where* a
+    duplicated gram sits, not just that it exists. Documents shorter
+    than ``k`` tokens yield one clamped gram at ``pos 0`` covering the
+    whole document (``slice`` clamps), so short exact-dup docs are
+    still discoverable as whole-doc spans.
+
+    Same zero-shuffle explode shape as :func:`exploded_shingles`: the
+    token array rides along the explode inside one projection."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        tokenize(text_col).alias("__w"),
+    ).select("id", "__w", F.size("__w").alias("n_tokens"))
+    idx = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(1)))
+    )
+    return staged.select("id", "__w", "n_tokens", idx.alias("__i")).select(
+        "id",
+        (F.col("__i") - F.lit(1)).alias("pos"),
+        F.xxhash64(F.slice("__w", F.col("__i"), k)).alias("gram"),
+        "n_tokens",
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-span dedup, the distributable form of suffix
+    -array substring dedup ('Deduplicating Training Data Makes
+    Language Models Better', Lee et al. 2022): find every MAXIMAL
+    token span whose every length-``k`` window occurs at least
+    ``min_count`` times in the corpus (within-doc repeats count, as in
+    the paper), and return one row per span. A 200-token license block
+    shared by two docs comes back as ONE [start, end) span per doc,
+    not 193 overlapping gram hits. Reference parity: the reference has
+    no substring-level dedup at all (its dedup is id-level,
+    ``ADI/app/ingestion_service/processors.py`` drop_duplicates);
+    this is the training-data-pipeline extension the corpus family
+    (:func:`cross_doc_repetition` flags docs, this one locates the
+    bytes to cut).
+
+    Plan shape, all linear in corpus tokens: one zero-shuffle
+    positioned-gram explode, one gram-keyed count aggregate (map-side
+    partial: a doc's grams never cross partitions before the agg),
+    one semi-join back (the duplicated-gram side is DISTINCT on the
+    key, so a boilerplate gram shared by 30% of docs multiplies by 1,
+    not by its df — linear, AQE splits any hot build partition), then
+    one exchange on doc id + per-doc sort for the gaps-and-islands
+    merge (lag + running sum + group — the same window algebra as
+    ``j4_find_gaps``). No pair stage exists anywhere: cost is
+    O(tokens), not O(dup_docs^2), which is what makes this the 100 TB
+    substitute for a suffix array.
+
+    Span merge rule: marked positions ``p_prev < p`` coalesce iff
+    ``p - p_prev <= k`` (overlap or exact adjacency — the covered
+    token intervals [p, p+k) touch); ``span_end`` clamps to the token
+    count for the short-doc whole-text gram.
+
+    Returns (id_col, span_start, span_end, span_len) with [start, end)
+    0-based token positions, one row per maximal span.
+    """
+    from pyspark.sql import Window
+
+    grams = positioned_gram_hashes(df, id_col=id_col, text_col=text_col, k=k)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("gram")
+    )
+    marked = grams.join(dup, "gram").select("id", "pos", "n_tokens")
+    w = Window.partitionBy("id").orderBy("pos")
+    islands = (
+        marked.withColumn("__prev", F.lag("pos").over(w))
+        .withColumn(
+            "__brk",
+            F.when(F.col("pos") - F.col("__prev") > k, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__island",
+            F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return (
+        islands.groupBy(F.col("id").alias(id_col), "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.least(F.max("pos") + F.lit(k), F.first("n_tokens")).alias("span_end"),
+        )
+        .drop("__island")
+        .withColumn("span_len", F.col("span_end") - F.col("span_start"))
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Scrub tier over :func:`duplicated_spans`: rebuild each
+    document's NORMALIZED text with every duplicated span's tokens
+    removed (the Lee-et-al cut applied, whitespace-normalized like
+    every dedup tier — see :func:`normalize_text`). Docs with no
+    duplicated span pass through with ``n_removed = 0``.
+
+    Shape: spans explode back to one row per REMOVED position (linear
+    in removed tokens, not corpus tokens), anti-join against the
+    positioned token grain, then one per-doc ordered re-assembly
+    (sort_array over (pos, token) structs — no collect_list order
+    assumption). Three shuffles total, all on doc id or positions.
+
+    Returns (id_col, clean_text, n_tokens, n_removed).
+    """
+    spans = duplicated_spans(
+        df, id_col=id_col, text_col=text_col, k=k, min_count=min_count
+    ).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence("span_start", F.col("span_end") - 1)).alias("pos"),
+    )
+    toks = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w")).select(
+        "id", F.posexplode("__w")
+    )
+    kept = toks.join(spans, ["id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count("*").alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "col"))),
+                lambda s: s["col"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    # re-anchor on the document universe: a FULLY duplicated doc has
+    # zero kept tokens and would otherwise vanish from the output —
+    # it must come back as clean_text = '' with everything removed
+    universe = df.select(
+        F.col(id_col).alias("id"), F.size(tokenize(text_col)).alias("n_tokens")
+    )
+    return (
+        universe.join(kept_agg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )
+
+
 def cross_doc_repetition(
     df: DataFrame,
     *,

@@ -335,3 +335,107 @@ def test_hot_shingle_cap_preserves_non_hot_pairs(spark):
     assert idx.agg(F.max("count")).first()[0] > CAP  # scenario is real
     surviving = idx.filter(F.col("count") <= CAP)
     assert surviving.agg(F.max("count")).first()[0] <= CAP
+
+
+# ---------------------------------------------------------------- #
+# substring-span dedup (Lee et al. 2022, r12)                       #
+# ---------------------------------------------------------------- #
+
+def _span_corpus(spark):
+    """Planted-span corpus: a 12-token boilerplate block B shared by
+    docs 1 and 2 at different offsets, an all-unique doc 3, a doc 4
+    repeating its own 9-token phrase twice (within-doc duplication
+    counts, as in the paper), a fully-duplicated pair 5/6, and a
+    short (<k) duplicated pair 7/8. Filler tokens are globally unique
+    so no accidental 8-gram can match."""
+    B = " ".join(f"boiler{i}" for i in range(12))
+    P = " ".join(f"phrase{i}" for i in range(9))
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, f"{uniq('a', 10)} {B} {uniq('b', 6)}"),
+        (2, f"{uniq('c', 4)} {B} {uniq('d', 11)}"),
+        (3, uniq("e", 30)),
+        (4, f"{uniq('f', 9)} {P} {uniq('g', 9)} {P} {uniq('h', 3)}"),
+        (5, f"{uniq('i', 20)} shared tail"),
+        (6, f"{uniq('i', 20)} shared tail"),  # exact dup of 5
+        (7, "tiny doc here"),
+        (8, "tiny doc here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicated_spans_locates_planted_boilerplate(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    sdf = _span_corpus(spark)
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicated_spans(
+            sdf, id_col="doc_id", text_col="text", k=8
+        ).collect()
+        if r["doc_id"] in (1, 2, 3)
+    }
+    # doc 1: B occupies token positions [10, 22); doc 2: [4, 16).
+    # Marked 8-gram starts are exactly the windows inside B, so the
+    # merged span must be the boilerplate interval itself.
+    assert spans[1] == (10, 22, 12)
+    assert spans[2] == (4, 16, 12)
+    assert 3 not in spans  # all-unique doc has no span
+
+
+def test_duplicated_spans_within_doc_and_short_docs(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    sdf = _span_corpus(spark)
+    out = dedup.duplicated_spans(sdf, id_col="doc_id", text_col="text", k=8)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    # doc 4: P at [9, 18) and [27, 36) — two separate spans (gap of 9
+    # unique tokens > k), both occurrences marked
+    assert sorted(by_doc[4]) == [(9, 18), (27, 36)]
+    # docs 5/6: fully duplicated -> whole-doc span [0, 22)
+    assert by_doc[5] == [(0, 22)] and by_doc[6] == [(0, 22)]
+    # docs 7/8: shorter than k -> the clamped whole-doc gram dups,
+    # span_end clamps to the token count
+    assert by_doc[7] == [(0, 3)] and by_doc[8] == [(0, 3)]
+
+
+def test_remove_duplicated_spans_cuts_only_the_spans(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    sdf = _span_corpus(spark)
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicated_spans(
+            sdf, id_col="doc_id", text_col="text", k=8
+        ).collect()
+    }
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    # doc 1 keeps prose + tail with the boilerplate cut
+    assert out[1]["clean_text"] == f"{uniq('a', 10)} {uniq('b', 6)}"
+    assert out[1]["n_removed"] == 12
+    # untouched doc passes through normalized, nothing removed
+    assert out[3]["clean_text"] == uniq("e", 30)
+    assert out[3]["n_removed"] == 0
+    # fully-duplicated docs come back EMPTY, not missing
+    assert out[5]["clean_text"] == "" and out[5]["n_removed"] == 22
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_duplicated_spans_partitioning_invariant(spark):
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    sdf = _span_corpus(spark)
+    a = sorted(
+        map(tuple, dedup.duplicated_spans(
+            sdf, id_col="doc_id", text_col="text", k=8).collect())
+    )
+    b = sorted(
+        map(tuple, dedup.duplicated_spans(
+            sdf.repartition(7), id_col="doc_id", text_col="text", k=8
+        ).collect())
+    )
+    assert a == b and len(a) > 0
