@@ -67,6 +67,7 @@ _PANEL_FRONT = [
     "text_quality", "text_bm25", "text_bigram_lm", "text_quality_nb",
     "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_contamination",
+    "dedup_substring_spans",
     "sim_cosine_topk", "sim_knn_join", "sim_near_pairs_capped",
     "sim_ann_topk", "sim_ivf_topk", "sim_ivf_index_topk",
     "sim_ivf_upsert_topk", "sim_semantic_dedup",
