@@ -1070,6 +1070,16 @@ def cross_doc_repetition(
     same way they do in :func:`jaccard_similar_pairs` — AQE skew
     splitting applies; there is no quadratic pair stage here at all.
 
+    Shape ruling (r12, A/B in ``tools/bench_crossdoc_shapes.py``): a
+    ``COUNT(*) OVER (PARTITION BY shingle)`` variant replaces the
+    freq-agg + join with one exchange and measured 13-21% faster at
+    sf1/sf3 — but WindowExec gives a Zipfian-hot shingle's whole row
+    set to ONE task (AQE skew-split covers joins/aggs, not windows),
+    while this shape's count gets map-side partials and its join back
+    is AQE-splittable. The join shape stays: constant-factor slower
+    on benign data, structurally safe on the boilerplate-heavy corpus
+    this operator exists for.
+
     ``hash_shingles`` (default on) compresses the shingle key to
     ``xxhash64(shingle)`` BEFORE the distinct/doc-frequency/join
     stages, so every exchange carries 8-byte ints instead of ~25-byte
