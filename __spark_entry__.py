@@ -68,8 +68,14 @@ _PANEL_FRONT = [
     "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_pairs",
     "dedup_simhash_pairs", "dedup_clusters", "dedup_contamination",
     "dedup_substring_spans",
+    # sim_ivf_index_topk left OUT of the front (r12 review): with
+    # dedup_substring_spans fronted, one query had to leave the
+    # driver's 50-row window — evicting the third IVF variant keeps
+    # st13_sessionize_batch (the r10 driver-hash dtype regression's
+    # only externally-verified guard) inside the cap; sim_ivf_topk +
+    # sim_ivf_upsert_topk still cover the IVF serve + upsert protocol
     "sim_cosine_topk", "sim_knn_join", "sim_near_pairs_capped",
-    "sim_ann_topk", "sim_ivf_topk", "sim_ivf_index_topk",
+    "sim_ann_topk", "sim_ivf_topk",
     "sim_ivf_upsert_topk", "sim_semantic_dedup",
     "agg_approx", "agg_rollup",
     "samp_mixture_tokens", "samp_token_budget", "samp_pack_sequences",

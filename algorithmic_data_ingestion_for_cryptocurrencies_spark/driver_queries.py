@@ -2725,11 +2725,12 @@ FROM isl GROUP BY doc_id, island"""
     cols=["doc_id", "span_start", "span_end", "span_len"],
 )
 def dedup_substring_spans_q(spark, sf_dir):
-    """Exact substring-span dedup: every maximal token span whose
-    every k-gram window (k=8 tokens) occurs >=2 times in the corpus (within-doc
-    repeats count), one row per span — the spans a Lee-et-al scrub
-    would cut. Linear plan: positioned-gram explode -> gram-count agg
-    -> semi-join -> per-doc gaps-and-islands merge; no pair stage."""
+    """Exact substring-span dedup: every maximal token span fully
+    covered by k-gram windows (k=8 tokens) occurring >=2 times in the
+    corpus (within-doc repeats count), one row per span — the spans a
+    Lee-et-al scrub would cut. Linear plan: positioned-gram explode
+    -> gram-count agg -> semi-join -> per-doc gaps-and-islands merge;
+    no pair stage."""
     from .operators.dedup import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")

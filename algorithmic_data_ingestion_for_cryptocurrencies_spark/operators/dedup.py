@@ -891,9 +891,16 @@ def positioned_gram_hashes(
     whole document (``slice`` clamps), so short exact-dup docs are
     still discoverable as whole-doc spans.
 
+    NULL-text rows are FILTERED here (r12 review): ``greatest(NULL-k,
+    1)`` otherwise manufactures one gram per NULL doc and
+    ``xxhash64`` of an all-NULL slice is a non-NULL constant — so two
+    NULL docs would "duplicate" each other and emit phantom spans the
+    string-keyed oracle (whose NULL gram never equi-joins) does not.
+    Same up-front-filter ruling as the IVF NULL-vector contract.
+
     Same zero-shuffle explode shape as :func:`exploded_shingles`: the
     token array rides along the explode inside one projection."""
-    staged = df.select(
+    staged = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         tokenize(text_col).alias("__w"),
     ).select("id", "__w", F.size("__w").alias("n_tokens"))
@@ -919,9 +926,13 @@ def duplicated_spans(
     """Exact substring-span dedup, the distributable form of suffix
     -array substring dedup ('Deduplicating Training Data Makes
     Language Models Better', Lee et al. 2022): find every MAXIMAL
-    token span whose every length-``k`` window occurs at least
-    ``min_count`` times in the corpus (within-doc repeats count, as in
-    the paper), and return one row per span. A 200-token license block
+    token span in which EVERY TOKEN lies inside at least one
+    length-``k`` window occurring at least ``min_count`` times in the
+    corpus (within-doc repeats count, as in the paper), one row per
+    span. Token-coverage, not every-window-duplicated: two duplicated
+    windows whose starts differ by ``<= k`` touch or overlap, so a
+    merged span has no uncovered interior token even though an
+    interior window straddling both may itself be unique. A 200-token license block
     shared by two docs comes back as ONE [start, end) span per doc,
     not 193 overlapping gram hits. Reference parity: the reference has
     no substring-level dedup at all (its dedup is id-level,
@@ -1002,6 +1013,11 @@ def remove_duplicated_spans(
     positioned token grain, then one per-doc ordered re-assembly
     (sort_array over (pos, token) structs — no collect_list order
     assumption). Three shuffles total, all on doc id or positions.
+    Accepted constant factor (r12 review): the universe anchor and
+    token grain each re-evaluate the tokenize regex (Catalyst does
+    not CSE across join branches) — two extra linear map passes,
+    kept because the anchor is what returns fully-scrubbed and
+    NULL-text docs instead of dropping them.
 
     Returns (id_col, clean_text, n_tokens, n_removed).
     """
@@ -1029,7 +1045,13 @@ def remove_duplicated_spans(
     # zero kept tokens and would otherwise vanish from the output —
     # it must come back as clean_text = '' with everything removed
     universe = df.select(
-        F.col(id_col).alias("id"), F.size(tokenize(text_col)).alias("n_tokens")
+        F.col(id_col).alias("id"),
+        # explicit NULL for NULL text: non-ANSI size(NULL) is the
+        # legacy -1, but the SQL twin's LEN(STRING_SPLIT(NULL)) is
+        # NULL — pin the NULL so both engines and both n_removed agree
+        F.when(
+            F.col(text_col).isNull(), F.lit(None).cast("int")
+        ).otherwise(F.size(tokenize(text_col))).alias("n_tokens"),
     )
     return (
         universe.join(kept_agg, "id", "left")

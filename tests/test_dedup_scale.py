@@ -439,3 +439,34 @@ def test_duplicated_spans_partitioning_invariant(spark):
         ).collect())
     )
     assert a == b and len(a) > 0
+
+
+def test_duplicated_spans_null_text_yields_no_phantom_spans(spark):
+    """r12 review: greatest(NULL-k, 1) used to manufacture one gram
+    per NULL-text doc, and xxhash64 of an all-NULL slice is a non-NULL
+    constant — so two NULL docs 'duplicated' each other and emitted
+    phantom (0, 8, 8) spans the string-keyed oracle never produces.
+    NULL text must yield no grams, no spans, and a scrub pass-through
+    row (not a dropped doc)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, "real duplicated content block one two three four five"),
+        (4, "real duplicated content block one two three four five"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.duplicated_spans(sdf, id_col="doc_id", text_col="text", k=8)
+    got = {r["doc_id"] for r in spans.collect()}
+    assert got == {3, 4}  # NULL docs emit nothing; real dups still found
+
+    scrub = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicated_spans(
+            sdf, id_col="doc_id", text_col="text", k=8
+        ).collect()
+    }
+    assert set(scrub) == {1, 2, 3, 4}  # NULL docs kept, not dropped
+    assert scrub[1]["clean_text"] == "" and scrub[1]["n_removed"] is None
+    assert scrub[3]["clean_text"] == "" and scrub[3]["n_removed"] == 9
