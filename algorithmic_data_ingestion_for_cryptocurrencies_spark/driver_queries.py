@@ -2703,7 +2703,8 @@ WITH pg AS (
       UNNEST(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(__w) - {_SUBSTR_K - 1}, 1) + 1),
         i -> STRUCT_PACK(pos := i - 1,
                          gram := ARRAY_TO_STRING(__w[i:i+{_SUBSTR_K - 1}], ' ')))) AS u
-    FROM (SELECT doc_id, {_WORDS} AS __w FROM documents))),
+    FROM (SELECT doc_id, {_WORDS} AS __w FROM documents
+          WHERE text IS NOT NULL AND {_NORM.format(c='text')} <> ''))),
 dup AS (SELECT gram FROM pg GROUP BY 1 HAVING COUNT(*) >= 2),
 mk AS (SELECT doc_id, pos, __n FROM pg JOIN dup USING (gram)),
 lg AS (SELECT doc_id, pos, __n,

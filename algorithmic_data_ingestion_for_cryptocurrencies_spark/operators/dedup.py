@@ -142,6 +142,53 @@ def ngram_shingle_hashes(col: Column | str, n: int = 3) -> Column:
     return bind_array(tokenize(col), body)
 
 
+def _token_window_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int,
+    keep_counts: bool = False,
+    drop_null_empty: bool = False,
+) -> DataFrame:
+    """Shared zero-shuffle explode scaffold for every token-window
+    consumer (shingles, shingle hashes, positioned grams): one row per
+    length-``n`` window start, columns ``(id, __w, [n_tokens,] __i)``
+    with ``__i`` the 1-based window start index. Callers project the
+    window key they need (string, xxhash64, positioned hash) on top.
+
+    Built with ``explode(sequence(...))`` (all codegen expressions, no
+    lambda higher-order functions — HOFs are interpreted per element,
+    measured ~8 s just to shingle 5k docs). The word array rides along
+    the explode inside one projection, so a document never crosses a
+    partition boundary — any downstream ``groupBy(id)`` completes its
+    partial aggregate map-side and shuffles one row per document.
+    (Round-2 used posexplode + lead windows, which cost an exchange
+    and a sort by (id, pos) before the first aggregate.)
+
+    ``keep_counts`` carries ``n_tokens = size(__w)`` through the
+    explode (span dedup needs the clamp bound). ``drop_null_empty``
+    filters NULL and whitespace-only documents up front: both
+    otherwise manufacture one clamped window whose hash is a shared
+    constant (``xxhash64`` of an all-NULL slice / of ``['']``), so two
+    empty docs would "duplicate" each other — the r12 NULL-text
+    phantom-span bug and its r13 empty-string sibling."""
+    staged = df
+    if drop_null_empty:
+        staged = staged.filter(
+            F.col(text_col).isNotNull() & (normalize_text(text_col) != "")
+        )
+    staged = staged.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
+    if keep_counts:
+        staged = staged.select("id", "__w", F.size("__w").alias("n_tokens"))
+        bound = F.col("n_tokens") - F.lit(n - 1)
+    else:
+        bound = F.size("__w") - F.lit(n - 1)
+    idx = F.explode(F.sequence(F.lit(1), F.greatest(bound, F.lit(1))))
+    cols = ["id", "__w"] + (["n_tokens"] if keep_counts else [])
+    return staged.select(*cols, idx.alias("__i"))
+
+
 def exploded_shingles(
     df: DataFrame,
     *,
@@ -149,22 +196,10 @@ def exploded_shingles(
     text_col: str,
     n: int = 3,
 ) -> DataFrame:
-    """(id, shingle) rows, NOT deduplicated — zero shuffles.
-
-    Built with ``explode(sequence(...))`` + ``slice`` + ``concat_ws``
-    (all codegen expressions, no lambda higher-order functions — HOFs
-    are interpreted per element, measured ~8 s just to shingle 5k
-    docs).  The word array rides along the explode inside one
-    projection, so a document never crosses a partition boundary —
-    any downstream ``groupBy(id)`` therefore completes its partial
-    aggregate map-side and shuffles one row per document.
-    (Round-2 used posexplode + lead windows, which cost an exchange
-    and a sort by (id, pos) before the first aggregate.)"""
-    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
-    )
-    return staged.select("id", "__w", idx.alias("__i")).select(
+    """(id, shingle) rows, NOT deduplicated — zero shuffles (the
+    :func:`_token_window_rows` scaffold + a ``concat_ws`` over the
+    slice)."""
+    return _token_window_rows(df, id_col=id_col, text_col=text_col, n=n).select(
         "id", F.concat_ws(" ", F.slice("__w", F.col("__i"), n)).alias("shingle")
     )
 
@@ -186,11 +221,7 @@ def exploded_shingle_hashes(
     identity and joined-string identity are a bijection. For count
     -level consumers (doc-frequency, containment) the results are
     identical to the string-keyed path absent a 2^-64 collision."""
-    staged = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w"))
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
-    )
-    return staged.select("id", "__w", idx.alias("__i")).select(
+    return _token_window_rows(df, id_col=id_col, text_col=text_col, n=n).select(
         "id", F.xxhash64(F.slice("__w", F.col("__i"), n)).alias("shingle")
     )
 
@@ -891,23 +922,23 @@ def positioned_gram_hashes(
     whole document (``slice`` clamps), so short exact-dup docs are
     still discoverable as whole-doc spans.
 
-    NULL-text rows are FILTERED here (r12 review): ``greatest(NULL-k,
-    1)`` otherwise manufactures one gram per NULL doc and
-    ``xxhash64`` of an all-NULL slice is a non-NULL constant — so two
-    NULL docs would "duplicate" each other and emit phantom spans the
-    string-keyed oracle (whose NULL gram never equi-joins) does not.
-    Same up-front-filter ruling as the IVF NULL-vector contract.
+    NULL-text AND whitespace-only rows are FILTERED here (r12 review +
+    r13 advice): ``greatest(NULL-k, 1)`` otherwise manufactures one
+    gram per NULL doc (``xxhash64`` of an all-NULL slice is a non-NULL
+    constant), and empty/whitespace text tokenizes to ``['']`` on both
+    engines, whose constant gram hash makes every pair of empty docs
+    mutual "duplicates" with a phantom 1-token span — a failure the
+    oracle gate cannot catch because both engines agree. Same up-front
+    -filter ruling as the IVF NULL-vector contract; mirrored in the
+    SQL twin.
 
-    Same zero-shuffle explode shape as :func:`exploded_shingles`: the
-    token array rides along the explode inside one projection."""
-    staged = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        tokenize(text_col).alias("__w"),
-    ).select("id", "__w", F.size("__w").alias("n_tokens"))
-    idx = F.explode(
-        F.sequence(F.lit(1), F.greatest(F.col("n_tokens") - F.lit(k - 1), F.lit(1)))
-    )
-    return staged.select("id", "__w", "n_tokens", idx.alias("__i")).select(
+    Same zero-shuffle explode scaffold (:func:`_token_window_rows`) as
+    the shingle family: the token array rides along the explode inside
+    one projection."""
+    return _token_window_rows(
+        df, id_col=id_col, text_col=text_col, n=k,
+        keep_counts=True, drop_null_empty=True,
+    ).select(
         "id",
         (F.col("__i") - F.lit(1)).alias("pos"),
         F.xxhash64(F.slice("__w", F.col("__i"), k)).alias("gram"),
@@ -935,8 +966,9 @@ def duplicated_spans(
     interior window straddling both may itself be unique. A 200-token license block
     shared by two docs comes back as ONE [start, end) span per doc,
     not 193 overlapping gram hits. Reference parity: the reference has
-    no substring-level dedup at all (its dedup is id-level,
-    ``ADI/app/ingestion_service/processors.py`` drop_duplicates);
+    no substring-level dedup at all — its only dedup is id-level
+    (seen-id sets in the news/RSS adapter,
+    ``algo-data-ingestion/app/adapters/news_adapter.py:139``);
     this is the training-data-pipeline extension the corpus family
     (:func:`cross_doc_repetition` flags docs, this one locates the
     bytes to cut).

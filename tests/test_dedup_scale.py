@@ -455,11 +455,20 @@ def test_duplicated_spans_null_text_yields_no_phantom_spans(spark):
         (2, None),
         (3, "real duplicated content block one two three four five"),
         (4, "real duplicated content block one two three four five"),
+        # r13 advice: empty/whitespace-only text tokenizes to ['']
+        # on BOTH engines, so two empty docs would mutually
+        # "duplicate" via the constant empty-slice gram hash — a
+        # phantom the oracle gate cannot catch because both engines
+        # agree. Must behave exactly like NULL text: no grams, no
+        # spans, scrub pass-through.
+        (5, ""),
+        (6, "   \t  "),
     ]
     sdf = spark.createDataFrame(rows, "doc_id long, text string")
     spans = dedup.duplicated_spans(sdf, id_col="doc_id", text_col="text", k=8)
     got = {r["doc_id"] for r in spans.collect()}
-    assert got == {3, 4}  # NULL docs emit nothing; real dups still found
+    # NULL and empty docs emit nothing; real dups still found
+    assert got == {3, 4}
 
     scrub = {
         r["doc_id"]: r
@@ -467,6 +476,60 @@ def test_duplicated_spans_null_text_yields_no_phantom_spans(spark):
             sdf, id_col="doc_id", text_col="text", k=8
         ).collect()
     }
-    assert set(scrub) == {1, 2, 3, 4}  # NULL docs kept, not dropped
+    # NULL + empty docs kept, not dropped
+    assert set(scrub) == {1, 2, 3, 4, 5, 6}
     assert scrub[1]["clean_text"] == "" and scrub[1]["n_removed"] is None
     assert scrub[3]["clean_text"] == "" and scrub[3]["n_removed"] == 9
+    # empty text: tokenize('') = [''] (1 token), nothing removed
+    assert scrub[5]["clean_text"] == "" and scrub[5]["n_removed"] == 0
+    assert scrub[6]["clean_text"] == "" and scrub[6]["n_removed"] == 0
+
+
+def test_token_window_refactor_plan_identity(spark):
+    """r13 shared-helper refactor (_token_window_rows): the benched
+    shingle plans must provably not move. Re-build the pre-refactor
+    inline shape of exploded_shingle_hashes / exploded_shingles here
+    and assert the OPTIMIZED PLAN of the refactored functions is
+    identical (string compare after expr-id normalization)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    sdf = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g")], "doc_id long, text string"
+    )
+
+    def legacy_hashes(df, *, id_col, text_col, n):
+        staged = df.select(
+            F.col(id_col).alias("id"), dedup.tokenize(text_col).alias("__w")
+        )
+        idx = F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
+        )
+        return staged.select("id", "__w", idx.alias("__i")).select(
+            "id", F.xxhash64(F.slice("__w", F.col("__i"), n)).alias("shingle")
+        )
+
+    def legacy_strings(df, *, id_col, text_col, n):
+        staged = df.select(
+            F.col(id_col).alias("id"), dedup.tokenize(text_col).alias("__w")
+        )
+        idx = F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - F.lit(n - 1), F.lit(1)))
+        )
+        return staged.select("id", "__w", idx.alias("__i")).select(
+            "id", F.concat_ws(" ", F.slice("__w", F.col("__i"), n)).alias("shingle")
+        )
+
+    def norm_plan(df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#X", plan)
+
+    assert norm_plan(
+        dedup.exploded_shingle_hashes(sdf, id_col="doc_id", text_col="text", n=3)
+    ) == norm_plan(legacy_hashes(sdf, id_col="doc_id", text_col="text", n=3))
+    assert norm_plan(
+        dedup.exploded_shingles(sdf, id_col="doc_id", text_col="text", n=3)
+    ) == norm_plan(legacy_strings(sdf, id_col="doc_id", text_col="text", n=3))
