@@ -69,6 +69,108 @@ def backtest_positions(
     return df.withColumn(drawdown_out, F.col(equity_out) / peak - 1)
 
 
+def sma_backtest_curve_fused(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    order: str | Sequence[str],
+    price_col: str = "close",
+    fast: int = 10,
+    slow: int = 50,
+    fee_bps: float = 0.0,
+    ret_out: str = "strategy_ret",
+    trade_out: str = "trade",
+    equity_out: str = "equity",
+    drawdown_out: str = "drawdown",
+    position_out: str = "position",
+) -> DataFrame:
+    """The U6 SMA-crossover backtest curve in FOUR window passes
+    instead of the six that ``with_sma_crossover_signals`` +
+    :func:`backtest_positions` chain (r12 verdict task: collapse the
+    position build).
+
+    The collapse: the forward-filled crossover position has a closed
+    form that needs no signal column and no ffill pass. Once the
+    above/below indicator ``above_t = (sma_fast > sma_slow)`` is
+    defined, it only changes at cross events, so "the most recent
+    cross was an entry" is simply ``above_t`` — provided at least one
+    cross has happened yet, which is exactly ``prefix_min(above) <
+    prefix_max(above)``. Hence::
+
+        position_t  = above_t     if min(above)[..t]  < max(above)[..t]  else 0
+        pos_prev_t  = above_{t-1} if min(above)[..t-1] < max(above)[..t-1] else 0
+
+    and the whole chain plans as:
+
+    1. sliding SMA pass (identical to ``with_sma_crossover_signals``'s
+       first pass: two trailing means + warmup-count masks);
+    2. ONE pass of O(1)/row frames over ``above``: ``lag(above)``,
+       running min/max with frames ``(-inf, 0)`` and ``(-inf, -1)``,
+       plus ``lag(price)`` for the bar return — replacing the
+       original's three separate passes (lag(above) for the cross,
+       last_value-ignorenulls for the ffill, lag(position)+lag(price)
+       for the curve);
+    3. the cumulative log-equity sum;
+    4. the running equity peak (depends on 3, irreducible).
+
+    PRECONDITION: ``price_col`` must be non-null. With null prices the
+    warmup-count mask can un-define ``above`` mid-series, and the
+    original ffill carries the position across such a gap while the
+    closed form re-reads ``above`` after it — semantics then diverge.
+    (The unfused chain stays the general tool; u6's market frame has
+    non-null closes by construction.) Value-identity with the unfused
+    chain on non-null prices is pytest-pinned and re-asserted by
+    ``tools/bench_backtest_shapes.py`` on the real market frame.
+
+    Returns the same curve columns as :func:`backtest_positions`, so
+    :func:`backtest_summary` applies unchanged."""
+    from .rolling import rolling_mean
+
+    w = series_window(keys, order)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    fee = fee_bps / 1e4
+
+    # pass 1 — identical sliding-SMA expressions as the unfused chain
+    df = df.withColumn(
+        "__above",
+        (rolling_mean(price_col, w, fast) > rolling_mean(price_col, w, slow))
+        .cast("int"),
+    )
+    # pass 2 — every remaining per-bar input as O(1)/row frames over
+    # one (keys, order) WindowExec
+    df = (
+        df.withColumn("__above_prev", F.lag("__above").over(w))
+        .withColumn("__mn0", F.min("__above").over(w_cum))
+        .withColumn("__mx0", F.max("__above").over(w_cum))
+        .withColumn("__mn1", F.min("__above").over(w_prev))
+        .withColumn("__mx1", F.max("__above").over(w_prev))
+        .withColumn("__c_prev", F.lag(price_col).over(w))
+    )
+    position = F.when(F.col("__mn0") < F.col("__mx0"), F.col("__above")).otherwise(
+        F.lit(0)
+    )
+    pos_prev = F.when(
+        F.col("__mn1") < F.col("__mx1"), F.col("__above_prev")
+    ).otherwise(F.lit(0))
+    ret = F.col(price_col) / F.col("__c_prev") - 1
+    trade = F.abs(position - pos_prev)
+    strat = F.coalesce(pos_prev * ret, F.lit(0.0)) - F.lit(fee) * trade
+    df = (
+        df.withColumn(position_out, position)
+        .withColumn(trade_out, trade)
+        .withColumn(ret_out, strat)
+        .drop("__above", "__above_prev", "__mn0", "__mx0", "__mn1", "__mx1",
+              "__c_prev")
+    )
+    # passes 3 + 4 — same cumulative forms as backtest_positions
+    df = df.withColumn(
+        equity_out, F.exp(F.sum(F.log1p(F.col(ret_out))).over(w_cum))
+    )
+    peak = F.max(F.col(equity_out)).over(w_cum)
+    return df.withColumn(drawdown_out, F.col(equity_out) / peak - 1)
+
+
 def sma_param_sweep(
     df: DataFrame,
     grid: Sequence[tuple[int, int]],

@@ -151,3 +151,70 @@ def test_flat_series_has_null_sharpe_and_zero_return(spark):
     assert out["total_return"] == pytest.approx(0.0, abs=1e-15)
     assert out["max_drawdown"] == pytest.approx(0.0, abs=1e-15)
     assert out["sharpe"] is None
+
+
+def test_fused_curve_matches_unfused_chain(spark):
+    """r13 verdict task: the 4-pass fused SMA-crossover backtest
+    (sma_backtest_curve_fused) must be VALUE-IDENTICAL to the 6-pass
+    with_sma_crossover_signals + backtest_positions chain on non-null
+    prices — including the edge cases the closed-form position is
+    most likely to get wrong: a series that starts above (fast>slow
+    from the first defined bar, no cross -> flat forever), a series
+    with multiple crosses, and a series shorter than the slow window
+    (position never defined -> flat)."""
+    import random
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        sma_backtest_curve_fused,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.signals import (
+        with_sma_crossover_signals,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    # key a: random walk, many crosses
+    px = 100.0
+    for t in range(300):
+        px *= 1 + rng.uniform(-0.03, 0.03)
+        rows.append(("a", t, px))
+    # key b: monotone up -> fast SMA above slow from the start, no cross
+    for t in range(120):
+        rows.append(("b", t, 100.0 + t))
+    # key c: shorter than the slow window
+    for t in range(20):
+        rows.append(("c", t, 100.0 + rng.uniform(-1, 1)))
+    # key d: monotone down then up (exactly one death + one golden cross)
+    for t in range(200):
+        rows.append(("d", t, 200.0 - t if t < 100 else 100.0 + (t - 100)))
+    df = spark.createDataFrame(rows, ["key", "ts", "close"])
+
+    fast, slow, fee = 5, 21, 10.0
+    unfused = backtest_positions(
+        with_sma_crossover_signals(
+            df, "close", fast, slow, keys=["key"], order="ts"
+        ),
+        keys=["key"], order="ts",
+        price_col="close", position_col="position", fee_bps=fee,
+    ).select("key", "ts", "position", "trade", "strategy_ret", "equity",
+             "drawdown")
+    fused = sma_backtest_curve_fused(
+        df, keys=["key"], order="ts", price_col="close",
+        fast=fast, slow=slow, fee_bps=fee,
+    ).select("key", "ts", "position", "trade", "strategy_ret", "equity",
+             "drawdown")
+
+    a = sorted(map(tuple, unfused.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert len(a) == len(b) == len(rows)
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)  # bit-identical, not approx
+
+    # the fused plan must really be 4 Window nodes vs the chain's 6
+    def n_window_nodes(frame):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        return sum(line.strip().startswith(("Window ", "+- Window", ":- Window"))
+                   for line in plan.splitlines())
+
+    assert n_window_nodes(fused) <= 4
+    assert n_window_nodes(unfused) >= n_window_nodes(fused) + 2
