@@ -28,29 +28,54 @@ def funnel_steps(
     ``steps_completed``; ``within_seconds`` additionally requires the
     WHOLE funnel to fit in the window measured from step 1.
 
-    Scale shape: ONE aggregate per step, each a conditional min over
-    the same (user-keyed) frame — the per-step frames join back on the
-    user id and stay user-cardinality-sized; no per-user arrays, no
-    event-count blowup, no window over the raw event stream."""
+    Scale shape (r13 A/B, ``tools/bench_funnel_shapes.py``): ONE scan
+    of events, one exchange+sort on the user id, then one dependent
+    partition-wide conditional-min WindowExec pass per step (step k's
+    min is gated on step k-1's window output), and a final user-grain
+    aggregate that reuses the window partitioning — no second
+    exchange. This replaced the original per-step
+    filter→join→aggregate chain: value-identical (asserted in the
+    A/B before timing) and faster at every tier (sf1 0.48s vs 0.99s,
+    sf3 0.59s vs 0.90s, sf10 1.28s vs 1.86s), and strictly less data
+    motion at 100 TB — the join chain scans events once PER STEP and
+    its user-grain join frames stop broadcasting once the user
+    dimension outgrows a broadcast, falling back to one event-grain
+    shuffle per step, while this shape moves the event stream exactly
+    once. No per-user arrays, no event-count blowup; a hot user costs
+    O(its events) per pass, same as the join chain's groupBy."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
     t = F.col(ts_col).cast("double")
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(user_col)
-        .agg(F.min(t).alias("t_step_1"))
+    df = events.select(F.col(user_col), F.col(type_col), t.alias("__t"))
+    df = df.withColumn(
+        "t_step_1",
+        F.min(F.when(F.col(type_col) == steps[0], F.col("__t"))).over(w),
     )
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(F.col(user_col), t.alias("__t"))
-            .join(cur.select(user_col, f"t_step_{i - 1}"), user_col)
-            .filter(F.col("__t") > F.col(f"t_step_{i - 1}"))
-            .groupBy(user_col)
-            .agg(F.min("__t").alias(f"t_step_{i}"))
+        df = df.withColumn(
+            f"t_step_{i}",
+            F.min(
+                F.when(
+                    (F.col(type_col) == step)
+                    & (F.col("__t") > F.col(f"t_step_{i - 1}")),
+                    F.col("__t"),
+                )
+            ).over(w),
         )
-        cur = cur.join(nxt, user_col, "left")
+    cur = (
+        df.filter(F.col("t_step_1").isNotNull())
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.first(f"t_step_{i}").alias(f"t_step_{i}")
+                for i in range(1, len(steps) + 1)
+            ]
+        )
+    )
     if within_seconds is not None:
         for i in range(2, len(steps) + 1):
             cur = cur.withColumn(
