@@ -537,3 +537,117 @@ def test_nb_libm_bit_agreement(spark):
         else:  # EXP diverges bitwise (24/250 at r12) — bound it to 1 ulp
             ulps = np.abs(got_s.view("int64") - got_d.view("int64"))
             assert int(ulps.max()) <= 1, (fn, int(ulps.max()))
+
+
+def test_numpy_model_through_factory_seam_end_to_end(spark):
+    """r13 verdict task #4: the model_factory seam had only ever
+    carried hash stubs and per-row lambdas. This injects REAL
+    (non-stub) numpy models — a bag-of-words logistic-regression
+    sentiment head and a fixed-random-projection text encoder, both
+    pure public-knowledge constructions — and checks the scores
+    end-to-end against a hand computation: the batch matrix math, the
+    struct schema, the score normalization (score = probability of
+    the PREDICTED class, score_signed flips sign on NEGATIVE), and
+    the float32 Arrow cast on the embedding side all verified through
+    the real executor path (repartitioned so multiple workers each
+    run the lazy factory)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.ml import (
+        SENTIMENT_SCHEMA,
+        make_embedding_udf,
+        make_sentiment_udf,
+    )
+
+    VOCAB = {"good": 2.0, "great": 3.0, "bad": -2.0, "terrible": -3.0}
+    BIAS = 0.1
+    words = list(VOCAB)
+    W = np.array([VOCAB[w] for w in words])
+
+    def numpy_sentiment_factory():
+        # vectorized logistic regression over a bag-of-words count
+        # matrix: one matmul + sigmoid per Arrow batch
+        def predict(texts):
+            X = np.zeros((len(texts), len(words)))
+            for i, t in enumerate(texts):
+                toks = (t or "").split()
+                for j, w in enumerate(words):
+                    X[i, j] = toks.count(w)
+            p_pos = 1.0 / (1.0 + np.exp(-(X @ W + BIAS)))
+            out = []
+            for p in p_pos:
+                label = "POSITIVE" if p >= 0.5 else "NEGATIVE"
+                score = float(p if p >= 0.5 else 1.0 - p)
+                out.append((label, score, score if label == "POSITIVE" else -score))
+            return out
+        return predict
+
+    DIM = 8
+    PROJ = np.random.RandomState(0).standard_normal((len(words), DIM))
+
+    def numpy_encoder_factory():
+        # fixed random-projection encoder: counts @ PROJ, L2-normalized
+        def encode(texts):
+            X = np.zeros((len(texts), len(words)))
+            for i, t in enumerate(texts):
+                toks = (t or "").split()
+                for j, w in enumerate(words):
+                    X[i, j] = toks.count(w)
+            E = X @ PROJ
+            n = np.linalg.norm(E, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            return (E / n).tolist()
+        return encode
+
+    texts = [
+        "good good day",          # w.x = 4.0 + bias
+        "terrible bad crash",     # w.x = -5.0 + bias
+        "nothing in vocabulary",  # w.x = 0 + bias -> p = sigmoid(0.1)
+        "good but bad",           # w.x = 0 + bias
+        "great great great bad",  # w.x = 7.0 + bias
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": texts})
+    ).repartition(3)
+
+    out = df.withColumn(
+        "s", make_sentiment_udf(numpy_sentiment_factory)("text")
+    ).withColumn("e", make_embedding_udf(numpy_encoder_factory)("text"))
+    assert out.schema["s"].dataType == SENTIMENT_SCHEMA
+    rows = {r["text"]: r for r in out.collect()}
+    assert len(rows) == len(texts)
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + math.exp(-z))
+
+    # hand-computed expectations, independent of the factory's numpy
+    hand = {
+        "good good day": sigmoid(4.1),
+        "terrible bad crash": sigmoid(-4.9),
+        "nothing in vocabulary": sigmoid(0.1),
+        "good but bad": sigmoid(0.1),
+        "great great great bad": sigmoid(7.1),
+    }
+    for t, p_pos in hand.items():
+        s = rows[t]["s"]
+        want_label = "POSITIVE" if p_pos >= 0.5 else "NEGATIVE"
+        want_score = p_pos if p_pos >= 0.5 else 1.0 - p_pos
+        assert s["label"] == want_label, t
+        assert abs(s["score"] - want_score) < 1e-12, t
+        want_signed = want_score if want_label == "POSITIVE" else -want_score
+        assert abs(s["score_signed"] - want_signed) < 1e-12, t
+
+    # embeddings: recompute by hand (counts @ PROJ, normalized), then
+    # cast through float32 exactly like the ArrayType(FloatType) column
+    for t in texts:
+        counts = np.array([t.split().count(w) for w in words], dtype=float)
+        e = counts @ PROJ
+        nrm = np.linalg.norm(e)
+        e = e / nrm if nrm else e
+        want = np.asarray(e, dtype=np.float32)
+        got = np.array(rows[t]["e"], dtype=np.float32)
+        assert got.shape == (DIM,)
+        assert np.array_equal(got, want), t
