@@ -20,11 +20,23 @@ def _as_event_time(df: DataFrame, ts_col: str) -> DataFrame:
 
 def dedup_stream(stream_df: DataFrame, *, id_col: str = "id",
                  ts_col: str = "ts", watermark: str = "1 hour") -> DataFrame:
-    """Emit each id once; state bounded by the watermark horizon."""
+    """Emit each id once within the watermark horizon; state bounded.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), NOT
+    ``dropDuplicates([id])`` — r13 found the latter never evicts
+    dedup state when the event-time column is not part of the dedup
+    keys (per-batch ``numRowsRemoved`` stayed 0 and state rows grew
+    monotonically under a disordered feed), so its state is unbounded
+    on an infinite stream despite the watermark (which only drives
+    the late-event filter). The bounded-state contract this trades
+    for: an id re-arriving AFTER its state expired (event time more
+    than ``watermark`` past the original) is re-emitted — exactly the
+    reference's bounded ``seen_ids`` cache semantics, and pinned by
+    the disordered-feed pytest."""
     return (
         _as_event_time(stream_df, ts_col)
         .withWatermark(ts_col, watermark)
-        .dropDuplicates([id_col])
+        .dropDuplicatesWithinWatermark([id_col])
     )
 
 

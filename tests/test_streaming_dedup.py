@@ -477,3 +477,155 @@ def test_windowed_counts_late_data_vs_batch_twin(spark):
     assert list(g["n"]) == list(w["n"])
     # and the drop really happened: minute 5 emitted no window
     assert base + pd.Timedelta(minutes=5) not in set(g["bucket"])
+
+
+@pytest.mark.parametrize("shape", ["tumbling", "session", "dedup"])
+def test_watermark_semantics_breadth_disordered_feed(spark, shape, tmp_path):
+    """r13 verdict task #8: the SPARK-24634 disordered-feed harness,
+    extended from the tumbling agg to all three stateful shapes. Each
+    case feeds one-file micro-batches (maxFilesPerTrigger=1) with
+    out-of-order and late events and asserts the APPEND-mode output
+    equals the batch twin over (all events − the derived drop set),
+    under the two-watermark rule: the late filter for batch N uses
+    batch N−1's watermark, state eviction the current one.
+
+    - tumbling: the ST6 windowed count (same script as the r12 test,
+      kept here so one parametrized harness covers the family).
+    - session: F.session_window — a late-but-accepted event MERGES
+      into an open session (minute 8 joins [0,15) → [0,18)); a
+      below-filter event drops; the pusher's session stays unflushed.
+    - dedup: dropDuplicatesWithinWatermark (ST2) — r13 FOUND AND FIXED
+      here: dropDuplicates([id]) under a watermark never evicts state
+      (numRowsRemoved stayed 0; unbounded on an infinite stream). The
+      bounded-state contract is pinned instead: within-horizon
+      re-arrivals suppress (A@2), below-filter events drop (F@15,
+      filter=20 during b3), and an id re-arriving after its state
+      expired re-emits (B@45 after B@7's state evicted at wm 40) —
+      the batch twin is first-per-(id, state epoch), i.e. the
+      reference's bounded seen_ids cache, NOT an infinite-memory
+      distinct."""
+    from pyspark.sql import functions as F
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def mk(pairs, key="id"):
+        return pd.DataFrame(
+            {
+                key: [p[0] for p in pairs],
+                "ts": [base + pd.Timedelta(minutes=p[1]) for p in pairs],
+            }
+        )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    if shape == "tumbling":
+        batches = [
+            mk([("e", m) for m in ms])
+            for ms in ([0, 1, 7, 10], [30, 25, 7, 2], [22, 50], [5, 55], [70])
+        ]
+        schema = _write_batches(spark, src, batches)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        out = windowed_counts(
+            stream, ts_col="ts", every="1 minute", watermark="10 minutes"
+        )
+        # drop set: minute 5 in b3 (late filter 20); pusher unflushed
+        surviving = pd.concat(batches, ignore_index=True)
+        surviving = surviving[~surviving["ts"].isin(
+            [base + pd.Timedelta(minutes=m) for m in (5, 70)]
+        )]
+        twin = (
+            spark.createDataFrame(surviving)
+            .groupBy(F.window(F.col("ts").cast("timestamp"), "1 minute").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("bucket"), "n")
+        )
+        sort_cols = ["bucket"]
+    elif shape == "session":
+        batches = [
+            mk([("u1", 0), ("u1", 5), ("u1", 40)], key="user_id"),
+            mk([("u1", 8), ("u1", 70)], key="user_id"),   # 8 late-but-accepted
+            mk([("u1", 12)], key="user_id"),              # 12 < filter 30: drop
+            mk([("u1", 120)], key="user_id"),             # pusher, unflushed
+        ]
+        schema = _write_batches(spark, src, batches)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        out = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n",
+            )
+        )
+        surviving = pd.concat(batches, ignore_index=True)
+        surviving = surviving[~surviving["ts"].isin(
+            [base + pd.Timedelta(minutes=m) for m in (12, 120)]
+        )]
+        twin = (
+            spark.createDataFrame(surviving)
+            .groupBy(
+                F.session_window(F.col("ts").cast("timestamp"), "10 minutes")
+                .alias("w"),
+                "user_id",
+            )
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id", F.col("w.start").alias("s"),
+                F.col("w.end").alias("e"), "n",
+            )
+        )
+        sort_cols = ["s"]
+    else:  # dedup
+        batches = [
+            mk([("A", 0), ("B", 7), ("C", 10)]),
+            mk([("A", 2), ("D", 30)]),   # A@2: within-horizon dup, suppressed
+            mk([("E", 50)]),
+            mk([("F", 15)]),             # 15 < filter 20: dropped late
+            mk([("B", 45)]),             # B state expired (wm 40 > 7+10): re-emit
+            mk([("G", 70)]),             # pusher
+        ]
+        schema = _write_batches(spark, src, batches)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        )
+        out = dedup_stream(stream, id_col="id", ts_col="ts",
+                           watermark="10 minutes")
+        # batch twin: first occurrence per (id, state epoch) over the
+        # non-late events — B appears TWICE (epochs either side of its
+        # state eviction), which an infinite-memory distinct would
+        # collapse; that divergence IS the bounded-state contract
+        twin_rows = [("A", 0), ("B", 7), ("C", 10), ("D", 30), ("B", 45),
+                     ("E", 50), ("G", 70)]
+        twin = spark.createDataFrame(
+            mk(twin_rows)
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sort_cols = ["ts", "id"]
+
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = (
+        spark.read.parquet(sink).toPandas()
+        .sort_values(sort_cols).reset_index(drop=True)
+    )
+    want = twin.toPandas().sort_values(sort_cols).reset_index(drop=True)
+    assert len(got) == len(want), (shape, got, want)
+    for c in want.columns:
+        assert list(got[c]) == list(want[c]), (shape, c, got, want)
