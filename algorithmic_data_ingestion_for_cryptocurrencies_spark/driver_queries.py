@@ -2753,8 +2753,13 @@ def dedup_substring_spans_q(spark, sf_dir):
     from .operators.dedup import duplicated_spans
 
     docs = _t(spark, sf_dir, "documents")
+    # broadcast_dup_grams: bounded doc corpus -> one int64 row per
+    # distinct duplicated gram broadcasts, sparing the probe-side
+    # shuffle write (r13 A/B: 0.95s vs 1.92s marked stage at sf1) --
+    # the jaccard broadcast_sizes ruling applied to this family
     return duplicated_spans(
-        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2
+        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2,
+        broadcast_dup_grams=True,
     )
 
 
@@ -2788,7 +2793,8 @@ def dedup_substring_scrub_q(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicated_spans(
-        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2
+        docs, id_col="doc_id", text_col="text", k=_SUBSTR_K, min_count=2,
+        broadcast_dup_grams=True,
     )
 
 

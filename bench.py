@@ -59,6 +59,11 @@ HEADLINE = [
     # window chain with a DuckDB twin); notes report the matched-set
     # ratio with and without it so the composition change is explicit
     "u6_backtest",
+    # r13 (verdict task #1): the substring-span dedup pair joins the
+    # headline so the newest operator carries scaled-tier cells with
+    # DuckDB twins, not just a sf0.01 plan check
+    "dedup_substring_spans",
+    "dedup_substring_scrub",
 ]
 
 

@@ -533,3 +533,74 @@ def test_token_window_refactor_plan_identity(spark):
     assert norm_plan(
         dedup.exploded_shingles(sdf, id_col="doc_id", text_col="text", n=3)
     ) == norm_plan(legacy_strings(sdf, id_col="doc_id", text_col="text", n=3))
+
+
+def test_duplicated_spans_hot_gram_stays_linear(spark):
+    """r13 verdict task #1 skew scenario for the substring-span family
+    (mirror of test_hot_shingle_cap_preserves_non_hot_pairs): ONE
+    boilerplate block sits in 30% of the corpus. The linearity claim
+    behind the 100 TB story is that duplicated_spans has NO pair
+    stage: the dup side of its semi-join is DISTINCT on the gram key,
+    so a gram shared by 30% of documents multiplies each of its
+    positions by exactly 1 — never by its document frequency.
+
+    Asserts (a) correctness under skew: every hot doc's span is
+    exactly the planted block's [start, end) at its per-doc offset and
+    non-hot docs emit nothing; (b) the structural invariant: the
+    number of marked positions equals the number of positioned grams
+    whose corpus count >= 2 (computed independently) — i.e. join
+    output is linear in corpus positions; and (c) the dup frame is
+    one row per distinct duplicated gram."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(13)
+    vocab = [f"tok{i}" for i in range(30000)]
+    n_docs = 600
+    K = 8
+    # 14 unique filler tokens per doc, drawn from a wide vocab so no
+    # accidental 8-gram repeats; the hot block is 12 tokens (one
+    # maximal span of 5 gram starts per hot doc)
+    base = [" ".join(rng.choice(vocab, 14, replace=False)) for _ in range(n_docs)]
+    hot = " ".join(f"boiler{i}" for i in range(12))
+    hot_ids = set(range(0, n_docs, 3))  # 30%
+    texts = [f"{t} {hot}" if i in hot_ids else t for i, t in enumerate(base)]
+    sdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    ).repartition(8)
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in dedup.duplicated_spans(
+            sdf, id_col="doc_id", text_col="text", k=K
+        ).collect()
+    }
+    # (a) exactly the hot docs, exactly the planted block [14, 26)
+    assert set(spans) == hot_ids
+    assert all(v == (14, 26) for v in spans.values())
+
+    # (b)+(c) linearity invariants on the operator's own stages
+    grams = dedup.positioned_gram_hashes(
+        sdf, id_col="doc_id", text_col="text", k=K
+    )
+    dup = (
+        grams.groupBy("gram").agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+    )
+    n_dup_grams = dup.count()
+    assert n_dup_grams == dup.select("gram").distinct().count()  # (c)
+    marked = grams.join(dup.select("gram"), "gram")
+    # independent linear expectation: positions whose gram count >= 2
+    expect = (
+        grams.withColumn(
+            "c", F.count("*").over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("gram"))
+        )
+        .filter(F.col("c") >= 2)
+        .count()
+    )
+    got = marked.count()
+    assert got == expect
+    # the hot block contributes (12 - 8 + 1) gram positions per hot
+    # doc and nothing else repeats: fully determined
+    assert got == len(hot_ids) * (12 - K + 1)
