@@ -1967,9 +1967,12 @@ FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
 )
 def e7_funnel(spark, sf_dir):
     """Ordered view -> click -> purchase funnel: earliest completion
-    of each step strictly after the previous one, one conditional-min
-    aggregate per step joined on the user id — never a window over
-    the raw event stream."""
+    of each step strictly after the previous one. Single scan of
+    events, one exchange+sort on the user id, one dependent
+    partition-wide conditional-min window pass per step (r13 A/B,
+    tools/bench_funnel_shapes.py: value-identical to the per-step
+    join chain, faster at every tier, one event-grain shuffle
+    total)."""
     from .operators.funnel import funnel_steps
 
     ev = _t(spark, sf_dir, "events")

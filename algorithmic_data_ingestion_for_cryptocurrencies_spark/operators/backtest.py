@@ -113,11 +113,13 @@ def sma_backtest_curve_fused(
     3. the cumulative log-equity sum;
     4. the running equity peak (depends on 3, irreducible).
 
-    PRECONDITION: ``price_col`` must be non-null. With null prices the
-    warmup-count mask can un-define ``above`` mid-series, and the
-    original ffill carries the position across such a gap while the
-    closed form re-reads ``above`` after it — semantics then diverge.
-    (The unfused chain stays the general tool; u6's market frame has
+    PRECONDITION: ``price_col`` must be non-null — ENFORCED with a
+    per-row ``raise_error`` guard (r13 review: a silent divergence is
+    worse than a loud one). With null prices the warmup-count mask can
+    un-define ``above`` mid-series, and the original ffill carries the
+    position across such a gap while the closed form re-reads
+    ``above`` after it — semantics then diverge. (The unfused chain
+    stays the general tool for gappy prices; u6's market frame has
     non-null closes by construction.) Value-identity with the unfused
     chain on non-null prices is pytest-pinned and re-asserted by
     ``tools/bench_backtest_shapes.py`` on the real market frame.
@@ -131,6 +133,20 @@ def sma_backtest_curve_fused(
     w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     fee = fee_bps / 1e4
 
+    # loud precondition: the closed-form position is only equivalent
+    # to the ffill chain when `above` can never return to NULL once
+    # defined, i.e. the price column has no gaps
+    df = df.withColumn(
+        price_col,
+        F.when(
+            F.col(price_col).isNull(),
+            F.raise_error(F.lit(
+                "sma_backtest_curve_fused requires non-null prices; "
+                "use with_sma_crossover_signals + backtest_positions "
+                "for gappy series"
+            )).cast(df.schema[price_col].dataType),
+        ).otherwise(F.col(price_col)),
+    )
     # pass 1 — identical sliding-SMA expressions as the unfused chain
     df = df.withColumn(
         "__above",

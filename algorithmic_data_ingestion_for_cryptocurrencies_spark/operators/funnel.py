@@ -42,7 +42,14 @@ def funnel_steps(
     dimension outgrows a broadcast, falling back to one event-grain
     shuffle per step, while this shape moves the event stream exactly
     once. No per-user arrays, no event-count blowup; a hot user costs
-    O(its events) per pass, same as the join chain's groupBy."""
+    O(its events) per pass, same as the join chain's groupBy.
+
+    NULL-user semantics are pinned to the join chain's (r13 review):
+    an SQL equi-join never matches NULL keys, so the original shape
+    (and the e7 oracle) gave NULL-user rows a ``t_step_1`` (GROUP BY
+    groups NULLs) but broke the funnel there — whereas
+    ``Window.partitionBy`` groups NULLs into one partition and would
+    complete it. Steps ≥ 2 are therefore gated on a non-NULL user."""
     steps = list(steps)
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
@@ -58,13 +65,16 @@ def funnel_steps(
     for i, step in enumerate(steps[1:], start=2):
         df = df.withColumn(
             f"t_step_{i}",
-            F.min(
-                F.when(
-                    (F.col(type_col) == step)
-                    & (F.col("__t") > F.col(f"t_step_{i - 1}")),
-                    F.col("__t"),
-                )
-            ).over(w),
+            F.when(
+                F.col(user_col).isNotNull(),
+                F.min(
+                    F.when(
+                        (F.col(type_col) == step)
+                        & (F.col("__t") > F.col(f"t_step_{i - 1}")),
+                        F.col("__t"),
+                    )
+                ).over(w),
+            ),
         )
     cur = (
         df.filter(F.col("t_step_1").isNotNull())

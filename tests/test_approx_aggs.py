@@ -181,6 +181,10 @@ def test_funnel_ordering_and_window(spark):
         ("u4", "B", 0), ("u4", "C", 1),
         # u5: completes but slowly (C at 100)
         ("u5", "A", 0), ("u5", "B", 1), ("u5", "C", 100),
+        # NULL user: would "complete" in one Window.partitionBy
+        # partition, but the join-chain/SQL-equi-join semantics the
+        # operator pins (r13 review) give it t_step_1 only
+        (None, "A", 0), (None, "B", 10), (None, "C", 20),
     ]
     ev = spark.createDataFrame(rows, ["user_id", "event_type", "t"]).select(
         "user_id", "event_type", F.timestamp_seconds("t").alias("ts")
@@ -189,10 +193,14 @@ def test_funnel_ordering_and_window(spark):
         r["user_id"]: r
         for r in funnel_steps(ev, ["A", "B", "C"]).collect()
     }
-    assert set(got) == {"u1", "u2", "u3", "u5"}
+    assert set(got) == {"u1", "u2", "u3", "u5", None}
     assert got["u1"]["steps_completed"] == 3
     assert got["u2"]["steps_completed"] == 2 and got["u2"]["t_step_3"] is None
     assert got["u3"]["steps_completed"] == 1
+    # NULL user: grouped (GROUP BY groups NULLs) but funnel broken at
+    # step 1 (equi-join semantics never match a NULL key)
+    assert got[None]["steps_completed"] == 1
+    assert got[None]["t_step_2"] is None and got[None]["t_step_3"] is None
 
     win = {
         r["user_id"]: r

@@ -218,3 +218,21 @@ def test_fused_curve_matches_unfused_chain(spark):
 
     assert n_window_nodes(fused) <= 4
     assert n_window_nodes(unfused) >= n_window_nodes(fused) + 2
+
+
+def test_fused_curve_rejects_null_prices(spark):
+    """r13 review: the fused shape's non-null-price precondition is
+    enforced loudly (raise_error), not silently diverged from."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        sma_backtest_curve_fused,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 100.0), ("a", 1, None), ("a", 2, 101.0)],
+        "key string, ts long, close double",
+    )
+    out = sma_backtest_curve_fused(
+        df, keys=["key"], order="ts", price_col="close", fast=2, slow=3
+    )
+    with pytest.raises(Exception, match="non-null prices"):
+        out.collect()

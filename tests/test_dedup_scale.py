@@ -549,11 +549,13 @@ def test_duplicated_spans_hot_gram_stays_linear(spark):
     non-hot docs emit nothing; (b) the structural invariant: the
     number of marked positions equals the number of positioned grams
     whose corpus count >= 2 (computed independently) — i.e. join
-    output is linear in corpus positions; and (c) the dup frame is
-    one row per distinct duplicated gram."""
+    output is linear in corpus positions; and (c) the dup frame's
+    cardinality equals the INDEPENDENTLY-counted number of distinct
+    duplicated grams (window count over the raw gram stream), so a
+    future non-distinct dup side cannot slip through."""
     import numpy as np
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     rng = np.random.default_rng(13)
     vocab = [f"tok{i}" for i in range(30000)]
@@ -589,16 +591,16 @@ def test_duplicated_spans_hot_gram_stays_linear(spark):
         .filter(F.col("c") >= 2)
     )
     n_dup_grams = dup.count()
-    assert n_dup_grams == dup.select("gram").distinct().count()  # (c)
+    # (c) independent distinct-dup-gram count via a window over the
+    # raw gram stream — would catch a dup side that stopped being
+    # distinct on the key
+    with_c = grams.withColumn(
+        "c", F.count("*").over(Window.partitionBy("gram"))
+    ).filter(F.col("c") >= 2)
+    assert n_dup_grams == with_c.select("gram").distinct().count()
     marked = grams.join(dup.select("gram"), "gram")
-    # independent linear expectation: positions whose gram count >= 2
-    expect = (
-        grams.withColumn(
-            "c", F.count("*").over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("gram"))
-        )
-        .filter(F.col("c") >= 2)
-        .count()
-    )
+    # (b) independent linear expectation: positions whose gram count >= 2
+    expect = with_c.count()
     got = marked.count()
     assert got == expect
     # the hot block contributes (12 - 8 + 1) gram positions per hot
