@@ -1054,47 +1054,39 @@ def remove_duplicated_spans(
     document's NORMALIZED text with every duplicated span's tokens
     removed (the Lee-et-al cut applied, whitespace-normalized like
     every dedup tier — see :func:`normalize_text`). Docs with no
-    duplicated span pass through with ``n_removed = 0``.
+    duplicated span pass through with ``n_removed = 0``; NULL-text
+    docs pass through with NULL counts (both pinned by pytest and the
+    hash-exact SQL twin).
 
-    Shape: spans explode back to one row per REMOVED position (linear
-    in removed tokens, not corpus tokens), anti-join against the
-    positioned token grain, then one per-doc ordered re-assembly
-    (sort_array over (pos, token) structs — no collect_list order
-    assumption). Three shuffles total, all on doc id or positions.
-    Accepted constant factor (r12 review): the universe anchor and
-    token grain each re-evaluate the tokenize regex (Catalyst does
-    not CSE across join branches) — two extra linear map passes,
-    kept because the anchor is what returns fully-scrubbed and
-    NULL-text docs instead of dropping them.
+    Shape (r13, replacing the token-grain anti-join): spans collapse
+    to ONE array of (start, end) structs per affected document (a
+    span-grain collect — tiny: a handful of intervals per doc), the
+    document universe LEFT-joins that doc-grain frame, and the kept
+    tokens come from a single index-aware higher-order ``filter`` over
+    the already-tokenized array (``exists`` over the span structs per
+    token). Token order is the array's own — no re-sort, no object
+    re-assembly. The replaced shape exploded one row per removed
+    position, anti-joined the full posexploded token grain, and
+    rebuilt text with ``array_sort(collect_list(struct(pos, tok)))``
+    — i.e. it moved TOKEN-grain rows through a join and an object
+    aggregate where this shape moves each document once. Measured
+    (``/tmp`` A/B, value-identical on 50k/150k docs first): 2.43 s vs
+    3.59 s at sf1, 4.22 s vs 7.09 s at sf3. The per-element HOF cost
+    the module's r6 lesson warns about is bounded here by the tiny
+    per-doc span array (0-few intervals), unlike the per-shingle
+    hashing case.
 
     Returns (id_col, clean_text, n_tokens, n_removed).
     """
-    spans = duplicated_spans(
+    span_sets = duplicated_spans(
         df, id_col=id_col, text_col=text_col, k=k, min_count=min_count,
         broadcast_dup_grams=broadcast_dup_grams,
-    ).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.sequence("span_start", F.col("span_end") - 1)).alias("pos"),
+    ).groupBy(F.col(id_col).alias("id")).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    toks = df.select(F.col(id_col).alias("id"), tokenize(text_col).alias("__w")).select(
-        "id", F.posexplode("__w")
-    )
-    kept = toks.join(spans, ["id", "pos"], "left_anti")
-    kept_agg = kept.groupBy("id").agg(
-        F.count("*").alias("__n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "col"))),
-                lambda s: s["col"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    # re-anchor on the document universe: a FULLY duplicated doc has
-    # zero kept tokens and would otherwise vanish from the output —
-    # it must come back as clean_text = '' with everything removed
     universe = df.select(
         F.col(id_col).alias("id"),
+        tokenize(text_col).alias("__w"),
         # explicit NULL for NULL text: non-ANSI size(NULL) is the
         # legacy -1, but the SQL twin's LEN(STRING_SPLIT(NULL)) is
         # NULL — pin the NULL so both engines and both n_removed agree
@@ -1102,14 +1094,25 @@ def remove_duplicated_spans(
             F.col(text_col).isNull(), F.lit(None).cast("int")
         ).otherwise(F.size(tokenize(text_col))).alias("n_tokens"),
     )
-    return (
-        universe.join(kept_agg, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias("n_removed"),
-        )
+    joined = universe.join(span_sets, "id", "left").withColumn(
+        # no-span docs: empty interval set -> the filter keeps all
+        "__spans", F.coalesce("__spans", F.array())
+    )
+    kept = F.filter(
+        "__w",
+        lambda x, i: ~F.exists(
+            "__spans",
+            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+        ),
+    )
+    joined = joined.withColumn("__kept", kept)
+    return joined.select(
+        F.col("id").alias(id_col),
+        # NULL text: __w is NULL -> array_join(NULL) is NULL -> ''
+        F.coalesce(F.array_join("__kept", " "), F.lit("")).alias("clean_text"),
+        "n_tokens",
+        # NULL text: NULL - size(NULL) stays NULL (NULL arithmetic)
+        (F.col("n_tokens") - F.size("__kept")).alias("n_removed"),
     )
 
 

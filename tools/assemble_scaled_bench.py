@@ -39,7 +39,7 @@ def main() -> None:
         }
         # carry the two-window-protocol record through (r13: the
         # --outlier-rerun flag writes these into the spark partial)
-        for k in ("second_window_min_cells", "outlier_rerun"):
+        for k in ("second_window_min_cells", "outlier_rerun", "post_swap_cells"):
             if k in sp:
                 tier[k] = sp[k]
         if duck_path:
