@@ -1152,7 +1152,12 @@ def cross_doc_repetition(
     while this shape's count gets map-side partials and its join back
     is AQE-splittable. The join shape stays: constant-factor slower
     on benign data, structurally safe on the boilerplate-heavy corpus
-    this operator exists for.
+    this operator exists for. (r13 negative result: hinting
+    ``F.broadcast(freq)`` — the trick that cut the substring-span
+    semi-join 2x — measured only ~5% here (1.24 vs 1.30 s at sf1,
+    value-identical) because freq is the FULL distinct-shingle
+    universe, not a duplicated subset; not worth the broadcast-size
+    risk, not shipped.)
 
     ``hash_shingles`` (default on) compresses the shingle key to
     ``xxhash64(shingle)`` BEFORE the distinct/doc-frequency/join

@@ -574,3 +574,65 @@ def test_ivf_serve_plan_two_exchanges_no_crossjoin(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_funnel_window_shape_single_exchange(spark):
+    """r13 funnel rewrite guard: one scan of events, ONE data exchange
+    (on the user key), three dependent Window nodes, and a final agg
+    that reuses the window partitioning — no per-step re-scan, no
+    second exchange."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.funnel import (
+        funnel_steps,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "view", 10.0), (1, "click", 20.0), (1, "purchase", 30.0),
+         (2, "view", 5.0)],
+        "user_id long, event_type string, ts double",
+    )
+    plan = explain_str(funnel_steps(ev, ["view", "click", "purchase"]),
+                       "formatted").split("\n\n")[0]
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") == 3, plan
+
+
+def test_fused_backtest_window_node_budget(spark):
+    """r13 fused-backtest guard: the whole curve (SMA pass + position
+    closed form + log-equity cumsum + running peak) plans at most 4
+    Window nodes over one series exchange."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        sma_backtest_curve_fused,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, 100.0 + t) for t in range(10)],
+        "key string, ts long, close double",
+    )
+    out = sma_backtest_curve_fused(df, keys=["key"], order="ts",
+                                   price_col="close", fast=2, slow=3)
+    plan = explain_str(out, "formatted").split("\n\n")[0]
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") <= 4, plan
+
+
+def test_scrub_plan_has_no_token_grain_object_aggregate(spark):
+    """r13 scrub reshape guard: remove_duplicated_spans must not plan
+    the retired token-grain shape — no posexplode of the token array
+    feeding a join, and no ObjectHashAggregate over (pos, token)
+    structs; the only collect is the tiny span-grain interval set."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    out = dedup.remove_duplicated_spans(docs, id_col="doc_id",
+                                        text_col="text", k=8)
+    plan = explain_str(out, "formatted").split("\n\n")[0]
+    # the positioned-gram explode appears once per semi-join branch
+    # (agg side + probe side = 2 Generates); the retired shape added a
+    # THIRD — the posexploded token grain feeding the anti-join
+    assert plan.count("Generate") == 2, plan
+    assert "posexplode" not in plan, plan
+    # token re-assembly must not be an object aggregate over structs
+    assert "sort_array" not in plan.lower(), plan
