@@ -324,6 +324,40 @@ def w04(spark, sf_dir):
 
 
 @q(
+    "w04b_rolling_mean_fixed",
+    f"""SELECT suppkey, ts, okey, lnum,
+  CASE WHEN __cc - COALESCE(LAG(__cc, 20) {_over()}, 0) >= 20
+       THEN CAST(__cs - COALESCE(LAG(__cs, 20) {_over()}, 0) AS DOUBLE)
+            / (CAST(__cc - COALESCE(LAG(__cc, 20) {_over()}, 0) AS DOUBLE)
+               * 2147483648.0)
+  END AS sma_fx_20
+FROM (
+  SELECT suppkey, ts, okey, lnum, pkey,
+         SUM(CAST(FLOOR(close * 2147483648.0) AS DECIMAL(38,0))) {_over(_CUM)} AS __cs,
+         COUNT(close) {_over(_CUM)} AS __cc
+  FROM ({MARKET_SQL})
+)""",
+    cols=IDS + ["sma_fx_20"],
+    fcols=["sma_fx_20"],
+)
+def w04b(spark, sf_dir):
+    """W4 in O(1)/row (r14): the fixed-point prefix-sum-difference
+    sliding mean (``with_rolling_mean_fixed``) — two constant-time
+    window passes instead of Spark's O(window)-per-row frame
+    recomputation, with a step-identical DECIMAL(38,0) SQL twin so the
+    doubles are bit-exact cross-engine.  scale_bits=31: raw closes
+    (l_extendedprice) reach ~1.05e5, so 20 * 1.05e5 * 2^31 = 4.5e15
+    < 2^53 keeps the frame-sum cast exact with 2x headroom."""
+    from .operators.rolling import with_rolling_mean_fixed
+
+    m = _market(spark, sf_dir)
+    out = with_rolling_mean_fixed(
+        m, "sma_fx_20", "close", KEYS, ORDER, 20, scale_bits=31
+    )
+    return out.select(*IDS, "sma_fx_20")
+
+
+@q(
     "w05_rolling_std",
     f"SELECT suppkey, ts, okey, lnum, {_roll('STDDEV_SAMP', 'close', 20)} AS std_20 FROM ({MARKET_SQL})",
     cols=IDS + ["std_20"],
@@ -903,15 +937,22 @@ def _parquet_rowcount(path: str) -> int:
     """Row count from parquet FOOTER metadata — no Spark job, no column
     scan (r13: the a4 auto-tier hint ran a count() job worth ~0.4 s of
     a 2.8 s cell at sf3; the footer sum is milliseconds and exact for
-    an unfiltered table)."""
+    an unfiltered table).  Walks the tree RECURSIVELY (r14 advisor fix:
+    a hive-partitioned layout nests part files under key=value dirs)
+    and raises if no footer was read, so a layout change fails loudly
+    instead of silently returning 0 and mis-tiering the caller."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
-        return sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
+        total, n_files = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, f)).num_rows
+                    n_files += 1
+        if n_files == 0:
+            raise FileNotFoundError(f"no parquet footers under {path}")
+        return total
     return pq.read_metadata(path).num_rows
 
 
@@ -3961,10 +4002,57 @@ _BT_STRAT = (
 )
 
 
-def _bt_summary_sql(fast: int, slow: int, *, tag: bool = False) -> str:
+#: 2^24 — the u6 fixed-point SMA scale (envelope: frame sums exact
+#: while 50 * 1.2e4 * 2^24 = 1.0e13 < 2^53; the per-key LONG running
+#: sum fits while rows_per_series * 1.2e4 * 2^24 < 2^63, i.e. 4.6e7
+#: bars/series)
+_BT_FX_SCALE = float(1 << 24)
+
+
+def _bt_above_sql(fast: int, slow: int) -> str:
+    """The crossover indicator view.  ``sma="fixed"`` twin (r14): ONE
+    cumulative integer running sum of ``FLOOR(close * 2^24)`` shared
+    by both windows (Spark sums primitive LONG; DuckDB sums BIGINT
+    into HUGEINT — same integers either way), frame sums as lags of
+    it, mask = ``row_number >= slow`` — step-for-step the DataFrame
+    form in ``sma_backtest_curve_fused(sma="fixed")``, so the emitted
+    ``__above`` integers are bit-identical cross-engine (every step is
+    exact integer arithmetic or a single IEEE double op)."""
+    s = repr(_BT_FX_SCALE)
+    mean = (
+        "CAST(__cs - COALESCE(LAG(__cs, {n}) {over}, 0) AS DOUBLE) "
+        "/ ({n} * {s})"
+    )
+    mf = mean.format(n=fast, over=_over(), s=s)
+    ms = mean.format(n=slow, over=_over(), s=s)
+    return f"""SELECT suppkey, ts, okey, lnum, pkey, close,
+           CASE WHEN __rn >= {slow}
+                THEN CAST(({mf}) > ({ms}) AS INT) END AS __above
+    FROM (
+      SELECT *,
+             SUM(CAST(FLOOR(close * {s}) AS BIGINT)) {_over(_CUM)} AS __cs,
+             ROW_NUMBER() {_over()} AS __rn
+      FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                   10000 + CAST(close AS DOUBLE) / 100 AS close
+            FROM ({MARKET_SQL}))
+    )"""
+
+
+def _bt_summary_sql(fast: int, slow: int, *, tag: bool = False,
+                    sma: str = "float") -> str:
     """One SMA-crossover backtest summary as nested inline views (no
     CTEs, so combos can be UNION ALL branches); ``tag`` prepends the
-    (fast, slow) combo columns for the param-sweep oracle."""
+    (fast, slow) combo columns for the param-sweep oracle.  ``sma``
+    picks the crossover-indicator twin: ``"float"`` = sliding-frame
+    AVG (the unfused signals chain), ``"fixed"`` = the O(1)/row
+    fixed-point form mirroring ``sma_backtest_curve_fused(sma="fixed")``."""
+    if sma == "fixed":
+        above_view = _bt_above_sql(fast, slow)
+    else:
+        above_view = f"""SELECT *, CAST(({_roll('AVG', 'close', fast)}) > ({_roll('AVG', 'close', slow)}) AS INT) AS __above
+            FROM (SELECT suppkey, ts, okey, lnum, pkey,
+                         10000 + CAST(close AS DOUBLE) / 100 AS close
+                  FROM ({MARKET_SQL}))"""
     head = f"{fast} AS fast, {slow} AS slow, " if tag else ""
     return f"""SELECT {head}suppkey, COUNT(*) AS n_bars,
        CAST(SUM(trade) AS DOUBLE) AS n_trades,
@@ -3988,10 +4076,7 @@ FROM (
         FROM (
           SELECT *, __above - LAG(__above, 1) {_over()} AS __crossed
           FROM (
-            SELECT *, CAST(({_roll('AVG', 'close', fast)}) > ({_roll('AVG', 'close', slow)}) AS INT) AS __above
-            FROM (SELECT suppkey, ts, okey, lnum, pkey,
-                         10000 + CAST(close AS DOUBLE) / 100 AS close
-                  FROM ({MARKET_SQL}))
+            {above_view}
           )
         )
       )
@@ -4002,7 +4087,7 @@ FROM (
 
 @q(
     "u6_backtest",
-    _bt_summary_sql(10, 50),
+    _bt_summary_sql(10, 50, sma="fixed"),
     cols=["suppkey", "n_bars", "n_trades", "total_return",
           "max_drawdown", "sharpe"],
     fcols=["n_trades", "total_return", "max_drawdown", "sharpe"],
@@ -4016,15 +4101,16 @@ def u6_backtest(spark, sf_dir):
     equity curve is one window family, so the backtest scales to any
     number of series via the partition key.
 
-    Runs the FUSED 4-window-pass shape (r13 A/B,
-    tools/bench_backtest_shapes.py): bit-identical to the
-    signals+positions chain on this frame (non-null closes), ~1.70x
-    vs 1.77x DuckDB at sf1 in the same quiet window. The cell's
-    remaining gap is adjudicated there with measured numbers: floor
-    (market sort) 0.93s + sliding-SMA pass 0.71s of the 2.1s total;
-    DuckDB's edge is its O(1) sliding-window aggregation vs Spark's
-    O(w)-per-row frame recomputation (the cumsum-difference diagnostic
-    closes most of it but is not hash-exact, so it cannot ship)."""
+    Runs the FUSED shape with the FIXED-POINT SMA tier (r14 verdict
+    task #1, closing the r13 decomposition's one engine-level gap):
+    the O(w)-per-row sliding-frame SMA pass — measured 0.71s of the
+    2.1s sf1 cell — is replaced by one shared DECIMAL(38,0) running
+    sum + two lags (O(1)/row), hash-exact against the step-identical
+    SQL twin because every step is exact integer arithmetic or a
+    single IEEE double op (see ``with_rolling_mean_fixed`` /
+    ``_bt_above_sql``).  The float-SMA tier remains the default in
+    ``sma_backtest_curve_fused`` and is A/B'd against this shape in
+    ``tools/bench_backtest_shapes.py``."""
     from .operators.backtest import backtest_summary, sma_backtest_curve_fused
 
     # TPC-H pseudo-prices swing ~100x bar to bar — compounding over
@@ -4036,7 +4122,7 @@ def u6_backtest(spark, sf_dir):
     )
     curve = sma_backtest_curve_fused(
         m, keys=KEYS, order=ORDER,
-        price_col="close", fast=10, slow=50, fee_bps=5.0,
+        price_col="close", fast=10, slow=50, fee_bps=5.0, sma="fixed",
     )
     return backtest_summary(curve, keys=KEYS)
 

@@ -83,6 +83,8 @@ def sma_backtest_curve_fused(
     equity_out: str = "equity",
     drawdown_out: str = "drawdown",
     position_out: str = "position",
+    sma: str = "float",
+    scale_bits: int = 24,
 ) -> DataFrame:
     """The U6 SMA-crossover backtest curve in FOUR window passes
     instead of the six that ``with_sma_crossover_signals`` +
@@ -124,6 +126,35 @@ def sma_backtest_curve_fused(
     chain on non-null prices is pytest-pinned and re-asserted by
     ``tools/bench_backtest_shapes.py`` on the real market frame.
 
+    ``sma="fixed"`` (r14 verdict task #1) swaps the sliding-frame SMA
+    pass for the O(1)/row fixed-point prefix-sum form (see
+    :func:`~.rolling.with_rolling_mean_fixed` for the exactness
+    argument): ONE cumulative LONG running sum of
+    ``FLOOR(price * 2^scale_bits)`` is SHARED by both the fast and
+    slow window (their frame sums are just two different lags of it),
+    the warmup mask collapses to ``row_number() >= slow`` (valid
+    because the non-null-price precondition is enforced), and the
+    crossover indicator compares two bit-deterministic doubles — so
+    the whole ``above`` series is hash-exactly reproducible by the SQL
+    oracle (DuckDB sums BIGINT into HUGEINT: same integers, same
+    diff, same exact double cast).  Cost: the O(w)-per-row pass
+    (2 sliding AVGs + 2 sliding COUNT masks) becomes two O(1)/row
+    window passes; total window nodes go 4 → 5 but every frame is
+    constant-time and the sum stays a PRIMITIVE long inside
+    whole-stage codegen (the first cut used DECIMAL(38,0); measured
+    at sf1, Spark's boxed decimal window arithmetic ate the entire
+    O(1) saving — long is the shipped representation, decimal remains
+    the generic operator's unbounded-series tier).
+
+    Exactness envelope at the default bits=24: frame sums exact while
+    ``slow * max_price < 2^29`` (u6: 50 * 1.2e4 = 6e5, 890x headroom)
+    and the per-key running sum fits long while ``rows_per_series *
+    max_price < 2^39`` (u6: 4.6e7 bars/series at 1.2e4 — 87 years of
+    minute bars).  The quantized SMA differs from the float SMA by
+    ~6e-8 absolute, so a crossover flips vs the float tier only on a
+    fast/slow near-tie below that — pinned identical on the benchmark
+    frame by ``tools/bench_backtest_shapes.py`` before timing.
+
     Returns the same curve columns as :func:`backtest_positions`, so
     :func:`backtest_summary` applies unchanged."""
     from .rolling import rolling_mean
@@ -147,12 +178,31 @@ def sma_backtest_curve_fused(
             )).cast(df.schema[price_col].dataType),
         ).otherwise(F.col(price_col)),
     )
-    # pass 1 — identical sliding-SMA expressions as the unfused chain
-    df = df.withColumn(
-        "__above",
-        (rolling_mean(price_col, w, fast) > rolling_mean(price_col, w, slow))
-        .cast("int"),
-    )
+    if sma == "fixed":
+        # pass 1a+1b — shared fixed-point running sum (primitive
+        # long: F.floor already returns LongType), two lags of it
+        scale = float(1 << scale_bits)
+        q = F.floor(F.col(price_col).cast("double") * F.lit(scale))
+        df = df.withColumn("__cs", F.sum(q).over(w_cum)).withColumn(
+            "__rn", F.row_number().over(w)
+        )
+        mean_f = (
+            F.col("__cs") - F.coalesce(F.lag("__cs", fast).over(w), F.lit(0))
+        ).cast("double") / F.lit(fast * scale)
+        mean_s = (
+            F.col("__cs") - F.coalesce(F.lag("__cs", slow).over(w), F.lit(0))
+        ).cast("double") / F.lit(slow * scale)
+        df = df.withColumn(
+            "__above",
+            F.when(F.col("__rn") >= slow, (mean_f > mean_s).cast("int")),
+        ).drop("__cs", "__rn")
+    else:
+        # pass 1 — identical sliding-SMA expressions as the unfused chain
+        df = df.withColumn(
+            "__above",
+            (rolling_mean(price_col, w, fast) > rolling_mean(price_col, w, slow))
+            .cast("int"),
+        )
     # pass 2 — every remaining per-bar input as O(1)/row frames over
     # one (keys, order) WindowExec
     df = (

@@ -172,7 +172,24 @@ def _token_window_rows(
     otherwise manufacture one clamped window whose hash is a shared
     constant (``xxhash64`` of an all-NULL slice / of ``['']``), so two
     empty docs would "duplicate" each other — the r12 NULL-text
-    phantom-span bug and its r13 empty-string sibling."""
+    phantom-span bug and its r13 empty-string sibling.
+
+    Why only the SPAN consumers pass ``drop_null_empty=True`` (r14
+    advisor ruling): for the span family the constant gram is a bug —
+    it manufactures a phantom OVERLAP SPAN with token positions inside
+    text that does not exist. For the set-similarity consumers
+    (jaccard / minhash / simhash via ``exploded_shingles`` /
+    ``exploded_shingle_hashes``) the same constant gram is the
+    INTENDED semantics: token-free documents (NULL, empty,
+    whitespace-only) have identical — empty — token streams, i.e.
+    they are exact duplicates of each other, and a curation pipeline
+    should collapse them; the shared clamped-window key is exactly
+    what groups them while never matching any document that has
+    tokens (a real n-gram hash never equals the empty-slice constant
+    absent a 2^-64 collision, and the string-keyed path separates
+    ``''`` from every nonempty shingle outright). The DuckDB oracle
+    twins encode the same clamp, so the behavior is pinned
+    cross-engine and by ``test_token_free_docs_pair_only_each_other``."""
     staged = df
     if drop_null_empty:
         staged = staged.filter(

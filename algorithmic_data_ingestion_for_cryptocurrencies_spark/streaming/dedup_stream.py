@@ -2,9 +2,13 @@
 
 Parity source: the RSS polling loop's ``seen_ids`` set
 (``algo-data-ingestion/app/adapters/news_adapter.py:138-171``) — in
-Spark this is ``dropDuplicates`` with a watermark bounding the dedup
-state, the engine-managed version of the reference's unbounded
-in-memory set.
+Spark this is ``dropDuplicatesWithinWatermark``, the engine-managed
+bounded-state version of the reference's unbounded in-memory set:
+each id is suppressed within the watermark horizon and its state row
+is EVICTED once the watermark passes it, so an id re-arriving after
+eviction re-emits (the reference's bounded seen-ids cache semantics;
+see :func:`dedup_stream` for why plain ``dropDuplicates([id])`` under
+a watermark never evicts and is therefore wrong here — r13 finding).
 """
 
 from __future__ import annotations

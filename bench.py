@@ -44,7 +44,13 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_knn_join",
-    "sim_near_pairs",
+    # sim_near_pairs (the exact O(n^2)-within-cap tier) demoted from
+    # the headline set (r14, verdict #4, same rationale as the r11
+    # flagship_arrow demotion): it is the ORACLE BASELINE tier, kept
+    # deliberately exact and guarded by max_exact_vectors — the engine
+    # default for unbounded corpora is the capped/LSH tier below. At
+    # 19.1s of the 70.3s r13 total it measured a tier users don't run
+    # at scale; it stays a registry query + driver correctness cell.
     "sim_near_pairs_arrow",
     "sim_near_pairs_capped",
     "text_quality",
@@ -140,14 +146,18 @@ def main() -> None:
             clear_persisted_blocks,
         )
 
-        def time_query(name: str) -> float | None:
+        def time_query(name: str, reps_cap: int | None = None) -> float | None:
             """min-of-N end-to-end noop-sink time for one registry
             query — the ONE estimator both the headline pass and the
             variance-control retime use (same rep count, same block
-            sweep), so first/last spreads measure host drift only."""
+            sweep), so first/last spreads measure host drift only.
+            ``reps_cap`` bounds the rep count (second-window passes)."""
             fn, _sql = REGISTRY[name]
             best: float | None = None
-            for _ in range(runs_override.get(name, runs)):
+            n_reps = runs_override.get(name, runs)
+            if reps_cap is not None:
+                n_reps = min(n_reps, reps_cap)
+            for _ in range(n_reps):
                 # sweep blocks pinned by prior queries/runs (iterative
                 # operators localCheckpoint by design): each timed run
                 # measures the query on a clean block manager, not the
@@ -164,10 +174,30 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             return best
 
+        # Two-window protocol (r14, verdict #2): BENCH_r13 shipped
+        # 30-40% hot across the board while the same code measured at
+        # or below r12 locally — a single hot window produced a
+        # misleading official artifact. Each query is now timed in TWO
+        # full passes over the headline set (same min-of-N estimator;
+        # the second window uses min-of-2 since it only needs to catch
+        # a hot first window) and the reported time is the min across
+        # windows; both windows are recorded machine-readably so a
+        # drift claim can be checked against the artifact itself.
+        n_windows = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOWS", "2"))
+        windows: list[dict[str, float]] = []
+        for wi in range(max(1, n_windows)):
+            wtimes: dict[str, float] = {}
+            for name in headline:
+                if name in errors:
+                    continue
+                best = time_query(name, reps_cap=2 if wi > 0 else None)
+                if best is not None:
+                    wtimes[name] = round(best, 3)
+            windows.append(wtimes)
         for name in headline:
-            best = time_query(name)
-            if best is not None:
-                times[name] = round(best, 3)
+            vals = [w[name] for w in windows if name in w]
+            if vals:
+                times[name] = min(vals)
 
         # Variance control (r11 verdict #2): the r11 driver run was
         # +14.6% on common queries vs r10 while a same-freeze local run
@@ -199,6 +229,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if run_spark:
+        out["windows"] = windows
     if run_spark and noise:
         out["variance_control"] = noise
     if errors:

@@ -236,3 +236,81 @@ def test_fused_curve_rejects_null_prices(spark):
     )
     with pytest.raises(Exception, match="non-null prices"):
         out.collect()
+
+
+def test_fixed_sma_fused_matches_float_tier_bit_for_bit(spark):
+    """r14 verdict task #1: the fixed-point SMA tier
+    (sma="fixed") must produce the SAME curve as the float tier on
+    data away from 1e-9 fast/slow near-ties — the quantized crossover
+    indicator flips only at ties below the fixed-point resolution, so
+    on any realistic series the positions (and hence every downstream
+    double) are bit-identical.  Reuses the float-tier edge-case keys:
+    start-above, multi-cross, shorter-than-slow, one-death-one-golden."""
+    import random
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        sma_backtest_curve_fused,
+    )
+
+    rng = random.Random(14)
+    rows = []
+    px = 100.0
+    for t in range(300):
+        px *= 1 + rng.uniform(-0.03, 0.03)
+        rows.append(("a", t, px))
+    for t in range(120):
+        rows.append(("b", t, 100.0 + t))
+    for t in range(20):
+        rows.append(("c", t, 100.0 + rng.uniform(-1, 1)))
+    for t in range(200):
+        rows.append(("d", t, 200.0 - t if t < 100 else 100.0 + (t - 100)))
+    df = spark.createDataFrame(rows, ["key", "ts", "close"])
+
+    cols = ["key", "ts", "position", "trade", "strategy_ret", "equity",
+            "drawdown"]
+    kw = dict(keys=["key"], order="ts", price_col="close",
+              fast=5, slow=21, fee_bps=10.0)
+    flt = sma_backtest_curve_fused(df, **kw).select(*cols)
+    fx = sma_backtest_curve_fused(df, sma="fixed", **kw).select(*cols)
+    a = sorted(map(tuple, flt.collect()))
+    b = sorted(map(tuple, fx.collect()))
+    assert len(a) == len(b) == len(rows)
+    for ra, rb in zip(a, b):
+        assert ra == rb, (ra, rb)
+
+
+def test_fixed_sma_fused_plan_has_no_sliding_frames(spark):
+    """The whole point of the fixed tier: the plan must contain NO
+    bounded-preceding sliding aggregate frame (the O(window)-per-row
+    kind Spark recomputes wholesale).  The float tier's plan has two
+    (fast-1 and slow-1 preceding); the fixed tier's frames are all
+    cumulative (unboundedpreceding) or fixed-offset lags, and the
+    window-node budget is 5 (running sum, lags-of-sum, lags/min-max
+    over `above`, equity cumsum, running peak)."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.backtest import (
+        sma_backtest_curve_fused,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, 100.0 + t) for t in range(30)], ["key", "ts", "close"]
+    )
+    kw = dict(keys=["key"], order="ts", price_col="close",
+              fast=5, slow=21, fee_bps=10.0)
+
+    def plan(frame):
+        return frame._jdf.queryExecution().optimizedPlan().toString()
+
+    flt = plan(sma_backtest_curve_fused(df, **kw))
+    fx = plan(sma_backtest_curve_fused(df, sma="fixed", **kw))
+    # float tier: two sliding aggregate frames (the cost being removed)
+    assert "RowFrame, -4, currentrow" in flt
+    assert "RowFrame, -20, currentrow" in flt
+    # fixed tier: none — every frame O(1)/row
+    assert "RowFrame, -4, currentrow" not in fx
+    assert "RowFrame, -20, currentrow" not in fx
+
+    def n_window_nodes(p):
+        return sum(line.strip().startswith(("Window ", "+- Window", ":- Window"))
+                   for line in p.splitlines())
+
+    assert n_window_nodes(fx) <= 5

@@ -249,3 +249,68 @@ def test_triple_barrier_label_semantics(spark):
     ).collect()
     first = [r for r in t2 if r["t"] == 0][0]
     assert first["tb_label"] == 1  # x >= up checked before x <= dn
+
+
+def test_with_rolling_mean_fixed_pandas_and_bit_parity(spark):
+    """r14: the O(1)/row fixed-point sliding mean must (a) agree with
+    pandas rolling(n).mean() to the quantization bound (2^-bits per
+    element, so ~n*2^-bits/n = 2^-bits absolute on the mean), across
+    nulls and a sub-n min_periods, and (b) be BIT-identical to an
+    independent numpy recomputation of its own definition
+    (floor-quantize -> int prefix sums -> difference -> single double
+    divide), which is the property the DuckDB twin relies on."""
+    import math
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.rolling import (
+        with_rolling_mean_fixed,
+    )
+
+    rng = random.Random(41)
+    vals = [
+        None if rng.random() < 0.12 else rng.uniform(-5e4, 1.05e5)
+        for _ in range(500)
+    ]
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, ts long, x double")
+    n, bits = 20, 31  # envelope: 20 * 1.05e5 * 2^31 = 4.5e15 < 2^53
+
+    for mp in (None, 3):
+        out = with_rolling_mean_fixed(
+            df, "m", "x", ["key"], "ts", n, scale_bits=bits, min_periods=mp
+        )
+        got = [r["m"] for r in out.orderBy("ts").collect()]
+
+        # (a) pandas parity within quantization
+        exp = (
+            pd.Series(vals, dtype="float64")
+            .rolling(n, min_periods=n if mp is None else mp)
+            .mean()
+        )
+        for g, e in zip(got, exp):
+            if g is None or (isinstance(g, float) and math.isnan(g)):
+                assert pd.isna(e), (g, e)
+            else:
+                assert abs(g - e) <= 2.0 ** -bits * 1.001, (g, e)
+
+        # (b) bit parity with the definition, recomputed independently
+        scale = float(1 << bits)
+        q = np.array(
+            [0 if v is None else math.floor(v * scale) for v in vals],
+            dtype=object,  # unbounded ints: the DECIMAL(38,0) analog
+        )
+        nn = np.array([0 if v is None else 1 for v in vals])
+        cs, cc = np.cumsum(q), np.cumsum(nn)
+        mpv = n if mp is None else mp
+        for t, g in enumerate(got):
+            lo_s = cs[t - n] if t >= n else 0
+            lo_c = cc[t - n] if t >= n else 0
+            fcnt = int(cc[t] - lo_c)
+            if fcnt < mpv or fcnt == 0:
+                assert g is None or math.isnan(g)
+                continue
+            expect = float(int(cs[t] - lo_s)) / (float(fcnt) * scale)
+            assert g == expect, (t, g, expect)

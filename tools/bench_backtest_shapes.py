@@ -72,6 +72,17 @@ def fused(spark, sf_dir):
     return backtest_summary(curve, keys=dq.KEYS)
 
 
+def fused_fixed(spark, sf_dir):
+    # r14 task #1: the shipped u6 shape — O(1)/row fixed-point SMA
+    # pass (shared DECIMAL(38,0) running sum + two lags), hash-exact
+    # vs the step-identical SQL twin
+    curve = sma_backtest_curve_fused(
+        _damped_market(spark, sf_dir), keys=dq.KEYS, order=dq.ORDER,
+        price_col="close", fast=FAST, slow=SLOW, fee_bps=FEE, sma="fixed",
+    )
+    return backtest_summary(curve, keys=dq.KEYS)
+
+
 def main() -> None:
     tiers = sys.argv[1:] or ["/root/testdata/sf0.1", "testdata_scaled/sf1"]
     reps = int(os.environ.get("AB_REPS", "5"))
@@ -143,15 +154,20 @@ def main() -> None:
         shapes = {
             "unfused": lambda: unfused(spark, sf_dir),
             "fused": lambda: fused(spark, sf_dir),
+            "fused_fixed": lambda: fused_fixed(spark, sf_dir),
             "floor_market_sort": floor_shape,
             "sma_pass_only": sma_pass_only,
             "sma_pass_cumsum_diag": sma_pass_cumsum_diag,
         }
-        # value identity BEFORE timing (bit-exact — same float exprs);
+        # value identity BEFORE timing (bit-exact — same float exprs;
+        # the fixed tier is bit-identical too away from sub-1e-9
+        # fast/slow near-ties, asserted here on the real frame);
         # the floor/pass-only cells are diagnostics, not candidates
         a = sorted(map(tuple, unfused(spark, sf_dir).collect()))
         b = sorted(map(tuple, fused(spark, sf_dir).collect()))
         assert a == b, f"{sf_dir}: shapes disagree"
+        c = sorted(map(tuple, fused_fixed(spark, sf_dir).collect()))
+        assert a == c, f"{sf_dir}: fixed tier diverges from float tier"
 
         best = {k: None for k in shapes}
         for rep in range(reps):
@@ -182,6 +198,7 @@ def main() -> None:
         cell["duckdb"] = round(duck, 3)
         cell["ratio_unfused"] = round(best["unfused"] / duck, 3)
         cell["ratio_fused"] = round(best["fused"] / duck, 3)
+        cell["ratio_fused_fixed"] = round(best["fused_fixed"] / duck, 3)
         out["tiers"][sf_dir] = cell
         print(sf_dir, cell, flush=True)
     print(json.dumps(out))

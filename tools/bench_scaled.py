@@ -214,9 +214,19 @@ def main() -> None:
         )
         merged = []
         for name in outliers:
-            got = run_one(name)
+            # same try/except-and-record pattern as the first pass (r14
+            # advisor fix): one transient rerun failure must not crash
+            # the tool mid-artifact with outlier_rerun.done unset
+            try:
+                got = run_one(name)
+            except Exception as e:
+                state["errors"][f"rerun:{name}"] = str(e)[:300]
+                _flush(args.out, state)
+                print(f"ERR rerun {name}: {str(e)[:120]}", flush=True)
+                continue
+            second = f"{got:.3f}s" if got is not None else "None"
             print(f"outlier-rerun {name}: first={state['queries'][name]:.3f}s "
-                  f"second={got:.3f}s prior={refq[name]:.3f}s", flush=True)
+                  f"second={second} prior={refq[name]:.3f}s", flush=True)
             if got is not None and got < state["queries"][name]:
                 state["queries"][name] = round(got, 3)
                 merged.append(name)
