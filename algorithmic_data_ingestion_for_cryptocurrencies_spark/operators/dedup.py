@@ -179,17 +179,19 @@ def _token_window_rows(
     it manufactures a phantom OVERLAP SPAN with token positions inside
     text that does not exist. For the set-similarity consumers
     (jaccard / minhash / simhash via ``exploded_shingles`` /
-    ``exploded_shingle_hashes``) the same constant gram is the
-    INTENDED semantics: token-free documents (NULL, empty,
-    whitespace-only) have identical — empty — token streams, i.e.
-    they are exact duplicates of each other, and a curation pipeline
-    should collapse them; the shared clamped-window key is exactly
-    what groups them while never matching any document that has
-    tokens (a real n-gram hash never equals the empty-slice constant
-    absent a 2^-64 collision, and the string-keyed path separates
-    ``''`` from every nonempty shingle outright). The DuckDB oracle
-    twins encode the same clamp, so the behavior is pinned
-    cross-engine and by ``test_token_free_docs_pair_only_each_other``."""
+    ``exploded_shingle_hashes``) the clamp's behavior is the INTENDED
+    semantics, in two parts: (a) a NULL-text document emits NO windows
+    at all — its explode bound is NULL and exploding a NULL sequence
+    yields zero rows — so NULL docs join no pair; (b) empty /
+    whitespace-only documents have identical (empty) token streams,
+    i.e. they ARE exact duplicates of each other, and the shared
+    clamped-window constant gram is exactly what collapses them while
+    never matching any document that has tokens (a real n-gram hash
+    never equals the empty-slice constant absent a 2^-64 collision,
+    and the string-keyed path separates ``''`` from every nonempty
+    shingle outright). The DuckDB oracle twins encode the same clamp,
+    so the behavior is pinned cross-engine and by
+    ``test_token_free_docs_pair_only_each_other``."""
     staged = df
     if drop_null_empty:
         staged = staged.filter(

@@ -253,6 +253,27 @@ class MicroBatchMetricsListener:
                     "stream_active_queries", "Currently active queries.",
                 )
                 self.active.set(0.0)
+                # r14 (verdict #6): state-store size observability.
+                # The r13 unbounded-state bug (dropDuplicates under a
+                # watermark never evicting) was only caught by reading
+                # numRowsRemoved by hand; these expose the same
+                # signals continuously so a monotone state gauge with
+                # a flat removed-counter is visible on a dashboard.
+                self.state_rows = reg.gauge(
+                    "stream_state_rows",
+                    "State-store rows by query and stateful operator.",
+                    ("query", "operator"),
+                )
+                self.state_removed = reg.counter(
+                    "stream_state_rows_removed_total",
+                    "State rows evicted by watermark, by query/operator.",
+                    ("query", "operator"),
+                )
+                self.state_updated = reg.counter(
+                    "stream_state_rows_updated_total",
+                    "State rows written, by query/operator.",
+                    ("query", "operator"),
+                )
 
             def onQueryStarted(self, event):
                 with self.active._lock:
@@ -265,6 +286,16 @@ class MicroBatchMetricsListener:
                 self.rows.inc({"query": str(name)}, float(p.numInputRows))
                 batch_ms = (p.durationMs or {}).get("triggerExecution", 0)
                 self.batch_s.observe(batch_ms / 1000.0, {"query": str(name)})
+                for op in (p.stateOperators or []):
+                    labels = {
+                        "query": str(name),
+                        "operator": str(
+                            getattr(op, "operatorName", "") or "state"
+                        ),
+                    }
+                    self.state_rows.set(float(op.numRowsTotal), labels)
+                    self.state_removed.inc(labels, float(op.numRowsRemoved))
+                    self.state_updated.inc(labels, float(op.numRowsUpdated))
 
             def onQueryTerminated(self, event):
                 with self.active._lock:

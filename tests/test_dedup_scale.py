@@ -606,3 +606,41 @@ def test_duplicated_spans_hot_gram_stays_linear(spark):
     # the hot block contributes (12 - 8 + 1) gram positions per hot
     # doc and nothing else repeats: fully determined
     assert got == len(hot_ids) * (12 - K + 1)
+
+
+def test_token_free_docs_pair_only_each_other(spark):
+    """r14 advisor ruling, pinned: in the set-similarity family,
+    EMPTY/whitespace-only documents are exact duplicates of EACH
+    OTHER — identical (empty) token streams keyed by the shared
+    clamped-window constant gram — and never pair with any document
+    that has tokens; NULL-text documents emit NO token windows at all
+    (the explode bound is NULL, and exploding a NULL sequence yields
+    zero rows), so they appear in no pair whatsoever.  (Contrast the
+    span family, where the same clamped constant gram was a bug —
+    phantom overlap spans at positions inside nonexistent text — and
+    is filtered with drop_null_empty=True.)"""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   \t "),
+        (3, "alpha beta gamma delta epsilon zeta"),
+        (4, "alpha beta gamma delta epsilon zeta"),  # real dup of 3
+        (5, "totally different words in this document here"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id int, text string")
+
+    empty_pairs = {(1, 2)}  # NULL doc 0 emits no windows -> no pairs
+
+    jac = dedup.jaccard_similar_pairs(
+        sdf, id_col="doc_id", text_col="text", threshold=0.8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jac}
+    assert set(found) == empty_pairs | {(3, 4)}
+    assert all(j == 1.0 for j in found.values())
+
+    mh = dedup.minhash_dedup_pairs(
+        sdf, id_col="doc_id", text_col="text",
+        num_hashes=16, bands=4, threshold=0.8,
+    ).collect()
+    mh_found = {(r["id_a"], r["id_b"]) for r in mh}
+    assert mh_found == empty_pairs | {(3, 4)}

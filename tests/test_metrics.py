@@ -215,3 +215,92 @@ def test_dashboards_and_alerts_reference_only_exported_metrics(spark, tmp_path):
         "feature_writes_total", "feature_reads_total",
         "feature_op_latency_seconds",
     } <= checked
+
+
+def test_state_metrics_assert_bounded_dedup_state(spark, tmp_path):
+    """r14 (verdict #6): the r13 ST2 unbounded-state bug class —
+    dedup state that only ever grows — must be visible in METRICS,
+    not only by hand-reading recentProgress.  Drives the
+    dropDuplicatesWithinWatermark path over 5 micro-batches whose
+    event time advances 1 hour per batch (watermark 10 minutes, so
+    every batch's state is evictable by the batch after next) and
+    asserts from the exported registry that (a) evictions happened
+    (stream_state_rows_removed_total > 0) and (b) the final state
+    size is bounded by the two most recent batches, far below the
+    15 distinct ids ingested — the exact signal that stayed flat /
+    grew monotonically under the buggy dropDuplicates shape."""
+    import os
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.streaming.metrics import (
+        MetricsRegistry,
+        MicroBatchMetricsListener,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i in range(5):
+        pdf = pd.DataFrame({
+            "id": [f"b{i}_{j}" for j in range(3)],
+            "ts": pd.Series([base + pd.Timedelta(hours=i)] * 3)
+            .astype("datetime64[us]"),
+        })
+        path = str(src / f"f{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf), path)
+        os.utime(path, (1_700_000_000 + i * 10,) * 2)
+
+    reg = MetricsRegistry()
+    listener = MicroBatchMetricsListener(reg)
+    spark.streams.addListener(listener)
+    try:
+        stream = (
+            spark.readStream.schema("id string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        out = dedup_stream(stream, id_col="id", ts_col="ts",
+                           watermark="10 minutes")
+        q = (
+            out.writeStream.format("noop")
+            .queryName("state_bound")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        def scrape():
+            text = reg.render()
+            gauge = re.findall(
+                r'^stream_state_rows\{[^}]*query="state_bound"[^}]*\} (\S+)$',
+                text, re.M,
+            )
+            removed = re.findall(
+                r'^stream_state_rows_removed_total\{[^}]*query="state_bound"'
+                r'[^}]*\} (\S+)$', text, re.M,
+            )
+            return gauge, removed
+
+        deadline = time.time() + 30  # listener events are async
+        while time.time() < deadline:
+            gauge, removed = scrape()
+            if gauge and removed and float(removed[-1]) > 0:
+                break
+            time.sleep(0.5)
+        gauge, removed = scrape()
+        assert gauge, "state gauge never exported"
+        assert removed and float(removed[-1]) > 0, \
+            "no evictions observed — the ST2 unbounded-state signature"
+        final_state = float(gauge[-1])
+        assert final_state <= 6.0, final_state   # two most recent batches
+        assert final_state < 15.0                # << all distinct ids
+    finally:
+        spark.streams.removeListener(listener)
