@@ -81,6 +81,49 @@ def make_sentiment_udf(model_factory=None):
 sentiment_udf = make_sentiment_udf()
 
 
+def runtime_sentiment_factory(
+    model_name: str = "distilbert-base-uncased-finetuned-sst-2-english",
+):
+    """Factory that loads the REAL transformers sentiment pipeline at
+    call time when the library is importable on the executor, and
+    falls back to the deterministic stub otherwise (r14 verdict #5).
+
+    Cluster one-liner — zero code change between sandbox and prod::
+
+        df.withColumn("sent",
+            make_sentiment_udf(runtime_sentiment_factory())(F.col("text")))
+
+    The import is attempted INSIDE the factory, i.e. once per executor
+    Python worker on the first Arrow batch — drivers without the
+    library can still build and ship the plan.  Output contract
+    matches the reference's ``_normalize_result``
+    (``ml_utils.py:16-68``): ``(LABEL, score, signed_score)`` with the
+    sign from POSITIVE/NEGATIVE.  NULL text maps to the empty string
+    for the real model (the stub returns NEUTRAL directly)."""
+    def factory():
+        try:
+            from transformers import pipeline
+        except ImportError:
+            return _stub_sentiment_model()
+        pipe = pipeline("sentiment-analysis", model=model_name)
+
+        def predict(texts):
+            res = pipe([t if t is not None else "" for t in texts],
+                       truncation=True)
+            out = []
+            for r in res:
+                label = str(r["label"]).upper()
+                score = float(r["score"])
+                out.append(
+                    (label, score, score if label == "POSITIVE" else -score)
+                )
+            return out
+
+        return predict
+
+    return factory
+
+
 EMBEDDING_DIM = 384
 
 
@@ -127,6 +170,35 @@ def make_embedding_udf(model_factory=None):
 #: emb_0..emb_383 wide columns) is the Spark-native shape; wide-column
 #: parity = ``select(col('emb')[i] ...)``.
 embedding_udf = make_embedding_udf()
+
+
+def runtime_embedding_factory(
+    model_name: str = "sentence-transformers/all-MiniLM-L6-v2",
+):
+    """Factory that loads the REAL SentenceTransformer encoder at call
+    time when importable on the executor, else the deterministic stub
+    (r14 verdict #5).  Cluster one-liner::
+
+        df.withColumn("emb",
+            make_embedding_udf(runtime_embedding_factory())(F.col("text")))
+
+    Reference parity: ``nlp_embeddings.py:8-36`` (MiniLM, 384-dim).
+    Same once-per-worker lazy-import pattern as
+    :func:`runtime_sentiment_factory`."""
+    def factory():
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError:
+            return _stub_embedding_model()
+        model = SentenceTransformer(model_name)
+
+        def encode(texts):
+            vecs = model.encode([t if t is not None else "" for t in texts])
+            return [[float(x) for x in v] for v in vecs]
+
+        return encode
+
+    return factory
 
 
 # ---------------------------------------------------------------------------

@@ -651,3 +651,54 @@ def test_numpy_model_through_factory_seam_end_to_end(spark):
         got = np.array(rows[t]["e"], dtype=np.float32)
         assert got.shape == (DIM,)
         assert np.array_equal(got, want), t
+
+
+def test_runtime_factories_fall_back_to_stubs_in_sandbox(spark):
+    """r14 (verdict #5): the runtime model factories must try the real
+    transformers / sentence-transformers imports at call time and fall
+    back to the deterministic stubs when absent — which is this
+    sandbox's case, so the fallback branch is the one exercised here:
+    end-to-end through the Arrow UDFs, outputs must equal the stub
+    UDFs' exactly.  (On a cluster with the libraries installed the
+    same one-liner loads the real models; that branch is covered by
+    the factory contract, not executable here.)"""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.functions.ml import (
+        make_embedding_udf,
+        make_sentiment_udf,
+        runtime_embedding_factory,
+        runtime_sentiment_factory,
+    )
+
+    if importlib.util.find_spec("transformers") is not None or \
+            importlib.util.find_spec("sentence_transformers") is not None:
+        pytest.skip("real model libs present; fallback branch not reachable")
+
+    # factory contract, driver-side: factory() returns a batch callable
+    predict = runtime_sentiment_factory()()
+    out = predict(["good day", None])
+    assert len(out) == 2 and len(out[0]) == 3
+    assert out[1] == ("NEUTRAL", 0.0, 0.0)
+    encode = runtime_embedding_factory()()
+    vecs = encode(["good day"])
+    assert len(vecs[0]) == 384
+
+    # end-to-end through the Arrow UDFs: identical to the stub UDFs
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(["alpha", "beta gamma", None])],
+        "id int, text string",
+    ).repartition(2)
+    got = (
+        df.withColumn("s", make_sentiment_udf(runtime_sentiment_factory())("text"))
+        .withColumn("e", make_embedding_udf(runtime_embedding_factory())("text"))
+    )
+    ref = (
+        df.withColumn("s", make_sentiment_udf()("text"))
+        .withColumn("e", make_embedding_udf()("text"))
+    )
+    a = {r["id"]: (r["s"], r["e"]) for r in got.collect()}
+    b = {r["id"]: (r["s"], r["e"]) for r in ref.collect()}
+    assert a == b
