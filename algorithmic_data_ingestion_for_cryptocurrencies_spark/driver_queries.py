@@ -4104,13 +4104,16 @@ def u6_backtest(spark, sf_dir):
     Runs the FUSED shape with the FIXED-POINT SMA tier (r14 verdict
     task #1, closing the r13 decomposition's one engine-level gap):
     the O(w)-per-row sliding-frame SMA pass — measured 0.71s of the
-    2.1s sf1 cell — is replaced by one shared DECIMAL(38,0) running
+    2.1s sf1 cell — is replaced by one shared primitive-LONG running
     sum + two lags (O(1)/row), hash-exact against the step-identical
-    SQL twin because every step is exact integer arithmetic or a
-    single IEEE double op (see ``with_rolling_mean_fixed`` /
-    ``_bt_above_sql``).  The float-SMA tier remains the default in
-    ``sma_backtest_curve_fused`` and is A/B'd against this shape in
-    ``tools/bench_backtest_shapes.py``."""
+    BIGINT SQL twin because every step is exact integer arithmetic or
+    a single IEEE double op (see ``with_rolling_mean_fixed`` /
+    ``_bt_above_sql``; the DECIMAL(38,0) first cut was value-perfect
+    but Spark's boxed decimal window arithmetic ate the O(1) saving).
+    Measured (BENCH_BACKTEST_AB_r14.json): sf1 fused_fixed 2.09s =
+    fastest Spark shape, 1.21x its DuckDB twin.  The float-SMA tier
+    remains the default in ``sma_backtest_curve_fused`` and is A/B'd
+    against this shape in ``tools/bench_backtest_shapes.py``."""
     from .operators.backtest import backtest_summary, sma_backtest_curve_fused
 
     # TPC-H pseudo-prices swing ~100x bar to bar — compounding over

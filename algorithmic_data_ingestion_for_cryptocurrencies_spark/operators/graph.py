@@ -106,5 +106,13 @@ def pagerank(
         # intermediates included) materializes here, after which the
         # edge cache is no longer needed and is released below
         ranks = next_ranks.localCheckpoint(eager=(it == iterations - 1))
-    e.unpersist(blocking=False)
+    # BLOCKING release (r14 sf30 ruling): the final checkpoint above
+    # already materialized, so nothing reads e again — but with an
+    # async unpersist the |E|-sized blocks linger into the CALLER's
+    # next job and, back-to-back at sf30, measured as 1.7-1.9x
+    # run-over-run degradation and one hard UNABLE_TO_ACQUIRE_MEMORY
+    # in UnsafeExternalSorter once the execution pool hit zero. The
+    # synchronous wait is milliseconds (local block drops), bounded by
+    # block count, not data size.
+    e.unpersist(blocking=True)
     return ranks

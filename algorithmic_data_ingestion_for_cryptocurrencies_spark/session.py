@@ -100,7 +100,7 @@ def shuffle_partitions_for_dir(path: str, cores: int | None = None) -> int:
     return max(cores, largest // (20 * 1024 * 1024))
 
 
-def clear_persisted_blocks(spark: SparkSession) -> int:
+def clear_persisted_blocks(spark: SparkSession, *, blocking: bool = False) -> int:
     """Unpersist every RDD still pinned in the block manager —
     including blocks from ``localCheckpoint`` frames whose Python
     references are gone but whose JVM cleanup (weak-reference driven)
@@ -112,13 +112,25 @@ def clear_persisted_blocks(spark: SparkSession) -> int:
     as run-over-run slowdown (measured: the sf10 pagerank cell ran
     72 s on a clean session vs 117 s immediately after a prior run —
     entirely block-manager pressure, not plan). Returns the number of
-    RDDs unpersisted; blocking=False so the sweep itself is cheap."""
+    RDDs unpersisted.
+
+    ``blocking=True`` waits for the block managers to actually drop
+    the blocks before returning (r14 pagerank-sf30 ruling: with the
+    async sweep, a back-to-back rerun of an |E|-cache-scale query
+    starts while the previous run's GB-sized blocks are still mid-
+    removal — measured as run-over-run 1.7-1.9x degradation and, in
+    one controlled window, a hard
+    ``SparkOutOfMemoryError: UNABLE_TO_ACQUIRE_MEMORY`` inside
+    UnsafeExternalSorter when the execution pool hit zero.  Bench
+    harnesses timing repeated runs in one session should always pass
+    blocking=True; the async default stays for latency-sensitive
+    library callers)."""
     jsc = spark.sparkContext._jsc.sc()
     persistent = jsc.getPersistentRDDs()
     n = persistent.size()
     it = persistent.values().iterator()
     while it.hasNext():
-        it.next().unpersist(False)
+        it.next().unpersist(blocking)
     return n
 
 

@@ -163,7 +163,7 @@ def main() -> None:
                 # measures the query on a clean block manager, not the
                 # session's accumulated history (sf10: pagerank 72 s
                 # clean vs 117 s right after a prior run)
-                clear_persisted_blocks(spark)
+                clear_persisted_blocks(spark, blocking=True)
                 t0 = time.perf_counter()
                 try:
                     fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

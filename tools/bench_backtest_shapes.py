@@ -74,8 +74,8 @@ def fused(spark, sf_dir):
 
 def fused_fixed(spark, sf_dir):
     # r14 task #1: the shipped u6 shape — O(1)/row fixed-point SMA
-    # pass (shared DECIMAL(38,0) running sum + two lags), hash-exact
-    # vs the step-identical SQL twin
+    # pass (shared primitive-LONG running sum + two lags), hash-exact
+    # vs the step-identical BIGINT SQL twin
     curve = sma_backtest_curve_fused(
         _damped_market(spark, sf_dir), keys=dq.KEYS, order=dq.ORDER,
         price_col="close", fast=FAST, slow=SLOW, fee_bps=FEE, sma="fixed",
@@ -173,7 +173,7 @@ def main() -> None:
         for rep in range(reps):
             order = list(shapes) if rep % 2 == 0 else list(reversed(shapes))
             for k in order:
-                clear_persisted_blocks(spark)
+                clear_persisted_blocks(spark, blocking=True)
                 t0 = time.perf_counter()
                 noop(shapes[k]())
                 dt = time.perf_counter() - t0

@@ -26,7 +26,7 @@ TIERS = ("window", "prune", "salted")
 
 
 def run(spark, df):
-    clear_persisted_blocks(spark)
+    clear_persisted_blocks(spark, blocking=True)
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0

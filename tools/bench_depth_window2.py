@@ -14,7 +14,7 @@ book = _book(spark, sf_dir)
 book.count()  # warm scan
 
 def run(strategy):
-    S.clear_persisted_blocks(spark)
+    S.clear_persisted_blocks(spark, blocking=True)
     df = depth_series(book, 3, strategy=strategy, **kw)
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()

@@ -183,7 +183,7 @@ def main() -> None:
         for rep in range(reps):
             seq = items if rep % 2 == 0 else list(reversed(items))
             for name, thunk in seq:
-                clear_persisted_blocks(spark)
+                clear_persisted_blocks(spark, blocking=True)
                 t0 = time.perf_counter()
                 thunk()
                 dt = time.perf_counter() - t0

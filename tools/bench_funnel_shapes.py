@@ -152,7 +152,7 @@ def main() -> None:
         for rep in range(reps):
             order = list(shapes) if rep % 2 == 0 else list(reversed(shapes))
             for k in order:
-                clear_persisted_blocks(spark)
+                clear_persisted_blocks(spark, blocking=True)
                 t0 = time.perf_counter()
                 noop(shapes[k]())
                 dt = time.perf_counter() - t0

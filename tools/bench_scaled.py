@@ -149,11 +149,11 @@ def main() -> None:
                 # measures this query on a clean block manager, not
                 # the session's accumulated history — measured 72 s vs
                 # 117 s on the sf10 pagerank cell with/without
-                clear_persisted_blocks(spark)
+                clear_persisted_blocks(spark, blocking=True)
                 t0 = time.perf_counter()
                 fn(spark, args.sf_dir).write.mode("overwrite").format("noop").save()
                 best = min(best or 9e9, time.perf_counter() - t0)
-            clear_persisted_blocks(spark)
+            clear_persisted_blocks(spark, blocking=True)
             return best
     else:
         import duckdb
