@@ -633,8 +633,19 @@ def minhash_dedup_pairs(
     banded = banded_buckets(
         sig, num_hashes=num_hashes, bands=bands, hash_family=hash_family
     )
+    # r14 optimization (guide §2.4 — share one exchange): force the
+    # self-join to SHUFFLE-HASH on (band, bucket) so both sides sit
+    # behind IDENTICAL hash exchanges and Spark plans the second as a
+    # ReusedExchange — the signature build (tokenize -> md5/xxhash per
+    # shingle -> 64 min aggregates), the expensive half of this
+    # operator, then runs ONCE instead of once per join side (the
+    # auto-planned broadcast join rebuilt the whole subtree on the
+    # broadcast side: measured 1.75 s -> 1.1 s warm at sf0.1). The
+    # trade is one extra exchange of the banded-collision candidates
+    # for the pair dedup, which is bounded by band collisions, never
+    # by the corpus.
     a = banded.alias("a")
-    b = banded.alias("b")
+    b = banded.alias("b").hint("shuffle_hash")
     cand = (
         a.join(
             b,

@@ -78,15 +78,31 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
 
-    ranks = nodes.withColumn("pagerank", F.lit(1.0 / n))
+    # r14 optimization (guide §2.4 — remove joins/shuffles outright):
+    # fold the out-degree into the rank frame ONCE before the loop, so
+    # each round derives the per-edge mass by pure projection instead
+    # of re-joining the N-row degree frame against the N-row ranks
+    # (the pre-r14 shape paid one extra join — broadcast build at
+    # small N, a 2-exchange sort-merge at sf30 N — per iteration).
+    # Dangling nodes carry a NULL __deg and are filtered from the mass
+    # projection, exactly as the old inner join dropped them; the
+    # division and every downstream float op are unchanged, so ranks
+    # are bit-identical.
+    nodes_deg = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", "__deg")
+        .localCheckpoint(eager=False)
+    )
+    ranks = nodes_deg.withColumn("pagerank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for it in range(iterations):
-        # rank mass per out-edge, keyed by src: N rows, built from the
-        # two small frames, then shuffle-hashed into e's partitioning
-        # (e side never moves; rd is always the bounded build side)
-        rd = (
-            deg.join(ranks, deg["src"] == ranks["node"])
-            .select("src", (F.col("pagerank") / F.col("__deg")).alias("__w"))
+        # rank mass per out-edge, keyed by src: N rows, a pure
+        # projection of the rank frame, shuffle-hashed into e's
+        # partitioning (e side never moves; rd is always the bounded
+        # build side)
+        rd = ranks.filter(F.col("__deg").isNotNull()).select(
+            F.col("node").alias("src"),
+            (F.col("pagerank") / F.col("__deg")).alias("__w"),
         )
         contrib = (
             e.join(rd.hint("shuffle_hash"), "src")
@@ -94,8 +110,9 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
-        next_ranks = nodes.join(contrib, "node", "left").select(
+        next_ranks = nodes_deg.join(contrib, "node", "left").select(
             "node",
+            "__deg",
             (F.lit(base)
              + damping * F.coalesce(F.col("__in"), F.lit(0.0))
              ).alias("pagerank"),
@@ -115,4 +132,6 @@ def pagerank(
     # synchronous wait is milliseconds (local block drops), bounded by
     # block count, not data size.
     e.unpersist(blocking=True)
-    return ranks
+    # the carried degree column is loop plumbing, not part of the
+    # contract; project it away above the final checkpoint
+    return ranks.select("node", "pagerank")

@@ -339,16 +339,39 @@ def embedding_near_pairs_capped(
     capped = hash_top_n_per_group(
         b, id_col=id_col, group_cols=["lsh_bucket"], n=cap
     )
-    a = capped.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_bucket"
+    # r14 optimization (guide §1.2 per-task work): stage each vector's
+    # L2 norm ONCE below the self-join instead of recomputing both
+    # norms inside the per-pair score — the HOF ``aggregate`` is
+    # interpreted per element, so the per-candidate join work drops
+    # from (dot + 2 norms) = 3·dim lambda steps to dot = 1·dim
+    # (measured 4.0 s -> 1.6 s at sf0.1).  ``dot/nullif(na*nb)`` is the
+    # exact expression :func:`cosine` expands to, evaluated on the
+    # same staged operands, so scores are bit-identical.  The capped
+    # frame is bounded (2^n_planes · cap rows) but its distinct-bucket
+    # count caps join parallelism at 2^n_planes tasks; a round-robin
+    # repartition of the probe side restores full-core parallelism at
+    # a bounded-size shuffle cost.
+    par = capped.sparkSession.sparkContext.defaultParallelism
+    a = capped.repartition(par).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+        "lsh_bucket",
     )
     c = capped.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "lsh_bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        "lsh_bucket",
     )
     return (
         a.join(c, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine("__va", "__vb"))
+        .withColumn(
+            "cosine",
+            dot("__va", "__vb")
+            / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

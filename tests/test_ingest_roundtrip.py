@@ -188,6 +188,52 @@ def test_training_matrix_with_social_news(spark, ohlcv_rows):
     assert pdf["ret_next"].notna().all()  # unlabeled tail dropped
 
 
+def test_training_matrix_fused_news_flag_matches_two_frame_path(spark, ohlcv_rows):
+    """r14 single-pass rollup: when the news feed is a flagged subset
+    of the social feed, ``news_flag_col`` must produce exactly the
+    frame the separate-frames path produces (same columns, same values
+    row for row) — one scan/aggregate/join instead of two."""
+    import pytest
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.datasets.training import (
+        build_training_matrix,
+    )
+
+    market = normalize_ohlcv(
+        spark, ohlcv_rows, symbol="BTC/USDT", exchange="binance", timeframe="1m"
+    )
+    base = pd.Timestamp("2023-11-14 22:13:20")
+    events = pd.DataFrame(
+        {
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(0, 60, 3)],
+            "id": [f"p{i}" for i in range(20)],
+            "sentiment_score": np.linspace(-1, 1, 20),
+            # mark a strict subset as news rows, leaving some buckets
+            # with social-but-no-news (the COALESCE-to-0 branch)
+            "is_news": [i % 3 == 0 for i in range(20)],
+        }
+    )
+    social = spark.createDataFrame(events)
+    news = spark.createDataFrame(
+        events[events["is_news"]][["ts", "id"]].rename(columns={"ts": "published_at"})
+    )
+    split = build_training_matrix(
+        market, social=social.drop("is_news"), news=news, timeframe="1m"
+    )
+    fused = build_training_matrix(
+        market, social=social, news_flag_col="is_news", timeframe="1m"
+    )
+    a = split.orderBy("timestamp").toPandas()
+    b = fused.orderBy("timestamp").toPandas()
+    assert sorted(a.columns) == sorted(b.columns)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(a.columns)], check_dtype=True
+    )
+    with pytest.raises(ValueError):
+        build_training_matrix(
+            market, social=social, news=news, news_flag_col="is_news"
+        )
+
+
 def test_ttl_sweep_and_coalesce_text(spark):
     """ST8 retention sweep keeps only live rows; P7 text coalescing
     picks the first non-null candidate column."""
