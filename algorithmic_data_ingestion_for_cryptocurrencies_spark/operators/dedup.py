@@ -331,8 +331,17 @@ def jaccard_similar_pairs(
             shingled = shingled.withColumn(
                 "n_sh", F.count("*").over(Window.partitionBy("id"))
             ).drop("__df")
+    # r14 (guide §2.4, same device as minhash_dedup_pairs): hint the
+    # inverted-index self-join to SHUFFLE-HASH so both sides sit behind
+    # identical shingle-hash exchanges and the index subtree (tokenize
+    # -> explode -> set agg -> re-explode [-> df window]) is built once
+    # and reused, instead of rebuilt under a BroadcastExchange when the
+    # planner's size estimate picks a broadcast join. The pair-grain
+    # aggregate downstream needs its own exchange under EITHER
+    # strategy (grouping is (id_a, id_b), not the shingle), so this
+    # trades no new shuffle for the reuse.
     a = shingled.alias("a")
-    b = shingled.alias("b")
+    b = shingled.alias("b").hint("shuffle_hash")
     joined = a.join(
         b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id"))
     )
@@ -920,8 +929,13 @@ def simhash_near_pairs(
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     hashed = hashed.withColumn("block", F.shiftright("sh", 64 - prefix_bits))
+    # r14 (guide §2.4): same exchange-sharing device as the minhash /
+    # jaccard self-joins — shuffle-hash on the block key so the
+    # fingerprint build (per-token md5 + 64 vote sums on the portable
+    # family) runs once behind a reused exchange instead of once per
+    # join side under a broadcast.
     a = hashed.alias("a")
-    b = hashed.alias("b")
+    b = hashed.alias("b").hint("shuffle_hash")
     return (
         a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
         .withColumn(

@@ -364,6 +364,15 @@ def embedding_near_pairs_capped(
         norm(F.col(vec_col)).alias("__nb"),
         "lsh_bucket",
     )
+    if (1 << n_planes) * cap <= 1_000_000:
+        # pin the UNREPARTITIONED side as the broadcast build so the
+        # repartitioned side stays the probe (the planner otherwise
+        # broadcasts whichever side it fancies and the parallelism
+        # repartition lands on the wrong one). Safe by the same budget
+        # arithmetic that bounds the tier's work: the capped frame
+        # never exceeds 2^n_planes * cap rows; past the row guard the
+        # planner keeps strategy choice (shuffle join, AQE-splittable).
+        c = F.broadcast(c)
     return (
         a.join(c, "lsh_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
