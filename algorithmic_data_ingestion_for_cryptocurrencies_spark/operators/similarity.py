@@ -274,7 +274,19 @@ def embedding_near_pairs(
                     "the cap explicitly, or call with use_lsh=True"
                 )
             use_lsh = True
-    a = df.select(
+    a_src = df
+    if not use_lsh:
+        # r14 (guide §2.5/§1.2): the exact tier's parallelism is the
+        # STREAM side's partition count of the nested-loop join — a
+        # cap-bounded corpus is typically one parquet file, i.e. ONE
+        # task evaluating all O(n²) pair scores while the rest of the
+        # cluster idles (measured 12.5 s -> 1.0 s at sf0.1 on
+        # local[32]). Round-robin repartition the probe side to full
+        # parallelism; scores are per-pair expressions, so row
+        # placement cannot change any value.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a_src = df.repartition(par)
+    a = a_src.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         norm(F.col(vec_col), dim=dim).alias("__na"),
@@ -291,7 +303,13 @@ def embedding_near_pairs(
         bl = with_lsh_bucket(b, vec_col="__vb", dim=dim)
         pairs = al.join(bl, "lsh_bucket").filter(F.col("id_a") < F.col("id_b"))
     else:
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        # pin the UNREPARTITIONED side as the broadcast build so the
+        # repartitioned side stays the probe (same device as the
+        # capped tier); safe under the tier's own cap — n was counted
+        # above and the guard routed anything unbounded to LSH
+        pairs = a.crossJoin(F.broadcast(b)).filter(
+            F.col("id_a") < F.col("id_b")
+        )
     return (
         pairs.withColumn(
             "cosine",
