@@ -114,6 +114,18 @@ def knn_join(
     ``dim`` engages the unrolled scoring tier only when it wins
     (dim <= UNROLL_MAX_DIM; above that the guard keeps the HOF tier —
     the r4 dim=64 unroll was a measured 3-5x regression)."""
+    # r14 (guide §2.5 "one huge unsplittable file ... repartition
+    # immediately after the read"): the O(|Q|·|C|) scoring runs at the
+    # corpus SCAN's parallelism (the per-query window exchange comes
+    # after it), and a single-row-group parquet corpus cannot split —
+    # so a small file leaves all but one core idle for the whole pair
+    # evaluation. Conditional: a corpus already at >= cluster
+    # parallelism (any at-scale corpus) is untouched, so no shuffle is
+    # ever added where the scan splits naturally. Scores are per-pair
+    # expressions; placement cannot change values.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
@@ -874,15 +886,20 @@ def embedding_near_pairs_arrow(
             an[an == 0] = 1.0
             sims = (a / an) @ b_unit.value.T
             aid = pdf[id_col].to_numpy()
-            out_a, out_b, out_c = [], [], []
-            for i in range(sims.shape[0]):
-                hits = np.where(sims[i] >= thr)[0]
-                for j in hits:
-                    if aid[i] < b_ids.value[j]:
-                        out_a.append(aid[i])
-                        out_b.append(int(b_ids.value[j]))
-                        out_c.append(float(sims[i, j]))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+            # r14 (guide §4.2 — vectorize inside the UDF): hit
+            # extraction was a per-row/per-hit Python double loop;
+            # one np.where over the block + a vectorized id mask
+            # selects the same cells (scores untouched)
+            ii, jj = np.where(sims >= thr)
+            keep = aid[ii] < b_ids.value[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {
+                    "id_a": aid[ii],
+                    "id_b": b_ids.value[jj],
+                    "cosine": sims[ii, jj].astype(np.float64),
+                }
+            )
 
     return df.select(id_col, vec_col).mapInPandas(
         block, schema="id_a long, id_b long, cosine double"
