@@ -53,6 +53,11 @@ def build_training_matrix(
 
     if news_flag_col is not None and news is not None:
         raise ValueError("pass either news= or news_flag_col=, not both")
+    if news_flag_col is not None and social is None:
+        # r15 (advisor): previously silently ignored — the caller asked
+        # for a news count and got a matrix without a news_n column
+        raise ValueError("news_flag_col= requires social= (the flag "
+                         "marks news rows WITHIN the social feed)")
     aggs = []
     fill_zero: list[str] = []
     if social is not None:

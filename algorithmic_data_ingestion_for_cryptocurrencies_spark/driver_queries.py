@@ -1700,8 +1700,12 @@ def _fanout(df: DataFrame) -> DataFrame:
     single-row-group local fixtures: a zero-exchange operator (the
     RIGHT shape at 100 TB, where the scan has thousands of splits)
     otherwise runs on the fixture's ONE scan task. Row-identical; only
-    applied when the scan is effectively serial."""
-    if df.rdd.getNumPartitions() >= 8:
+    applied when the scan is effectively serial (r15: gated on the
+    optimizer's size estimate, not an eager ``.rdd`` partition probe —
+    same class as the knn_join fix, verdict #7)."""
+    from .plans.inspect import scan_is_effectively_serial
+
+    if not scan_is_effectively_serial(df, 8):
         return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 

@@ -336,10 +336,15 @@ def jaccard_similar_pairs(
     # identical shingle-hash exchanges and the index subtree (tokenize
     # -> explode -> set agg -> re-explode [-> df window]) is built once
     # and reused, instead of rebuilt under a BroadcastExchange when the
-    # planner's size estimate picks a broadcast join. The pair-grain
-    # aggregate downstream needs its own exchange under EITHER
-    # strategy (grouping is (id_a, id_b), not the shingle), so this
-    # trades no new shuffle for the reuse.
+    # planner's size estimate picks a broadcast join. The reuse is an
+    # AQE RUNTIME stage-cache hit on the canonically-identical
+    # exchanges — the static plan prints the subtree on both sides;
+    # the EXECUTED plan shows the second side as a ReusedExchange
+    # (r15 evidence: plans/r15/dedup_jaccard_pairs_sf1_executed.txt,
+    # Final Plan section). The pair-grain aggregate downstream needs
+    # its own exchange under EITHER strategy (grouping is (id_a,
+    # id_b), not the shingle), so this trades no new shuffle for the
+    # reuse.
     a = shingled.alias("a")
     b = shingled.alias("b").hint("shuffle_hash")
     joined = a.join(
@@ -644,15 +649,20 @@ def minhash_dedup_pairs(
     )
     # r14 optimization (guide §2.4 — share one exchange): force the
     # self-join to SHUFFLE-HASH on (band, bucket) so both sides sit
-    # behind IDENTICAL hash exchanges and Spark plans the second as a
-    # ReusedExchange — the signature build (tokenize -> md5/xxhash per
-    # shingle -> 64 min aggregates), the expensive half of this
-    # operator, then runs ONCE instead of once per join side (the
-    # auto-planned broadcast join rebuilt the whole subtree on the
-    # broadcast side: measured 1.75 s -> 1.1 s warm at sf0.1). The
-    # trade is one extra exchange of the banded-collision candidates
-    # for the pair dedup, which is bounded by band collisions, never
-    # by the corpus.
+    # behind IDENTICAL hash exchanges and the signature build
+    # (tokenize -> md5/xxhash per shingle -> 64 min aggregates), the
+    # expensive half of this operator, runs ONCE instead of once per
+    # join side (the auto-planned broadcast join rebuilt the whole
+    # subtree on the broadcast side: measured 1.75 s -> 1.1 s warm at
+    # sf0.1). The reuse is an AQE RUNTIME stage-cache hit — the static
+    # plan prints the subtree under both join inputs; the EXECUTED
+    # plan shows one side as `ReusedExchange [Reuses operator id: N]`
+    # (r15 evidence: plans/r15/dedup_minhash_pairs_sf1_executed.txt,
+    # Final Plan section; pinned by
+    # tests/test_dedup_plan_shape.py::test_minhash_self_join_reuses_exchange_at_runtime).
+    # The trade is one extra exchange of the banded-collision
+    # candidates for the pair dedup, which is bounded by band
+    # collisions, never by the corpus.
     a = banded.alias("a")
     b = banded.alias("b").hint("shuffle_hash")
     cand = (
@@ -932,8 +942,9 @@ def simhash_near_pairs(
     # r14 (guide §2.4): same exchange-sharing device as the minhash /
     # jaccard self-joins — shuffle-hash on the block key so the
     # fingerprint build (per-token md5 + 64 vote sums on the portable
-    # family) runs once behind a reused exchange instead of once per
-    # join side under a broadcast.
+    # family) runs once behind an (AQE runtime) ReusedExchange instead
+    # of once per join side under a broadcast (r15 executed-plan
+    # evidence: plans/r15/dedup_simhash_pairs_sf1_executed.txt).
     a = hashed.alias("a")
     b = hashed.alias("b").hint("shuffle_hash")
     return (
