@@ -46,9 +46,26 @@ def build_training_matrix(
     market = market.filter(F.col("timeframe") == timeframe) if "timeframe" in market.columns else market
     # close is carried through the feature stage for labeling — the
     # round-2 shape joined it back on (ts, keys), which shuffled both
-    # sides of a self-sized join for a column the input already had
+    # sides of a self-sized join for a column the input already had.
+    # r15 (guide §2.4): the LABEL windows (lead/lag of close over
+    # (keys, ts)) are computed HERE, before the feature stage, so they
+    # ride the feature stage's own (keys, ts) sort instead of forcing
+    # a third full-frame sort after the MACD block stage (the old
+    # shape: order-sort -> block-sort -> order-sort again for labels).
+    # Values are identical for every input: no row is dropped before
+    # any window (drop_unlabeled=False keeps the unlabeled rows until
+    # the final filter below, exactly where the old shape dropped
+    # them), and the label expressions see the same full row set the
+    # post-join frame had — build_market_features' dropna_final never
+    # drops a row because oi_obv (a cumsum over zero-defaulted terms)
+    # is non-null on every row, an invariant pinned by
+    # tests/test_fixes_round15.py.
+    labeled = with_labels(
+        market, "close", keys=keys, order=ts_col, drop_unlabeled=False
+    )
     spine = build_market_features(
-        market, keys=keys, ts_col=ts_col, keep_cols=["close"]
+        labeled, keys=keys, ts_col=ts_col,
+        keep_cols=["close", "ret_next", "y_dir"],
     )
 
     if news_flag_col is not None and news is not None:
@@ -97,4 +114,10 @@ def build_training_matrix(
         spine, aggs, on=[ts_col], fill_zero_cols=fill_zero,
         broadcast_aggs=True,
     )
-    return with_labels(out, "close", keys=keys, order=ts_col)
+    # the unlabeled-row drop from the old post-join with_labels, plus
+    # the historical column order (labels last)
+    out = out.filter(F.col("ret_next").isNotNull())
+    return out.select(
+        *[c for c in out.columns if c not in ("ret_next", "y_dir")],
+        "ret_next", "y_dir",
+    )

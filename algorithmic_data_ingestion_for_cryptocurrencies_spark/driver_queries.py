@@ -907,16 +907,21 @@ def flagship(spark, sf_dir):
     # same stage list as build_market_features, kept at id granularity
     # (suppkey/ts/okey/lnum) so every row is comparable to the oracle
     w = series_window(["suppkey"], ORDER)
+    # r15 (guide §2.4): MACD last — its block-renormalized EWMs are the
+    # one stage sorting by (suppkey, __block, ORDER); keeping every
+    # (suppkey, ORDER) window together lets them share ONE sort instead
+    # of re-sorting after the block stage (3 sorts -> 2, see
+    # build_market_features). Same expressions, bit-identical values.
     df = with_returns(m, "close", keys=["suppkey"], order=ORDER)
     df = df.withColumn("rvol_5", rolling_std("logret_1", w, 5))
     df = df.withColumn("rvol_20", rolling_std("logret_1", w, 20))
+    df = with_rsi_sma(df, "close", 14, keys=["suppkey"], order=ORDER, out="rsi_14")
+    df = with_hl_spread(df)
+    df = with_obv(df, keys=["suppkey"], order=ORDER, out="oi_obv")
     df = with_macd(df, "close", keys=["suppkey"], order=ORDER,
                    fast=12, slow=26, signal=9,
                    macd_out="macd", signal_out="macd_signal_9",
                    hist_out=None, keep_emas=True)
-    df = with_rsi_sma(df, "close", 14, keys=["suppkey"], order=ORDER, out="rsi_14")
-    df = with_hl_spread(df)
-    df = with_obv(df, keys=["suppkey"], order=ORDER, out="oi_obv")
     df = df.filter(F.coalesce(*[F.col(c) for c in _BMF_FEATURES]).isNotNull())
     return df.select(*IDS, *_BMF_FEATURES)
 

@@ -391,16 +391,26 @@ def build_market_features(
     """
     order = list(order_cols) if order_cols is not None else [ts_col]
     w = series_window(keys, order)
+    # r15 (guide §2.4 "windows keyed the same way share one sort"):
+    # every stage here rides the (keys, order) window spec EXCEPT the
+    # MACD family, whose block-renormalized EWMs sort by (keys,
+    # __block, order). Running MACD in the middle sandwiched the block
+    # sort between two (keys, order) window groups, costing a THIRD
+    # full-frame sort to restore the order for rsi/obv (r14 plan:
+    # Sort(4)/Sort(26) on identical keys around the block Sort(13)).
+    # MACD runs LAST so the plain-order group sorts once: 3 sorts -> 2.
+    # Pure stage reordering — each column's expression graph (windows,
+    # frames, operands) is unchanged, so values are bit-identical.
     df = with_returns(df, "close", keys=keys, order=order)
     df = df.withColumn("rvol_5", rolling_std("logret_1", w, 5))
     df = df.withColumn("rvol_20", rolling_std("logret_1", w, 20))
+    df = with_rsi_sma(df, "close", 14, keys=keys, order=order, out="rsi_14")
+    df = with_hl_spread(df)
+    df = with_obv(df, keys=keys, order=order, out="oi_obv")
     df = with_macd(df, "close", keys=keys, order=order,
                    fast=12, slow=26, signal=9,
                    macd_out="macd", signal_out="macd_signal_9",
                    hist_out=None, keep_emas=True)
-    df = with_rsi_sma(df, "close", 14, keys=keys, order=order, out="rsi_14")
-    df = with_hl_spread(df)
-    df = with_obv(df, keys=keys, order=order, out="oi_obv")
     df = df.withColumn("dt", dt_from_ts(ts_col))
     df = df.withColumn("feature_version", F.lit(FEATURE_VERSION))
     out = coerce_schema(df, MARKET_FEATURE_SCHEMA, keep_extra=True).select(

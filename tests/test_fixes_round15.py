@@ -63,6 +63,91 @@ def test_scan_serial_gate_uses_stats_not_rdd(spark):
     assert not scan_is_effectively_serial(df, 1)
 
 
+def test_training_matrix_labels_early_matches_join_then_label(spark, ohlcv_pdf):
+    """r15 sort-sharing reorder: labels are computed BEFORE the feature
+    stage (riding its sort) with the unlabeled-row drop kept at the
+    end. Pin value identity against the r14 shape (features -> join ->
+    with_labels) on a fixture that includes NULL and ZERO closes
+    mid-series — the adversarial case for any row-set-sensitive window
+    reordering."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+        build_market_features,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.joins import (
+        spine_join,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.labels import (
+        with_labels,
+    )
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.resample import (
+        resample,
+    )
+
+    pdf = ohlcv_pdf.copy()
+    pdf.loc[17, "close"] = None  # NULL close mid-series
+    pdf.loc[33, "close"] = 0.0  # zero close (pct_change div-by-zero)
+    market = spark.createDataFrame(pdf)
+    social = market.select(
+        F.col("timestamp").alias("ts"),
+        F.col("symbol").alias("id"),
+        (F.col("volume") - 10.0).alias("sentiment_score"),
+        (F.col("volume") > 12.0).alias("is_news"),
+    )
+
+    new = build_training_matrix(
+        market, social=social, news_flag_col="is_news", timeframe="1m"
+    )
+
+    # the r14 shape, reconstructed: features -> broadcast join -> labels
+    keys = ("symbol", "exchange", "timeframe")
+    spine = build_market_features(market, keys=keys, ts_col="timestamp",
+                                  keep_cols=["close"])
+    s = resample(
+        social, "1m",
+        {
+            "sentiment_mean": F.avg("sentiment_score"),
+            "social_n": F.count("id"),
+            "news_n": F.count(F.when(F.col("is_news"), F.col("id"))),
+        },
+        ts_col="ts", bucket_out="timestamp",
+    )
+    old = spine_join(
+        spine, [s], on=["timestamp"],
+        fill_zero_cols=["news_n", "sentiment_mean", "social_n"],
+        broadcast_aggs=True,
+    )
+    old = with_labels(old, "close", keys=keys, order="timestamp")
+
+    new_rows = sorted(
+        new.select(*sorted(new.columns)).collect(), key=str
+    )
+    old_rows = sorted(
+        old.select(*sorted(new.columns)).collect(), key=str
+    )
+    assert new_rows == old_rows
+
+
+def test_market_features_dropna_never_drops_rows(spark, ohlcv_pdf):
+    """The labels-early reorder relies on oi_obv (cumsum over
+    zero-defaulted terms) being non-null on EVERY row, which makes
+    build_market_features' dropna_final filter a row-level no-op —
+    pin that invariant, including null-close rows."""
+    from algorithmic_data_ingestion_for_cryptocurrencies_spark.operators.indicators import (
+        build_market_features,
+    )
+
+    pdf = ohlcv_pdf.copy()
+    pdf.loc[5, "close"] = None
+    market = spark.createDataFrame(pdf)
+    out = build_market_features(
+        market, keys=("symbol", "exchange", "timeframe"), ts_col="timestamp"
+    )
+    assert out.count() == len(pdf)
+
+
 def test_knn_join_still_parallelizes_serial_corpus(spark):
     import pandas as pd
 
