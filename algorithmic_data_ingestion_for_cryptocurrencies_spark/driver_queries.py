@@ -415,13 +415,23 @@ def w08(spark, sf_dir):
 
 _EMA_KEEP = ["suppkey", "ts", "okey", "lnum", "pkey", "close", "volume", "high", "low"]
 
+# r15 (guide §2.4): the two EMAs share ONE block size so their block
+# windows have identical partition specs — one order-sort + one
+# block-sort instead of the 4-sort sandwich two per-span passes
+# planned (order, block_12, order again, block_26). Same device as
+# _K_MACD below; the DuckDB twin is re-rendered with the same shared k
+# in lockstep (the block-renormalized formula's per-block rounding
+# depends on k, so BOTH engines must use the same one — they then
+# agree bit-for-bit, same as every fused-EWM query).
+_K_W09 = max(block_size_for(span=12), block_size_for(span=26))
+
 _W09_SQL = ewm_sql(
     ewm_sql(
         MARKET_SQL, "close", "ema_12",
-        keys=[PART], order=ORDER, keep=_EMA_KEEP, span=12,
+        keys=[PART], order=ORDER, keep=_EMA_KEEP, span=12, k=_K_W09,
     ),
     "close", "ema_26",
-    keys=[PART], order=ORDER, keep=_EMA_KEEP + ["ema_12"], span=26,
+    keys=[PART], order=ORDER, keep=_EMA_KEEP + ["ema_12"], span=26, k=_K_W09,
 )
 
 
@@ -432,9 +442,17 @@ _W09_SQL = ewm_sql(
     fcols=["ema_12", "ema_26"],
 )
 def w09(spark, sf_dir):
+    from .operators.ewm import with_ewm_multi
+
     m = _market(spark, sf_dir)
-    m = with_ewm(m, "close", "ema_12", keys=KEYS, order=ORDER, span=12)
-    m = with_ewm(m, "close", "ema_26", keys=KEYS, order=ORDER, span=26)
+    m = with_ewm_multi(
+        m,
+        [
+            {"col": "close", "out": "ema_12", "span": 12},
+            {"col": "close", "out": "ema_26", "span": 26},
+        ],
+        keys=KEYS, order=ORDER, k=_K_W09,
+    )
     return m.select(*IDS, "ema_12", "ema_26")
 
 
