@@ -17,7 +17,10 @@ Five tiers, each fully distributed:
 - :func:`embedding_near_pairs` (in :mod:`.similarity`) — cosine tier.
 
 All hashing uses ``xxhash64`` (JVM built-in, deterministic across the
-cluster); no Python in any hot path.
+cluster); the one Python-boundary stage is the md5-family signature
+run-min (vectorized NumPy over Arrow batches, exact int64 arithmetic —
+see :func:`_md5_signatures_from_staged`), which outruns the 64-MIN JVM
+aggregate both in Catalyst planning and per-row execution.
 """
 
 from __future__ import annotations
@@ -540,26 +543,8 @@ def minhash_signatures(
     driver's correctness gate can hash-compare pairs against DuckDB;
     xx64 stays the library default."""
     if hash_family == "md5":
-        exploded = exploded_shingles(
-            df, id_col=id_col, text_col=text_col, n=n
-        ).withColumnRenamed("shingle", "__shingle")
-        v = (
-            F.conv(F.substring(F.md5("__shingle"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("__v")
-        )
-        staged = exploded.select("id", v)
-        return staged.groupBy("id").agg(
-            F.array(
-                *[
-                    F.min(
-                        (F.col("__v") * F.lit(a) + F.lit(b))
-                        % F.lit(MINHASH_MERSENNE31)
-                    ).alias(f"__h{i}")
-                    for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-                ]
-            ).alias("sig")
-        )
+        staged = _md5_staged(df, id_col=id_col, text_col=text_col, n=n)
+        return _md5_signatures_from_staged(staged, num_hashes=num_hashes)
     if hash_family != "xx64":
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     exploded = exploded_shingle_hashes(
@@ -572,6 +557,240 @@ def minhash_signatures(
                 for i in range(num_hashes)
             ]
         ).alias("sig")
+    )
+
+
+def _md5_staged(
+    df: DataFrame, *, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """``(id, __v)`` staged frame for the portable md5 family: one md5
+    per shingle folded to a 32-bit value (first 8 hex chars) — the
+    exact chain the DuckDB oracle evaluates."""
+    exploded = exploded_shingles(
+        df, id_col=id_col, text_col=text_col, n=n
+    ).withColumnRenamed("shingle", "__shingle")
+    v = (
+        F.conv(F.substring(F.md5("__shingle"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__v")
+    )
+    return exploded.select("id", v)
+
+
+def _md5_signatures_agg(staged: DataFrame, *, num_hashes: int) -> DataFrame:
+    """Reference JVM-expression shape of the md5/Carter-Wegman
+    signature aggregate (one ``MIN((a_i*v + b_i) % M)`` aggregate per
+    permutation): the r11–r14 production path, kept as the
+    value-identity oracle for the Arrow shape below (pinned by
+    ``tests/test_minhash_arrow_parity.py``)."""
+    return staged.groupBy("id").agg(
+        F.array(
+            *[
+                F.min(
+                    (F.col("__v") * F.lit(a) + F.lit(b))
+                    % F.lit(MINHASH_MERSENNE31)
+                ).alias(f"__h{i}")
+                for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+            ]
+        ).alias("sig")
+    )
+
+
+def _md5_signatures_from_staged(
+    staged: DataFrame, *, num_hashes: int, bands: int | None = None
+) -> DataFrame:
+    """md5/Carter-Wegman signature over a ``(id, __v)`` staged frame,
+    computed as a vectorized Arrow run-min pass plus a tiny elementwise
+    merge aggregate (r15, guide §4.2).
+
+    Why not the 64-MIN JVM aggregate (:func:`_md5_signatures_agg`):
+    measured at sf0.1, Catalyst spends ~0.8 s *planning* the 64
+    aggregate expressions (scaling superlinearly with k — a per-query
+    driver cost paid at every scale) and the codegen'd per-row update
+    loop runs at ~78 ns per (row × permutation) — versus ~1 ns for the
+    same int64 multiply-add-mod-min in NumPy. The Arrow pass computes
+    all k permutations for a whole batch as one (rows × k) matrix op
+    and folds contiguous same-id runs with ``np.minimum.reduceat``
+    (shingle rows of one doc are contiguous by construction — explode
+    output — but correctness does NOT rely on it: every run yields a
+    partial row and the merge aggregate below is layout-independent).
+    Batch-boundary runs are carried across batches inside one task, so
+    partial rows ≈ one per doc per partition, and the merge
+    (``collect_list`` per id, then a row-wise Arrow elementwise-min
+    fold) sees ~|docs| tiny rows. Exact-arithmetic argument: a_i <
+    2^31 and v < 2^32 so a_i*v + b_i < 2^63 — int64
+    multiply/add/mod/min on positive operands is bit-identical in
+    NumPy, the JVM, and DuckDB; the signature is therefore
+    value-identical to the expression shape (pinned by
+    ``tests/test_minhash_arrow_parity.py``) and the declared oracle SQL
+    is untouched. Measured sf0.1 (warm, min-of-N, noop): signature
+    stage 1.71 s -> ~0.8 s, full pair query 2.9 s -> see
+    OPTIMIZATION_r15.md.
+
+    With ``bands`` set, the merge pass additionally emits the LSH
+    band-bucket digests as a ``__buckets array<string>`` column —
+    ``hashlib.md5`` over the ``'|'``-joined decimal band slice is
+    byte-identical to the JVM ``md5(concat_ws('|', transform(slice(
+    sig, lo, len), x -> cast(x as string))))`` chain (both hash the
+    UTF-8 bytes of the same string and render lowercase hex), which in
+    turn matches the DuckDB oracle's ``md5(ARRAY_TO_STRING(...))``.
+    Computing them here removes 16 md5-expression trees from the plan
+    (a measurable slice of the ~0.5 s banding planning cost) and the
+    16 per-doc interpreted ``transform`` evaluations; the caller then
+    explodes with ONE ``posexplode`` expression
+    (:func:`_md5_banded_signatures`)."""
+    import pyspark.sql.types as T
+
+    if bands is not None and num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    coeffs = minhash_coeffs(num_hashes)
+    id_field = staged.schema["id"]
+    out_schema = T.StructType(
+        [id_field, T.StructField("__psig", T.ArrayType(T.LongType()))]
+    )
+
+    def partial(batches):
+        # heavyweight init once per task (guide §4.5)
+        import numpy as np
+        import pyarrow as pa
+
+        k = len(coeffs)
+        A = np.array([a for a, _ in coeffs], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in coeffs], dtype=np.int64)[None, :]
+        id_type = None
+        carry_id = None
+        carry = None
+        ids_out: list = []
+        sigs_out: list = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if id_type is None:
+                id_type = rb.schema.field(0).type
+            if rb.column(1).null_count:
+                # __v is non-null by construction (md5 of a non-null
+                # shingle); a null here would silently become NaN in
+                # the numpy cast, so fail loud instead
+                raise ValueError("minhash: null shingle hash in __v")
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            vv = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = (vv[:, None] * A + B) % MINHASH_MERSENNE31
+            starts = np.nonzero(
+                np.concatenate(([True], ids[1:] != ids[:-1]))
+            )[0]
+            mins = np.minimum.reduceat(h, starts, axis=0)
+            rids = ids[starts]
+            if carry_id is not None and rids[0] == carry_id:
+                mins[0] = np.minimum(mins[0], carry)
+            elif carry_id is not None:
+                ids_out.append(carry_id)
+                sigs_out.append(carry)
+            carry_id = rids[-1]
+            carry = mins[-1]
+            if len(rids) > 1:
+                ids_out.extend(rids[:-1].tolist())
+                sigs_out.extend(list(mins[:-1]))
+        if carry_id is not None:
+            ids_out.append(carry_id)
+            sigs_out.append(carry)
+        if ids_out:
+            import numpy as np
+            import pyarrow as pa
+
+            flat = np.concatenate(sigs_out)
+            sig_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, type=pa.int64()), k
+            ).cast(pa.list_(pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids_out, type=id_type), sig_arr],
+                names=["id", "__psig"],
+            )
+
+    part = staged.mapInArrow(partial, schema=out_schema)
+    # layout-independent merge: one collect_list aggregate (cheap to
+    # plan — a single aggregate expression vs 64) gathers a doc's
+    # partial rows (~1 per doc), then a row-wise Arrow pass folds them
+    # with elementwise minimum. NOT a lambda-HOF fold in a projection:
+    # that expression gets inlined by CollapseProject into every one
+    # of the 16 downstream band-bucket expressions and re-evaluated
+    # 17x per doc (measured 5.7 s vs 2.0 s end-to-end at sf0.1);
+    # the Arrow stage makes ``sig`` a plain attribute instead.
+    gathered = part.groupBy("id").agg(
+        F.collect_list("__psig").alias("__psigs")
+    )
+    merged_fields = [id_field, T.StructField("sig", T.ArrayType(T.LongType()))]
+    if bands is not None:
+        merged_fields.append(
+            T.StructField("__buckets", T.ArrayType(T.StringType()))
+        )
+    merged_schema = T.StructType(merged_fields)
+    k = num_hashes
+    n_bands = bands
+    rows_per_band = k // bands if bands else None
+
+    def merge(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lists = rb.column(1)  # list<list<int64>>, inner length k
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            # flatten() (not .values) so a sliced/offset array is
+            # handled; offsets are rebased to the slice start
+            off = lists.offsets.to_numpy(zero_copy_only=False)
+            off = off - off[0]
+            flat = lists.flatten().flatten().to_numpy(zero_copy_only=False)
+            mat = flat.reshape(-1, k)
+            # offsets are in units of inner lists; rows with a single
+            # partial (the common case) reduce over one matrix row
+            mins = np.minimum.reduceat(mat, off[:-1], axis=0)
+            sig_arr = pa.FixedSizeListArray.from_arrays(
+                pa.array(mins.reshape(-1), type=pa.int64()), k
+            ).cast(pa.list_(pa.int64()))
+            cols = [rb.column(0), sig_arr]
+            names = ["id", "sig"]
+            if n_bands is not None:
+                strs = mins.astype("U10")  # decimal render, mod < 2^31
+                digests = [
+                    hashlib.md5(
+                        "|".join(row[b * rows_per_band:(b + 1) * rows_per_band])
+                        .encode()
+                    ).hexdigest()
+                    for row in strs
+                    for b in range(n_bands)
+                ]
+                flat_d = pa.array(digests, type=pa.string())
+                cols.append(
+                    pa.FixedSizeListArray.from_arrays(flat_d, n_bands)
+                    .cast(pa.list_(pa.string()))
+                )
+                names.append("__buckets")
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return gathered.mapInArrow(merge, schema=merged_schema)
+
+
+def _md5_banded_signatures(
+    staged: DataFrame, *, num_hashes: int, bands: int
+) -> DataFrame:
+    """``(id, sig, band, bucket)`` banded rows for the md5 family —
+    bucket digests computed inside the Arrow merge pass (see
+    :func:`_md5_signatures_from_staged`), exploded with a single
+    ``posexplode`` expression instead of 16 md5-expression trees.
+    Value-identical to ``banded_buckets(sig, hash_family="md5")``
+    (pinned by ``tests/test_minhash_arrow_parity.py``)."""
+    with_buckets = _md5_signatures_from_staged(
+        staged, num_hashes=num_hashes, bands=bands
+    )
+    return with_buckets.select(
+        "id",
+        "sig",
+        F.posexplode("__buckets").alias("band", "bucket"),
     )
 
 
@@ -640,46 +859,59 @@ def minhash_dedup_pairs(
     reproducible in any engine with ``md5``, which is how the DuckDB
     oracle verifies this operator hash-exactly.
     """
-    sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, num_hashes=num_hashes, n=n,
-        hash_family=hash_family,
-    )
-    banded = banded_buckets(
-        sig, num_hashes=num_hashes, bands=bands, hash_family=hash_family
-    )
-    # r14 optimization (guide §2.4 — share one exchange): force the
-    # self-join to SHUFFLE-HASH on (band, bucket) so both sides sit
-    # behind IDENTICAL hash exchanges and the signature build
-    # (tokenize -> md5/xxhash per shingle -> 64 min aggregates), the
-    # expensive half of this operator, runs ONCE instead of once per
-    # join side (the auto-planned broadcast join rebuilt the whole
-    # subtree on the broadcast side: measured 1.75 s -> 1.1 s warm at
-    # sf0.1). The reuse is an AQE RUNTIME stage-cache hit — the static
-    # plan prints the subtree under both join inputs; the EXECUTED
-    # plan shows one side as `ReusedExchange [Reuses operator id: N]`
-    # (r15 evidence: plans/r15/dedup_minhash_pairs_sf1_executed.txt,
-    # Final Plan section; pinned by
-    # tests/test_dedup_plan_shape.py::test_minhash_self_join_reuses_exchange_at_runtime).
-    # The trade is one extra exchange of the banded-collision
-    # candidates for the pair dedup, which is bounded by band
-    # collisions, never by the corpus.
-    a = banded.alias("a")
-    b = banded.alias("b").hint("shuffle_hash")
-    cand = (
+    if hash_family == "md5":
+        # r15: band buckets ride the Arrow merge pass (one posexplode
+        # in the plan instead of 16 md5-expression trees); identical
+        # digests — see _md5_signatures_from_staged
+        banded = _md5_banded_signatures(
+            _md5_staged(df, id_col=id_col, text_col=text_col, n=n),
+            num_hashes=num_hashes, bands=bands,
+        )
+    else:
+        sig = minhash_signatures(
+            df, id_col=id_col, text_col=text_col, num_hashes=num_hashes,
+            n=n, hash_family=hash_family,
+        )
+        banded = banded_buckets(
+            sig, num_hashes=num_hashes, bands=bands, hash_family=hash_family
+        )
+    # r15 (guide §8 "decide with small rows, move big rows once" /
+    # §2.3): the banded self-join used to carry BOTH k-long signatures
+    # (~1 KB combined per collision instance) through its exchanges,
+    # then drag them through a two-Sort dropDuplicates SortAggregate
+    # (first(array) is not hash-aggregable). The signatures are only
+    # needed ONCE PER UNIQUE PAIR, for the agreement estimate — so the
+    # join and the pair dedup now run on the narrow (id, band, bucket)
+    # projection (~40 B/row, a plain HashAggregate dedup), and the
+    # signatures are attached afterwards by two equi-joins against the
+    # one-row-per-doc sig frame (the band==0 slice of the same banded
+    # subtree, so everything below the signature exchange is planned
+    # and executed once — AQE ReusedExchange, same device as r14).
+    # est_jaccard is a pure function of the two signatures, so
+    # computing it after the dedup is value-identical to computing it
+    # per instance; pairs and estimates are unchanged (oracle-exact).
+    # Shuffle-byte arithmetic at corpus scale: 16 bands x ~40 B vs
+    # 16 bands x ~0.5 KB through the self-join, plus 2 x one
+    # signature row per doc for the attach — ~5x fewer bytes on the
+    # operator's dominant exchange. Measured: sf0.1 2.40 -> 2.06 s,
+    # sf1 4.62 -> 3.81 s (interleaved min-of-4, value-identity
+    # asserted before timing).
+    nb = banded.select("id", "band", "bucket")
+    a = nb.alias("a")
+    b = nb.alias("b").hint("shuffle_hash")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    sig_frame = banded.filter(F.col("band") == 0).select("id", "sig")
+    sa = sig_frame.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_frame.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -690,7 +922,9 @@ def minhash_dedup_pairs(
         / F.lit(float(num_hashes))
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
